@@ -1,0 +1,253 @@
+"""The flagship pipeline: pages → sniff/HTML tasks → PDF actor pool →
+extracted, plus the partitioned resumable runner.
+
+Ray Data shape (SURVEY.md §3.1):
+
+    read_parquet(shards)                       # S1 — parquet replaces uploads
+      → map_batches(sniff_and_extract_html)    # M1–M3 + M17, stateless tasks
+      → map_batches(PdfExtractStage,           # M4–M16, actor pool, warm
+                    concurrency=(min,max))     #   converters (A1/A2)
+      → write_parquet / iter / aggregate       # S5
+
+Design notes for 100 TB scale:
+
+* **Single linear pass.** Branching with ``ds.filter`` per content kind
+  would re-execute the upstream scan per branch (Ray Datasets fan-out
+  re-executes); instead stage 1 completes non-PDF rows inline and PDF
+  rows ride through to the actor stage. No union, no double scan.
+* **Skew** (north rule "explicit repartitioning by document byte-size"):
+  the runner treats one input shard as one partition and the PDF actor
+  stage uses a small ``batch_size`` so a multi-hundred-page payload
+  occupies (most of) a batch by itself; ``payload_bytes`` is emitted by
+  stage 1 so callers can additionally split big-payload traffic with
+  ``split_by_size`` below when the corpus is known to be heavy-tailed.
+* **Resume** (north rule lineage/checkpoint): partition = input shard
+  (stable across runs and cluster sizes — derived from the sorted input
+  file list, not from hash-shuffling rows, so no all-to-all exchange is
+  needed for checkpointing). Output is written to a temp dir and
+  atomically renamed, THEN the sidecar row commits (state/lineage.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .. import _compat  # noqa: F401  (fsspec-http stub; see _compat.py)
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..schema import EXTRACTED_SCHEMA
+from ..stages.pdf_stage import PdfExtractStage
+from ..stages.sniff import sniff_and_extract_html
+from ..state import lineage
+
+
+def build_extract_ds(ds: "rd.Dataset", cfg: PipelineConfig = DEFAULT_CONFIG,
+                     keep_meta: bool = False) -> "rd.Dataset":
+    """Compose the extraction over an existing Dataset of `pages` rows.
+
+    ``keep_meta`` retains ``content_kind``/``payload_bytes`` for
+    observability queries; by default output is exactly
+    EXTRACTED_SCHEMA.
+    """
+    ds = ds.map_batches(
+        lambda b: sniff_and_extract_html(b, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.sniff_batch_size,
+    )
+    ds = ds.map_batches(
+        PdfExtractStage,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.pdf_batch_size,
+        concurrency=(cfg.pdf_pool_min, cfg.pdf_pool_max),
+        num_cpus=1,
+    )
+    if not keep_meta:
+        ds = ds.select_columns(list(EXTRACTED_SCHEMA.names))
+    return ds
+
+
+def extract_dataset(input_paths, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    keep_meta: bool = False, url_filter=None) -> "rd.Dataset":
+    """read → extract, column-pruned at the read (only the columns the
+    pipeline touches leave storage)."""
+    ds = rd.read_parquet(input_paths, columns=["url", "warc_ts", "html"])
+    if url_filter is not None:
+        ds = ds.map_batches(url_filter, batch_format="pyarrow")
+    return build_extract_ds(ds, cfg, keep_meta=keep_meta)
+
+
+# ------------------------------------------------------------------ dedup
+
+def find_duplicate_urls(input_paths) -> dict[str, int]:
+    """Defensive exact dedup by url (SURVEY.md §2.7), scale-friendly:
+    a column-pruned scan of (url, warc_ts) only → groupby url (the one
+    shuffle, over two narrow columns, never payload bytes) → urls with
+    >1 crawl and their winning (max) warc_ts. The result is small
+    (only re-crawled urls) and is broadcast to the filter stage —
+    payloads are never shuffled.
+
+    Winner rule: keep the LATEST crawl (max warc_ts). Rows tied on
+    (url, max warc_ts) are byte-identical re-crawls in this corpus and
+    are all kept; use a shuffle groupby dedup if exact single-survivor
+    semantics are required for tied rows.
+    """
+    from ray.data.aggregate import Count, Max
+
+    ds = rd.read_parquet(input_paths, columns=["url", "warc_ts"])
+    agg = ds.groupby("url").aggregate(Count(alias_name="n"),
+                                      Max("warc_ts", alias_name="max_ts"))
+    dups = agg.filter(lambda r: r["n"] > 1)
+    out: dict[str, int] = {}
+    import datetime as _dt
+
+    for row in dups.iter_rows():
+        ts = row["max_ts"]
+        if isinstance(ts, _dt.datetime):
+            ts = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        elif hasattr(ts, "value"):
+            ts = ts.value
+        out[row["url"]] = int(ts)
+    return out
+
+
+def make_dedup_filter(dup_map: dict[str, int]):
+    """Batch filter keeping only winning crawls; the dup map is tiny
+    (re-crawled urls only) and ships once per task via closure capture
+    (Ray serializes it into the task spec — the broadcast pattern)."""
+    if not dup_map:
+        return None
+
+    def _filter(batch):
+        import pyarrow as pa
+
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").cast(pa.int64()).to_pylist()
+        mask = [u not in dup_map or t == dup_map[u] for u, t in zip(urls, tss)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return _filter
+
+
+# ------------------------------------------------------------------ skew helper
+
+def split_by_size(ds: "rd.Dataset", cfg: PipelineConfig):
+    """Optional explicit size split (SURVEY §4.3) for heavy-tailed
+    corpora: returns (small_ds, big_ds) on ``payload_bytes`` so the
+    caller can run the big bucket with ``batch_size=cfg.pdf_big_batch_size``.
+    Costs one extra pass over the sniffed (not raw) data — use when the
+    big tail is fat enough to starve a shared pool."""
+    small = ds.map_batches(
+        lambda b: b.filter(pc.less(b["payload_bytes"], cfg.big_payload_bytes)),
+        batch_format="pyarrow")
+    big = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["payload_bytes"], cfg.big_payload_bytes)),
+        batch_format="pyarrow")
+    return small, big
+
+
+# ------------------------------------------------------------------ runner
+
+def _process_partition(pid: int, path: str, out_dir: str,
+                       cfg: PipelineConfig, dedup_filter) -> dict:
+    t0 = time.monotonic()
+    final_dir = lineage.partition_dir(out_dir, pid)
+    tmp_dir = os.path.join(out_dir, f"_tmp-partition_id={pid}-{os.getpid()}")
+    ds = extract_dataset([path], cfg, url_filter=dedup_filter)
+    ds.write_parquet(tmp_dir)
+    # partition-atomic publish: data first, sidecar second (§4.2)
+    if os.path.isdir(final_dir):
+        import shutil
+
+        shutil.rmtree(final_dir)   # idempotent re-run replaces its output (S8 analog)
+    os.replace(tmp_dir, final_dir)
+
+    # counters from a column-pruned read-back of the partition's own
+    # output (cheap: two narrow columns of one shard)
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(final_dir, "*.parquet")))
+    if files:
+        t = pq.read_table(files, columns=["url", "extraction_successful"])
+        n_rows = t.num_rows
+        n_ok = pc.sum(pc.cast(t.column("extraction_successful"), "int64")).as_py() or 0
+        first_url = pc.min(t.column("url")).as_py() if n_rows else None
+        last_url = pc.max(t.column("url")).as_py() if n_rows else None
+    else:
+        n_rows, n_ok, first_url, last_url = 0, 0, None, None
+    n_failed = n_rows - n_ok
+    wall = time.monotonic() - t0
+    lineage.write_lineage(out_dir, pid, lineage.STATUS_DONE, n_ok, n_failed,
+                          first_url, last_url, wall)
+    return {"partition_id": pid, "rows": n_rows, "n_ok": n_ok,
+            "n_failed": n_failed, "wall_s": wall}
+
+
+def run_partitioned(input_paths: list[str], out_dir: str,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    resume: bool = True) -> dict:
+    """Resumable partitioned run: one partition per input shard,
+    ``cfg.partition_concurrency`` shard pipelines in flight (each is a
+    full streaming Dataset execution, so intra-shard parallelism uses
+    the whole cluster; inter-shard overlap hides read/write tails).
+
+    A killed job re-run with ``resume=True`` skips every partition
+    whose sidecar committed (north rule: "resumes without reprocessing
+    completed partitions")."""
+    os.makedirs(out_dir, exist_ok=True)
+    # clear temp litter from killed runs (their partitions re-run anyway)
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(os.path.join(out_dir, "_tmp-partition_id=*")):
+        _shutil.rmtree(stale, ignore_errors=True)
+
+    shards = sorted(input_paths)
+    done = lineage.completed_partitions(out_dir) if resume else set()
+
+    dedup_filter = None
+    if cfg.dedup_urls:
+        dedup_filter = make_dedup_filter(find_duplicate_urls(shards))
+
+    todo = [(pid, p) for pid, p in enumerate(shards) if pid not in done]
+    results = []
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, cfg.partition_concurrency)) as ex:
+            futs = [ex.submit(_process_partition, pid, p, out_dir, cfg, dedup_filter)
+                    for pid, p in todo]
+            for f in futs:
+                results.append(f.result())
+    summary = lineage.rollup_counters(out_dir)
+    summary["partitions_skipped"] = len(done)
+    summary["partitions_processed"] = len(results)
+    return summary
+
+
+def extracted_files(out_dir: str) -> list[str]:
+    import glob as _glob
+
+    return [f for pid in sorted(lineage.completed_partitions(out_dir))
+            for f in sorted(_glob.glob(
+                os.path.join(lineage.partition_dir(out_dir, pid), "*.parquet")))]
+
+
+def read_extracted(out_dir: str) -> "rd.Dataset":
+    """S7 analog: full scan of the output table. (File paths, not dir
+    paths: ray 2.49's read_parquet opens list entries as files.)"""
+    return rd.read_parquet(extracted_files(out_dir))
+
+
+def lookup_url(out_dir: str, url: str):
+    """S6/J1 analog: point lookup by key via parquet predicate pushdown
+    (no Ray job needed — a driver-side pyarrow dataset filter)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(extracted_files(out_dir))
+    return dset.to_table(filter=pads.field("url") == url)

@@ -1,0 +1,88 @@
+"""Per-partition lineage sidecar — the durable replacement for the
+reference's Redis task store (redis_manager.py:40-139).
+
+Where the reference tracked one TTL'd JSON record per document
+(create → progress updates → complete), this engine tracks one durable
+sidecar row per PARTITION (= input shard): status, ok/failed counters,
+url range, wall time. Commit ordering is strict (SURVEY.md §7 hard
+part (e)): a partition's output parquet is fully written and atomically
+renamed into place BEFORE its sidecar row is written, so a sidecar row
+is proof the data is complete — the resume filter trusts it.
+
+Layout under the output root:
+    out/partition_id=<k>/part-*.parquet      (the extracted rows)
+    out/_lineage/part-<k>.parquet            (one LINEAGE_SCHEMA row)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import LINEAGE_SCHEMA
+
+LINEAGE_DIR = "_lineage"
+STATUS_DONE = "done"
+STATUS_FAILED = "failed"
+
+
+def lineage_path(out_dir: str, partition_id: int) -> str:
+    return os.path.join(out_dir, LINEAGE_DIR, f"part-{partition_id:05d}.parquet")
+
+
+def partition_dir(out_dir: str, partition_id: int) -> str:
+    return os.path.join(out_dir, f"partition_id={partition_id}")
+
+
+def write_lineage(out_dir: str, partition_id: int, status: str, n_ok: int,
+                  n_failed: int, first_url: str | None, last_url: str | None,
+                  wall_s: float) -> None:
+    os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
+    t = pa.Table.from_pydict({
+        "partition_id": [partition_id], "status": [status],
+        "n_ok": [n_ok], "n_failed": [n_failed],
+        "first_url": [first_url], "last_url": [last_url],
+        "wall_s": [wall_s],
+    }, schema=LINEAGE_SCHEMA)
+    path = lineage_path(out_dir, partition_id)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)    # atomic on POSIX
+
+
+def read_lineage(out_dir: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(out_dir, LINEAGE_DIR, "part-*.parquet")))
+    if not files:
+        return LINEAGE_SCHEMA.empty_table()
+    return pa.concat_tables(pq.read_table(f) for f in files)
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    """Partitions safe to skip on resume: sidecar says done AND the
+    renamed data directory exists (defends against a sidecar written
+    for a since-deleted output)."""
+    done: set[int] = set()
+    t = read_lineage(out_dir)
+    for pid, status in zip(t.column("partition_id").to_pylist(),
+                           t.column("status").to_pylist()):
+        if status == STATUS_DONE and os.path.isdir(partition_dir(out_dir, pid)):
+            done.add(pid)
+    return done
+
+
+def rollup_counters(out_dir: str) -> dict:
+    """Global success/failure rollup (north-rule counters; the analog
+    of the reference's GET /tasks scan, main.py:252-273) — a driver-side
+    sum over the tiny sidecar, not a data scan."""
+    t = read_lineage(out_dir)
+    import pyarrow.compute as pc
+
+    return {
+        "partitions": t.num_rows,
+        "n_ok": pc.sum(t.column("n_ok")).as_py() or 0,
+        "n_failed": pc.sum(t.column("n_failed")).as_py() or 0,
+        "wall_s_total": pc.sum(t.column("wall_s")).as_py() or 0.0,
+    }

@@ -1,0 +1,157 @@
+"""End-to-end Ray pipeline vs single-threaded oracle: the byte-identity
+gate (SURVEY.md §5.2 item 1), plus resume and determinism."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from docling_pdf_ray.config import DEFAULT_CONFIG
+from docling_pdf_ray.oracle import extract_rows
+from docling_pdf_ray.schema import EXTRACTED_SCHEMA, result_to_arrow
+from docling_pdf_ray.sources.fixtures import TEST_MAX_BYTES
+
+CFG = DEFAULT_CONFIG.with_(max_payload_bytes=TEST_MAX_BYTES,
+                           pdf_pool_min=1, pdf_pool_max=2,
+                           partition_concurrency=2)
+
+
+def _oracle_table(pages_dir: str) -> pa.Table:
+    t = pq.read_table(pages_dir)
+    rows = extract_rows(t.column("url").to_pylist(),
+                        t.column("html").to_pylist(), CFG)
+    out = result_to_arrow(rows)
+    return out.sort_by("url")
+
+
+def _assert_equal_per_url(ray_t: pa.Table, oracle_t: pa.Table):
+    ray_t = ray_t.select(EXTRACTED_SCHEMA.names).sort_by("url").combine_chunks()
+    oracle_t = oracle_t.combine_chunks()
+    assert ray_t.num_rows == oracle_t.num_rows
+    assert ray_t.schema.equals(oracle_t.schema), (
+        f"{ray_t.schema}\n!=\n{oracle_t.schema}")
+    # byte-identity on full_text per url, then full-column equality
+    assert ray_t.column("url").equals(oracle_t.column("url"))
+    assert ray_t.column("full_text").equals(oracle_t.column("full_text")), \
+        "full_text not byte-identical"
+    for name in EXTRACTED_SCHEMA.names:
+        assert ray_t.column(name).equals(oracle_t.column(name)), f"column {name} differs"
+
+
+@pytest.fixture(scope="module")
+def extracted_run(ray_session, fixture_pages_dir, tmp_path_factory):
+    from docling_pdf_ray.pipelines.extract import run_partitioned
+
+    out = str(tmp_path_factory.mktemp("extract_out"))
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+    summary = run_partitioned(shards, out, CFG)
+    return out, shards, summary
+
+
+def test_pipeline_matches_oracle_byte_identically(extracted_run, fixture_pages_dir):
+    from docling_pdf_ray.pipelines.extract import extracted_files
+
+    out, shards, summary = extracted_run
+    # the engine's real output surface is the written parquet
+    ray_t = pa.concat_tables(pq.read_table(f) for f in extracted_files(out))
+    oracle_t = _oracle_table(fixture_pages_dir)
+    _assert_equal_per_url(ray_t, oracle_t)
+
+
+def test_row_count_preserved(extracted_run):
+    out, shards, summary = extracted_run
+    n_in = sum(pq.read_metadata(s).num_rows for s in shards)
+    assert summary["n_ok"] + summary["n_failed"] == n_in
+
+
+def test_lineage_sidecar(extracted_run):
+    from docling_pdf_ray.state import lineage
+
+    out, shards, summary = extracted_run
+    t = lineage.read_lineage(out)
+    assert t.num_rows == len(shards)
+    assert set(t.column("status").to_pylist()) == {"done"}
+    assert all(w > 0 for w in t.column("wall_s").to_pylist())
+    assert lineage.completed_partitions(out) == set(range(len(shards)))
+    roll = lineage.rollup_counters(out)
+    assert roll["n_ok"] == summary["n_ok"] and roll["n_failed"] == summary["n_failed"]
+
+
+def test_resume_skips_completed_partitions(ray_session, fixture_pages_dir, tmp_path):
+    from docling_pdf_ray.pipelines.extract import read_extracted, run_partitioned
+    from docling_pdf_ray.state import lineage
+
+    out = str(tmp_path / "resume_out")
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+
+    # simulate a killed job: only the first two partitions completed
+    s1 = run_partitioned(shards[:2], out, CFG)
+    assert s1["partitions_processed"] == 2
+
+    # full re-run resumes: 0 and 1 skipped, 2 and 3 processed
+    s2 = run_partitioned(shards, out, CFG, resume=True)
+    assert s2["partitions_skipped"] == 2
+    assert s2["partitions_processed"] == 2
+
+    # output identical to a clean run
+    from docling_pdf_ray.pipelines.extract import extracted_files
+
+    clean = str(tmp_path / "clean_out")
+    run_partitioned(shards, clean, CFG)
+    a = pa.concat_tables(pq.read_table(f) for f in extracted_files(out)).sort_by("url")
+    b = pa.concat_tables(pq.read_table(f) for f in extracted_files(clean)).sort_by("url")
+    assert a.column("url").equals(b.column("url"))
+    assert a.column("full_text").equals(b.column("full_text"))
+
+    # a third run is a no-op
+    s3 = run_partitioned(shards, out, CFG, resume=True)
+    assert s3["partitions_processed"] == 0
+    assert lineage.rollup_counters(out) == lineage.rollup_counters(clean) | {
+        "wall_s_total": lineage.rollup_counters(out)["wall_s_total"]}
+
+
+def test_point_lookup(extracted_run):
+    from docling_pdf_ray.pipelines.extract import lookup_url
+
+    out, shards, _ = extracted_run
+    some_url = pq.read_table(shards[0], columns=["url"]).column("url")[0].as_py()
+    t = lookup_url(out, some_url)
+    assert t.num_rows >= 1
+    assert t.column("url")[0].as_py() == some_url
+
+
+def test_dedup_broadcast(ray_session, fixture_pages_dir, tmp_path):
+    from docling_pdf_ray.pipelines.extract import (extracted_files,
+                                                   find_duplicate_urls,
+                                                   run_partitioned)
+
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+    dups = find_duplicate_urls(shards)
+    assert dups, "fixture should contain dup_url rows"
+
+    out = str(tmp_path / "dedup_out")
+    run_partitioned(shards, out, CFG.with_(dedup_urls=True))
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["url"]) for f in extracted_files(out)).to_pandas()
+    assert t["url"].is_unique
+    # winner = latest crawl: for each dup url the kept warc_ts is the max —
+    # verified against the raw input
+    raw = pq.read_table(shards, columns=["url", "warc_ts"]).to_pandas()
+    for url, max_ts in list(dups.items())[:5]:
+        # dup map is µs (timestamp[us] → int64); pandas .value is ns
+        assert raw[raw.url == url].warc_ts.max().value == max_ts * 1000
+
+
+def test_stage1_meta_columns(ray_session, fixture_pages_dir):
+    from docling_pdf_ray.pipelines.extract import extract_dataset
+
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+    ds = extract_dataset(shards[:1], CFG, keep_meta=True)
+    t = pa.concat_tables(b for b in ds.iter_batches(batch_format="pyarrow"))
+    assert "content_kind" in t.column_names and "payload_bytes" in t.column_names
+    kinds = set(pc.unique(t.column("content_kind")).to_pylist())
+    assert kinds <= {"pdf", "html", "other"}
+    assert pc.min(t.column("payload_bytes")).as_py() >= 0

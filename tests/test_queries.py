@@ -1,0 +1,78 @@
+"""Driver-style conformance: every queries() entry with an oracle_sql()
+entry is executed at sf0.001 and compared against DuckDB (sorted
+columns, sorted rows, exact values)."""
+
+import glob
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if hasattr(obj, "to_pandas"):
+        return obj.to_pandas()
+    raise TypeError(type(obj))
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__.queries(), __ray_entry__.oracle_sql()
+
+
+def test_all_oracle_keys_have_queries():
+    import __ray_entry__
+
+    q, o = __ray_entry__.queries(), __ray_entry__.oracle_sql()
+    assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize("name", [
+    "extract_method_counts", "doc_stats_by_lang", "doc_token_stats",
+    "doc_quality_by_lang", "doc_fingerprints", "dedup_exact",
+    "size_histogram", "pricing_summary", "segment_revenue",
+    "events_hourly", "user_sessions",
+])
+def test_query_matches_duckdb(registry, name):
+    queries, oracles = registry
+    got = _normalize(_to_pandas(queries[name](SF)))
+    want = _normalize(_duck(oracles[name]))
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_rows_only_queries_run(registry):
+    queries, oracles = registry
+    for name in set(queries) - set(oracles):
+        out = _to_pandas(queries[name](SF))
+        assert len(out) > 0, name
+
+
+def test_extract_pages_deterministic(registry):
+    queries, _ = registry
+    a = _to_pandas(queries["extract_pages"](SF))
+    b = _to_pandas(queries["extract_pages"](SF))
+    pd.testing.assert_frame_equal(a, b)
