@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end extraction throughput + representative query
+timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_s": ...,
+   "mb_per_s": ...}
+
+--scaling: runs the headline pipeline in TWO fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the north
+rule's N-vs-4N-node criterion).
+
+Input: pages parquet synthesized deterministically from the sf dir's
+documents table (sources/pages_from_documents.py), replicated
+GRAFT_BENCH_REPL× (default 4) with distinct urls so the corpus is
+large enough that fixed startup cost doesn't mask scaling; cached
+under /tmp/graft_bench and page-cache-warmed before timing.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPL = int(os.environ.get("GRAFT_BENCH_REPL", "4"))
+CACHE_ROOT = "/tmp/graft_bench"
+
+
+def _pages_cache_dir() -> str:
+    key = hashlib.md5(f"{SF_DIR}|{REPL}|v3".encode()).hexdigest()[:10]
+    return os.path.join(CACHE_ROOT, f"pages-{key}")
+
+
+def prepare_pages() -> list[str]:
+    """Materialize the replicated pages corpus once (cached)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = _pages_cache_dir()
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return sorted(glob.glob(os.path.join(out, "*.parquet")))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    from docling_pdf_ray.sources.pages_from_documents import (
+        pages_batch_from_documents)
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    base = pages_batch_from_documents(docs)
+    rows_per_file = 2500
+    for r in range(REPL):
+        t = base
+        if r:
+            import pyarrow.compute as pc
+
+            t = t.set_column(0, "url", pc.binary_join_element_wise(
+                t.column("url"), pa.array([f"?rep={r}"] * t.num_rows), ""))
+        for k in range((t.num_rows + rows_per_file - 1) // rows_per_file):
+            chunk = t.slice(k * rows_per_file, rows_per_file)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(out, f"pages-{r:03d}-{k:04d}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return sorted(glob.glob(os.path.join(out, "*.parquet")))
+
+
+def _warmup(shards, cfg) -> None:
+    """Untimed: spin up the Ray worker pool and import the package in
+    every worker (first-execution cost is once-per-session in
+    production, ~15s here — it would otherwise dominate a seconds-scale
+    benchmark), and exercise the extract path once on one shard."""
+    import ray.data as rd
+
+    def _imp(b):
+        import docling_pdf_ray.oracle  # noqa: F401
+
+        return b
+
+    rd.range(100_000, override_num_blocks=NUM_CPUS * 2).map_batches(
+        _imp, batch_format="pyarrow").count()
+    from docling_pdf_ray.pipelines.extract import extract_dataset
+
+    extract_dataset(shards[:1], cfg).count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.config import DEFAULT_CONFIG
+    from docling_pdf_ray.pipelines.extract import extract_dataset
+
+    shards = prepare_pages()
+    n_docs = sum(pq.read_metadata(s).num_rows for s in shards)
+    n_bytes = sum(os.path.getsize(s) for s in shards)
+
+    # warm OS page cache so we measure compute+shuffle, not cold reads
+    for s in shards:
+        with open(s, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    pool = max(4, NUM_CPUS - 4)
+    cfg = DEFAULT_CONFIG.with_(pdf_pool_min=pool, pdf_pool_max=pool)
+    _warmup(shards, cfg)
+
+    out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.monotonic()
+    ds = extract_dataset(shards, cfg)
+    ds.write_parquet(out_dir)
+    headline = time.monotonic() - t0
+
+    # representative operator timings (consumed to small results)
+    from docling_pdf_ray import queries as Q
+
+    import pandas as pd
+
+    def timed(name):
+        t = time.monotonic()
+        r = Q.QUERIES[name](SF_DIR)
+        if not isinstance(r, pd.DataFrame):
+            r = r.to_pandas()        # consume the lazy Dataset
+        assert len(r) >= 0
+        return round(time.monotonic() - t, 3)
+
+    qtimes = {}
+    for name in ["pricing_summary", "events_hourly", "dedup_exact",
+                 "doc_token_stats", "user_sessions", "minhash_near_dups",
+                 "ann_topk", "embedding_dup_pairs"]:
+        qtimes[name] = timed(name)
+
+    result = {
+        "metric": "end-to-end extraction throughput (mixed HTML+PDF pages)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "input_mb": round(n_bytes / 1e6, 1),
+        "docs_per_s": round(n_docs / headline, 1),
+        "mb_per_s": round(n_bytes / 1e6 / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    # the scaling corpus must be big enough that fixed pipeline latency
+    # (~3 s) is negligible at the HIGH parallelism level — default 64×
+    # replication ≈ 320k docs (≈400 CPU·s of extraction work)
+    repl = os.environ.get("GRAFT_BENCH_REPL_SCALING", "64")
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1", GRAFT_BENCH_REPL=repl)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same input, fresh sessions, "
+                  f"num_cpus={lo} vs {hi})",
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "docs_per_s_lo": r_lo["docs_per_s"], "docs_per_s_hi": r_hi["docs_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR, "n_docs": r_lo["n_docs"],
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # child of --scaling: skip the query sweep, headline only
+        global _HEADLINE_ONLY
+        result = run_bench_headline_only()
+        print(json.dumps(result))
+        return
+    print(json.dumps(run_bench()))
+
+
+def run_bench_headline_only() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.config import DEFAULT_CONFIG
+    from docling_pdf_ray.pipelines.extract import extract_dataset
+
+    shards = prepare_pages()
+    n_docs = sum(pq.read_metadata(s).num_rows for s in shards)
+    n_bytes = sum(os.path.getsize(s) for s in shards)
+    for s in shards:
+        with open(s, "rb") as f:
+            while f.read(1 << 22):
+                pass
+    pool = max(4, NUM_CPUS - 4)
+    cfg = DEFAULT_CONFIG.with_(pdf_pool_min=pool, pdf_pool_max=pool)
+    _warmup(shards, cfg)
+    out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    ds = extract_dataset(shards, cfg)
+    ds.write_parquet(out_dir)
+    headline = time.monotonic() - t0
+    ray.shutdown()
+    return {"metric": "extraction headline", "value": round(headline, 3),
+            "unit": "sec", "num_cpus": NUM_CPUS, "n_docs": n_docs,
+            "input_mb": round(n_bytes / 1e6, 1),
+            "docs_per_s": round(n_docs / headline, 1),
+            "mb_per_s": round(n_bytes / 1e6 / headline, 1), "queries": {}}
+
+
+if __name__ == "__main__":
+    main()

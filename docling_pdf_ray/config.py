@@ -28,7 +28,11 @@ class PipelineConfig:
     lines_per_page: int = 50
 
     # --- PDF-branch actor pool (A1; reference builds one global converter,
-    #     main.py:50 — here one warm converter per actor) ---
+    #     main.py:50 — here one warm converter per actor). NOTE: Ray
+    #     fuses the upstream sniff/HTML task stage into this actor pool,
+    #     so the pool size effectively bounds the WHOLE extraction's
+    #     parallelism — benchmarks size it cpus-4, fixed (min==max), to
+    #     avoid autoscaler ramp-up inside the measurement ---
     pdf_pool_min: int = 2
     pdf_pool_max: int = 8
     pdf_batch_size: int = 64

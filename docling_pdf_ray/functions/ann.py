@@ -1,0 +1,83 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — a broadcast query matrix
+(``ray.put`` once, read per actor) against each Arrow batch via one
+numpy matmul; per-batch local top-k partials keep the shuffle tiny
+(k rows per query per batch), then an exact final top-k per query.
+
+Scale path: random-hyperplane LSH bucketing
+(:func:`docling_pdf_ray.functions.dedup.hyperplane_signs`) — bucket
+both sides, search only matching buckets; and an IVF-style variant
+(k-means-free: bucket centroids from the hyperplane code) is the same
+groupby shape.
+
+Determinism: scores are rounded to 6 decimals and ties broken by
+vec_id before ranking, so results are stable across batch orders,
+parallelism levels, and vs the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    a = col.to_pylist()
+    return np.asarray(a, dtype=np.float64)
+
+
+def make_topk_partial(queries_ref, k: int):
+    """map_batches function computing per-batch local top-k candidates
+    for every query. ``queries_ref`` is a ``ray.ObjectRef`` to
+    (qids, qmat) — put once on the driver, fetched (zero-copy from the
+    local object store) inside the task: the broadcast pattern. A plain
+    function (not an actor) because the state is a cheap ray.get, so
+    stateless tasks scale elastically with no pool startup."""
+    import ray
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(queries_ref)
+        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _to_matrix(batch.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        scores = qn @ mn.T                          # (Q, B) one matmul
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, scores.shape[1])            # +1 to survive self-hit
+        for qi, qid in enumerate(qids):
+            row = scores[qi]
+            idx = (np.argpartition(-row, kk - 1)[:kk]
+                   if kk < row.size else np.arange(row.size))
+            for j in idx:
+                if vids[j] == qid:
+                    continue                        # exclude self
+                out_q.append(qid)
+                out_v.append(int(vids[j]))
+                out_s.append(round(float(row[j]), 6))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos_r": pa.array(out_s, pa.float64())})
+
+    return _partial
+
+
+def brute_force_topk(ds, queries_ref, k: int = 5) -> pd.DataFrame:
+    """ds: Dataset with (vec_id, embedding) → DataFrame of
+    (query_id, rank, vec_id, cos_r). The per-batch partials are at most
+    Q×(k+1) rows per block — the final exact top-k runs on the driver
+    over that tiny set (a distributed groupby would pay seconds of
+    shuffle fixed-cost to sort a few hundred rows)."""
+    partials = ds.map_batches(make_topk_partial(queries_ref, k),
+                              batch_format="pyarrow")
+    cand = pd.concat(list(partials.iter_batches(batch_format="pandas")),
+                     ignore_index=True)
+    out = []
+    for qid, g in cand.groupby("query_id"):
+        g = g.sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g[["query_id", "rank", "vec_id", "cos_r"]])
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))

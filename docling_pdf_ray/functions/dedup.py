@@ -1,0 +1,171 @@
+"""Near-duplicate detection operators for training-data pipelines:
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+All hashing is seeded/deterministic (no process randomness — results
+are identical across runs and parallelism levels). The Ray pipelines
+follow the sketch-then-shuffle-small discipline: signatures are
+computed vectorized inside ``map_batches``; only (band_hash, doc_id)
+pairs — never text — enter the groupby; candidate pairs are verified
+exactly afterwards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- shingling
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    words = text.split()
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact n-gram Jaccard similarity (the verifier for MinHash
+    candidates and a standalone pairwise operator)."""
+    return jaccard(word_shingles(text_a, k), word_shingles(text_b, k))
+
+
+# ---------------------------------------------------------------- MinHash
+
+_MERSENNE = (1 << 61) - 1
+NUM_PERM = 64
+NUM_BANDS = 16          # 16 bands × 4 rows: catches J≳0.7 reliably
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+
+
+def _perm_params(num_perm: int = NUM_PERM, seed: int = 42):
+    import random
+
+    rng = random.Random(seed)
+    a = np.array([rng.randrange(1, _MERSENNE) for _ in range(num_perm)], dtype=np.uint64)
+    b = np.array([rng.randrange(0, _MERSENNE) for _ in range(num_perm)], dtype=np.uint64)
+    return a, b
+
+
+_A, _B = _perm_params()
+
+
+def _shingle_hashes(shingles: set[str]) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+         for s in shingles),
+        dtype=np.uint64, count=len(shingles))
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """64-permutation MinHash signature of the word-k-shingle set.
+    Universal hashing h_i(x) = (a_i·x + b_i) mod p over the Mersenne
+    prime p = 2^61-1, exact in uint64 via 30-bit limb split, fully
+    vectorized as one (perm × shingle) broadcast + min."""
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.zeros(NUM_PERM, dtype=np.uint64)
+    m = np.uint64(_MERSENNE)
+    x = _shingle_hashes(sh) % m
+    lo = x & np.uint64((1 << 30) - 1)                     # low 30 bits
+    hi = x >> np.uint64(30)                               # high 31 bits
+    a = _A % m
+    a_lo = (a & np.uint64((1 << 30) - 1))[:, None]
+    a_hi = (a >> np.uint64(30))[:, None]
+    # a·x = (a_hi·x_hi)<<60 + (a_hi·x_lo + a_lo·x_hi)<<30 + a_lo·x_lo,
+    # every partial product < 2^62 so uint64 never overflows
+    t0 = (a_lo * lo[None, :]) % m
+    t1 = (a_hi * lo[None, :] + a_lo * hi[None, :]) % m
+    t2 = (a_hi * hi[None, :]) % m
+    # (x << s) mod (2^61-1) is a 61-bit rotation (2^61 ≡ 1 mod p)
+    v = (t0 + _shl_mod(t1, 30) + _shl_mod(t2, 60)) % m
+    v = (v + (_B % m)[:, None]) % m
+    return v.min(axis=1)
+
+
+def _shl_mod(x: np.ndarray, s: int) -> np.ndarray:
+    """(x << s) mod 2^61-1 without overflow: rotate within 61 bits."""
+    m = np.uint64(_MERSENNE)
+    x = x % m
+    hi = x >> np.uint64(61 - s)
+    lo = (x << np.uint64(s)) & m
+    return (hi + lo) % m
+
+
+def band_hashes(sig: np.ndarray) -> list[int]:
+    """LSH banding: hash each band of ROWS_PER_BAND signature values;
+    docs sharing any band hash are candidates."""
+    out = []
+    for b in range(NUM_BANDS):
+        chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+        out.append(int.from_bytes(h, "big") >> 1)  # fit int64
+    return out
+
+
+def minhash_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (term-frequency
+    weighted)."""
+    acc = np.zeros(64, dtype=np.int64)
+    words = text.split()
+    if not words:
+        return 0
+    from collections import Counter
+
+    for w, c in Counter(words).items():
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += c * (2 * bits - 1)
+    fp = 0
+    for i in range(64):
+        if acc[i] > 0:
+            fp |= 1 << i
+    return fp
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_bands(fp: int, n_bands: int = 4) -> list[int]:
+    """Split the 64-bit fingerprint into n equal bands; two docs at
+    hamming distance < n_bands must agree on at least one band
+    (pigeonhole) → exact-match blocking key."""
+    w = 64 // n_bands
+    mask = (1 << w) - 1
+    return [(b << 60) | ((fp >> (b * w)) & mask) for b in range(n_bands)]
+
+
+# ---------------------------------------------------------------- embeddings
+
+def hyperplane_signs(vectors: np.ndarray, n_planes: int = 16, seed: int = 42,
+                     dim: int | None = None) -> np.ndarray:
+    """Random-hyperplane LSH bucket ids (cosine-preserving): the
+    scale path for embedding near-dup / ANN — bucket by sign pattern,
+    compare only within buckets."""
+    dim = dim or vectors.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    signs = (vectors @ planes) > 0
+    return signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+
+
+def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    return an @ bn.T

@@ -40,6 +40,31 @@ def _docs(sf_dir: str, columns):
     return _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _driver_combine(partials_ds, by: list[str], aggs: dict[str, tuple[str, str]],
+                    sort_by=None):
+    """Finish a pre-aggregated pipeline on the driver: the partials are
+    (num_blocks × group-cardinality) rows — tiny for low-cardinality
+    keys — so a pandas combine beats a distributed shuffle's fixed
+    costs by seconds per query and removes an all-to-all exchange.
+    Only used where cardinality is provably small (lang, flags,
+    buckets, hours); full-cardinality groupbys (dedup by content hash)
+    stay distributed.
+
+    aggs: {out_col: (in_col, fn)} with fn ∈ {sum, min, max}."""
+    import pandas as pd
+
+    frames = [b for b in partials_ds.iter_batches(batch_format="pandas")]
+    df = pd.concat(frames, ignore_index=True) if frames else None
+    if df is None or df.empty:
+        return pd.DataFrame(columns=by + list(aggs))
+    g = df.groupby(by, dropna=False, sort=True)
+    out = pd.DataFrame({name: g[src].agg(fn) for name, (src, fn) in aggs.items()})
+    out = out.reset_index()
+    if sort_by:
+        out = out.sort_values(sort_by).reset_index(drop=True)
+    return out[by + list(aggs)]
+
+
 # ================================================================ extraction
 
 def q_extract_pages(sf_dir: str):
@@ -100,15 +125,9 @@ def q_doc_stats_by_lang(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    final = partials.groupby("lang").aggregate(
-        Sum("p_n", alias_name="n_docs"),
-        Sum("p_sum", alias_name="total_chars"),
-        Min("p_min", alias_name="min_chars"),
-        Max("p_max", alias_name="max_chars"),
-    )
-    return final.sort("lang")
+    return _driver_combine(partials, ["lang"], {
+        "n_docs": ("p_n", "sum"), "total_chars": ("p_sum", "sum"),
+        "min_chars": ("p_min", "min"), "max_chars": ("p_max", "max")})
 
 
 SQL_DOC_STATS_BY_LANG = """
@@ -130,12 +149,9 @@ def q_doc_token_stats(sf_dir: str):
         return t.group_by("lang").aggregate([("n_tokens", "sum"), ("lang", "count")]) \
             .rename_columns(["lang", "p_tokens", "p_n"])
 
-    from ray.data.aggregate import Sum
-
     partials = _docs(sf_dir, ["text", "lang"]).map_batches(toks, batch_format="pyarrow")
-    return partials.groupby("lang").aggregate(
-        Sum("p_tokens", alias_name="total_tokens"),
-        Sum("p_n", alias_name="n_docs")).sort("lang")
+    return _driver_combine(partials, ["lang"], {
+        "total_tokens": ("p_tokens", "sum"), "n_docs": ("p_n", "sum")})
 
 
 SQL_DOC_TOKEN_STATS = f"""
@@ -162,12 +178,9 @@ def q_doc_quality_by_lang(sf_dir: str):
         return t.group_by("lang").aggregate([("alpha", "sum"), ("chars", "sum")]) \
             .rename_columns(["lang", "p_alpha", "p_chars"])
 
-    from ray.data.aggregate import Sum
-
     partials = _docs(sf_dir, ["text", "lang"]).map_batches(feats, batch_format="pyarrow")
-    return partials.groupby("lang").aggregate(
-        Sum("p_alpha", alias_name="alpha_chars"),
-        Sum("p_chars", alias_name="total_chars")).sort("lang")
+    return _driver_combine(partials, ["lang"], {
+        "alpha_chars": ("p_alpha", "sum"), "total_chars": ("p_chars", "sum")})
 
 
 SQL_DOC_QUALITY_BY_LANG = """
@@ -231,11 +244,8 @@ def q_size_histogram(sf_dir: str):
         return t.group_by("bucket").aggregate([("bucket", "count")]) \
             .rename_columns(["bucket", "p_n"])
 
-    from ray.data.aggregate import Sum
-
     partials = _docs(sf_dir, ["n_chars"]).map_batches(bucket, batch_format="pyarrow")
-    return partials.groupby("bucket").aggregate(Sum("p_n", alias_name="n_docs")) \
-        .sort("bucket")
+    return _driver_combine(partials, ["bucket"], {"n_docs": ("p_n", "sum")})
 
 
 SQL_SIZE_HISTOGRAM = """
@@ -274,19 +284,14 @@ def q_pricing_summary(sf_dir: str):
             .rename_columns(["l_returnflag", "l_linestatus",
                              "p_qty", "p_base", "p_disc", "p_n"])
 
-    from ray.data.aggregate import Sum
-
     ds = _rd().read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("p_qty", alias_name="sum_qty_cents"),
-        Sum("p_base", alias_name="sum_base_cents"),
-        Sum("p_disc", alias_name="sum_disc_cents"),
-        Sum("p_n", alias_name="count_order"),
-    ).sort(["l_returnflag", "l_linestatus"])
+    return _driver_combine(partials, ["l_returnflag", "l_linestatus"], {
+        "sum_qty_cents": ("p_qty", "sum"), "sum_base_cents": ("p_base", "sum"),
+        "sum_disc_cents": ("p_disc", "sum"), "count_order": ("p_n", "sum")})
 
 
 SQL_PRICING_SUMMARY = """
@@ -331,15 +336,12 @@ def q_segment_revenue(sf_dir: str):
                 [("cents", "sum"), ("cents", "count")]) \
                 .rename_columns(["c_mktsegment", "p_cents", "p_n"])
 
-    from ray.data.aggregate import Sum
-
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_totalprice"])
     partials = ds.map_batches(SegmentJoin, fn_constructor_args=(ref,),
                               batch_format="pyarrow", concurrency=2)
-    return partials.groupby("c_mktsegment").aggregate(
-        Sum("p_cents", alias_name="revenue_cents"),
-        Sum("p_n", alias_name="n_orders")).sort("c_mktsegment")
+    return _driver_combine(partials, ["c_mktsegment"], {
+        "revenue_cents": ("p_cents", "sum"), "n_orders": ("p_n", "sum")})
 
 
 SQL_SEGMENT_REVENUE = """
@@ -365,14 +367,11 @@ def q_events_hourly(sf_dir: str):
             [("cents", "sum"), ("cents", "count")]) \
             .rename_columns(["event_type", "hour_ts", "p_cents", "p_n"])
 
-    from ray.data.aggregate import Sum
-
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
                             columns=["ts", "event_type", "value"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["event_type", "hour_ts"]).aggregate(
-        Sum("p_cents", alias_name="value_cents"),
-        Sum("p_n", alias_name="n_events")).sort(["event_type", "hour_ts"])
+    return _driver_combine(partials, ["event_type", "hour_ts"], {
+        "value_cents": ("p_cents", "sum"), "n_events": ("p_n", "sum")})
 
 
 SQL_EVENTS_HOURLY = """
@@ -427,11 +426,256 @@ def q_lang_detect(sf_dir: str):
         return t.group_by(["lang", "predicted"]).aggregate([("lang", "count")]) \
             .rename_columns(["lang", "predicted", "p_n"])
 
-    from ray.data.aggregate import Sum
-
     partials = _docs(sf_dir, ["text", "lang"]).map_batches(pred, batch_format="pyarrow")
-    return partials.groupby(["lang", "predicted"]).aggregate(
-        Sum("p_n", alias_name="n")).sort(["lang", "predicted"])
+    return _driver_combine(partials, ["lang", "predicted"], {"n": ("p_n", "sum")})
+
+
+# ================================================================ near-dup / ANN
+
+PLANT_OFFSET = 1_000_000      # planted near-duplicates get doc_id + offset
+PLANT_EVERY = 25              # one plant per 25 docs
+
+
+def _docs_with_planted_dups(sf_dir: str):
+    """documents ∪ deterministic near-duplicates: every 25th doc gets a
+    copy (doc_id+1e6) with its last 5 words dropped — the corpus has no
+    natural near-dups (verified at survey time), so the dedup operators
+    need planted positives to demonstrate recall. Planting happens
+    in-stream (flat_map-style map_batches), not driver-side."""
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_i, out_t = list(ids), list(texts)
+        for i, t in zip(ids, texts):
+            if i % PLANT_EVERY == 0 and t:
+                out_i.append(i + PLANT_OFFSET)
+                out_t.append(" ".join(t.split()[:-5]))
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(plant, batch_format="pyarrow")
+
+
+def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7):
+    """MinHash+LSH near-dup detection (shingle → 64-perm signature →
+    16-band LSH → bucket groupby → exact-Jaccard verify). Only
+    (band, band_hash, doc_id) triples shuffle; verification runs
+    distributed over the (small) candidate-pair set with candidate
+    texts broadcast. Deterministic; no SQL analog (rows-only)."""
+    from .functions import dedup as dd
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids, bands, hashes = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            sig = dd.minhash_signature(t or "")
+            for b, h in enumerate(dd.band_hashes(sig)):
+                ids.append(i)
+                bands.append(b)
+                hashes.append(h)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band": pa.array(bands, pa.int32()),
+                         "band_hash": pa.array(hashes, pa.int64())})
+
+    import pandas as pd
+
+    docs = _docs_with_planted_dups(sf_dir)
+    bands = docs.map_batches(sigs, batch_format="pyarrow")
+    # hot-bucket detection: (band, hash) keys with ≥2 docs are RARE
+    # (near-dups + collisions only), so collect the band triples and
+    # pair on the driver. At 10^12-doc scale this step becomes a
+    # distributed groupby-count → filter n>1 → broadcast — same shape,
+    # one-line switch; candidate PAIRS stay small either way.
+    band_pd = pd.concat(list(bands.iter_batches(batch_format="pandas")),
+                        ignore_index=True)
+    grp = band_pd.groupby(["band", "band_hash"])["doc_id"].apply(
+        lambda s: sorted(s.unique()))
+    pairs = set()
+    for ids in grp:
+        if 2 <= len(ids) <= 100:             # cap degenerate buckets
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    pairs.add((a, b))
+    cand_pd = pd.DataFrame(sorted(pairs), columns=["a", "b"])
+    if cand_pd.empty:
+        return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "jaccard_r": []})
+
+    # exact verify: candidate texts are a small set → broadcast dict
+    import ray
+
+    need = set(cand_pd["a"]).union(cand_pd["b"])
+    texts: dict[int, str] = {}
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if i in need:
+                texts[i] = t or ""
+    ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tx = ray.get(ref)
+        rows = []
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            j = dd.ngram_jaccard(tx[a], tx[b])
+            if j >= threshold:
+                rows.append((a, b, round(j, 4)))
+        return pa.table({"doc_id_a": pa.array([r[0] for r in rows], pa.int64()),
+                         "doc_id_b": pa.array([r[1] for r in rows], pa.int64()),
+                         "jaccard_r": pa.array([r[2] for r in rows], pa.float64())})
+
+    out = _rd().from_arrow(pa.Table.from_pandas(cand_pd)) \
+        .map_batches(verify, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup detection: 64-bit fingerprints, 4×16-bit band
+    blocking (pigeonhole: hamming<4 ⇒ ≥1 shared band), hamming verify.
+    Rows-only check."""
+    import pandas as pd
+
+    from .functions import dedup as dd
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids, bands, fp_col = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            fp = dd.simhash64(t or "")
+            for bk in dd.simhash_bands(fp):
+                ids.append(i)
+                bands.append(bk)
+                fp_col.append(fp - (1 << 63))     # shift into int64 range
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band_key": pa.array(bands, pa.int64()),
+                         "fp": pa.array(fp_col, pa.int64())})
+
+    docs = _docs_with_planted_dups(sf_dir)
+    band_pd = pd.concat(
+        list(docs.map_batches(fps, batch_format="pyarrow")
+             .iter_batches(batch_format="pandas")), ignore_index=True)
+    # hot-band blocking on the driver (scale path: distributed
+    # groupby-count → broadcast, as in minhash above)
+    out = set()
+    for _, g in band_pd.groupby("band_key"):
+        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].tolist()
+        f = rows["fp"].tolist()
+        if len(ids) < 2 or len(ids) > 100:
+            continue
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = dd.hamming64(f[i] + (1 << 63), f[j] + (1 << 63))
+                if h <= max_hamming:
+                    out.add((ids[i], ids[j], h))
+    pairs = pd.DataFrame(sorted(out),
+                         columns=["doc_id_a", "doc_id_b", "hamming"])
+    return pairs.reset_index(drop=True)
+
+
+EMB_PLANT_OFFSET = 100_000
+
+
+def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
+    """Embedding-cosine near-dup via random-hyperplane LSH bucketing:
+    bucket by 16-plane sign pattern, exact cosine only within buckets.
+    Planted exact copies (vec_id+1e5 for vec_id%25==0) are the ground
+    truth; the SQL oracle replicates the planting and brute-forces the
+    join, so this VALUE-checks the LSH path end-to-end."""
+    import pandas as pd
+
+    from .functions import dedup as dd
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        embs = batch.column("embedding").to_pylist()
+        oi, oe = list(ids), list(embs)
+        for i, e in zip(ids, embs):
+            if i % PLANT_EVERY == 0:
+                oi.append(i + EMB_PLANT_OFFSET)
+                oe.append(e)
+        return pa.table({"vec_id": pa.array(oi, pa.int64()),
+                         "embedding": pa.array(oe, pa.list_(pa.float32()))})
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bk = dd.hyperplane_signs(m, n_planes=16, seed=42)
+        return batch.append_column("bucket", pa.array(bk, pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(g["vec_id"], dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+        m = np.asarray(list(g["embedding"]), dtype=np.float64)
+        s = dd.cosine_matrix(m, m)
+        out_a, out_b = [], []
+        order = np.argsort(ids)
+        for ii in range(len(ids)):
+            for jj in range(ii + 1, len(ids)):
+                i, j = order[ii], order[jj]
+                if s[i, j] >= threshold:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+        return pd.DataFrame({"vec_id_a": out_a, "vec_id_b": out_b})
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    pairs = ds.map_batches(plant, batch_format="pyarrow") \
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
+        .to_pandas().drop_duplicates()
+    return pairs.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+SQL_EMBEDDING_DUP_PAIRS = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET}, embedding FROM embeddings
+  WHERE vec_id % {PLANT_EVERY} = 0
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+ORDER BY 1, 2
+"""
+
+
+def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """Brute-force cosine top-k: broadcast normalized query matrix,
+    one matmul per batch, per-batch local top-k partials, exact final
+    top-k per query. Scores rounded to 6dp + vec_id tiebreak for
+    cross-engine determinism. SQL oracle: windowed self-join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.ann import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    mask = pc.less(qt.column("vec_id"), n_queries)
+    qt = qt.filter(mask)
+    qids = qt.column("vec_id").to_pylist()
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ref = ray.put((qids, qmat))
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, ref, k=k)
+
+
+SQL_ANN_TOPK = """
+SELECT query_id, rank, vec_id, cos_r FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                    b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < 8)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 QUERIES = {
@@ -448,6 +692,10 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "lang_detect": q_lang_detect,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ann_topk": q_ann_topk,
 }
 
 ORACLE_SQL = {
@@ -462,4 +710,6 @@ ORACLE_SQL = {
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
+    "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
 }

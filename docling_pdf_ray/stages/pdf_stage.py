@@ -52,24 +52,25 @@ class PdfExtractStage:
         self.converter = WarmConverter(cfg)   # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("_pdf_payload").to_pylist()
-        if not any(p is not None for p in payloads):
+        import pyarrow.compute as pc
+
+        mask = pc.is_valid(batch.column("_pdf_payload"))
+        if pc.sum(mask).as_py() == 0:
             return batch.drop_columns(["_pdf_payload"])
 
-        urls = batch.column("url").to_pylist()
-        done_cols = {name: batch.column(name).to_pylist()
-                     for name in EXTRACTED_SCHEMA.names}
-        for i, data in enumerate(payloads):
-            if data is None:
-                continue
-            r = self.converter.extract(urls[i], data)
-            for name in EXTRACTED_SCHEMA.names:
-                done_cols[name][i] = r[name]
-
-        rows = [{name: done_cols[name][i] for name in EXTRACTED_SCHEMA.names}
-                for i in range(batch.num_rows)]
+        # finished (HTML/reject) rows pass through zero-copy; only the
+        # PDF slice pays a Python round-trip (it must: parsing is
+        # per-row Python work)
+        done = batch.filter(pc.invert(mask)).drop_columns(["_pdf_payload"])
+        todo = batch.filter(mask)
+        urls = todo.column("url").to_pylist()
+        payloads = todo.column("_pdf_payload").to_pylist()
+        rows = [self.converter.extract(u, p) for u, p in zip(urls, payloads)]
         out = result_to_arrow(rows)
-        for name in ("content_kind", "payload_bytes"):
-            if name in batch.column_names:
-                out = out.append_column(name, batch.column(name))
-        return out
+        meta = [n for n in ("content_kind", "payload_bytes")
+                if n in batch.column_names]
+        for name in meta:
+            out = out.append_column(name, todo.column(name))
+        # row order within a batch changes (done first) — row identity
+        # is by url; the engine guarantees set semantics, not order
+        return pa.concat_tables([done, out]) if done.num_rows else out

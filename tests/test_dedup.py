@@ -1,0 +1,129 @@
+"""Dedup primitives: MinHash math, LSH banding recall, SimHash,
+hyperplane LSH, exact jaccard edge cases."""
+
+import random
+
+import numpy as np
+import pytest
+
+from docling_pdf_ray.functions import dedup as dd
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def _text(rng, n):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def test_minhash_modular_arithmetic_exact():
+    rng = random.Random(1)
+    x = np.array([rng.randrange(0, dd._MERSENNE) for _ in range(40)], dtype=np.uint64)
+    m = np.uint64(dd._MERSENNE)
+    lo = x & np.uint64((1 << 30) - 1)
+    hi = x >> np.uint64(30)
+    a = dd._A % m
+    a_lo = (a & np.uint64((1 << 30) - 1))[:, None]
+    a_hi = (a >> np.uint64(30))[:, None]
+    t0 = (a_lo * lo[None, :]) % m
+    t1 = (a_hi * lo[None, :] + a_lo * hi[None, :]) % m
+    t2 = (a_hi * hi[None, :]) % m
+    v = (t0 + dd._shl_mod(t1, 30) + dd._shl_mod(t2, 60)) % m
+    v = (v + (dd._B % m)[:, None]) % m
+    expect = np.array([[(int(dd._A[i]) * int(xx) + int(dd._B[i])) % dd._MERSENNE
+                        for xx in x] for i in range(dd.NUM_PERM)], dtype=np.uint64)
+    assert (v == expect).all()
+
+
+def test_minhash_estimates_jaccard():
+    rng = random.Random(7)
+    base = _text(rng, 500)
+    near = " ".join(base.split()[:-25])
+    far = _text(rng, 500)
+    j_near = dd.ngram_jaccard(base, near)
+    j_far = dd.ngram_jaccard(base, far)
+    e_near = dd.minhash_estimate(dd.minhash_signature(base), dd.minhash_signature(near))
+    e_far = dd.minhash_estimate(dd.minhash_signature(base), dd.minhash_signature(far))
+    assert abs(e_near - j_near) < 0.15
+    assert abs(e_far - j_far) < 0.15
+    assert e_near > 0.7 > e_far
+
+
+def test_lsh_banding_recall_and_precision():
+    rng = random.Random(11)
+    hits = 0
+    for _ in range(20):
+        base = _text(rng, 400)
+        near = " ".join(base.split()[10:])     # J ≈ 0.95
+        b1 = set(dd.band_hashes(dd.minhash_signature(base)))
+        b2 = set(dd.band_hashes(dd.minhash_signature(near)))
+        hits += bool(b1 & b2)
+    assert hits >= 19                           # near-certain recall at J≈0.95
+    misses = 0
+    for _ in range(20):
+        a = _text(rng, 200)
+        b = _text(rng, 200)
+        if dd.ngram_jaccard(a, b) < 0.2:
+            sa = set(dd.band_hashes(dd.minhash_signature(a)))
+            sb = set(dd.band_hashes(dd.minhash_signature(b)))
+            misses += not (sa & sb)
+    assert misses >= 18                         # low false-candidate rate
+
+
+def test_jaccard_edges():
+    assert dd.ngram_jaccard("", "") == 1.0
+    assert dd.ngram_jaccard("a b c", "") == 0.0
+    assert dd.ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert dd.word_shingles("a b", 3) == {"a b"}
+    assert dd.word_shingles("", 3) == set()
+
+
+def test_simhash_properties():
+    rng = random.Random(3)
+    base = _text(rng, 400)
+    near = " ".join(base.split()[:-8])
+    far = _text(rng, 400)
+    fp = dd.simhash64(base)
+    assert 0 <= fp < (1 << 64)
+    assert dd.simhash64(base) == fp            # deterministic
+    assert dd.hamming64(fp, dd.simhash64(near)) <= 6
+    assert dd.hamming64(fp, dd.simhash64(far)) > dd.hamming64(fp, dd.simhash64(near))
+    assert dd.simhash64("") == 0
+
+
+def test_simhash_band_pigeonhole():
+    # hamming < 4 ⇒ at least one of 4 bands identical
+    rng = random.Random(5)
+    for _ in range(30):
+        fp = rng.randrange(0, 1 << 64)
+        flipped = fp
+        for bit in rng.sample(range(64), 3):
+            flipped ^= 1 << bit
+        assert set(dd.simhash_bands(fp)) & set(dd.simhash_bands(flipped))
+
+
+def test_hyperplane_signs_deterministic_and_bucketing():
+    rng = np.random.RandomState(0)
+    m = rng.standard_normal((100, 64))
+    b1 = dd.hyperplane_signs(m, seed=42)
+    b2 = dd.hyperplane_signs(m, seed=42)
+    assert (b1 == b2).all()
+    # identical vectors share buckets
+    m2 = np.vstack([m, m[:5]])
+    b3 = dd.hyperplane_signs(m2, seed=42)
+    assert (b3[100:] == b3[:5]).all()
+
+
+def test_rolling_fingerprint_stable():
+    from docling_pdf_ray.functions.text import rolling_fingerprint
+
+    t = "one two three four five six seven eight nine ten eleven twelve"
+    assert rolling_fingerprint(t) == rolling_fingerprint(t)
+    # robustness property: a min-window fingerprint survives a small
+    # trailing append (that is the point of winnowing)…
+    assert rolling_fingerprint(t) == rolling_fingerprint(t + " extra")
+    # …but a different document fingerprints differently
+    other = "totally different words that share nothing with the original text"
+    assert rolling_fingerprint(t) != rolling_fingerprint(other)
+    assert rolling_fingerprint("") == 0
+    assert rolling_fingerprint("short") != 0

@@ -52,7 +52,7 @@ def test_all_oracle_keys_have_queries():
     "extract_method_counts", "doc_stats_by_lang", "doc_token_stats",
     "doc_quality_by_lang", "doc_fingerprints", "dedup_exact",
     "size_histogram", "pricing_summary", "segment_revenue",
-    "events_hourly", "user_sessions",
+    "events_hourly", "user_sessions", "embedding_dup_pairs", "ann_topk",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
