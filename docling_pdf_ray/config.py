@@ -35,14 +35,20 @@ class PipelineConfig:
     #     avoid autoscaler ramp-up inside the measurement ---
     pdf_pool_min: int = 2
     pdf_pool_max: int = 8
-    pdf_batch_size: int = 64
+    # None = whole block per call. The fused chain re-batches to the
+    # SMALLEST stage batch size; 64-row slices of nested Arrow arrays
+    # cost ~35% throughput at bench scale, so the default processes
+    # whole blocks and leaves skew control to block sizing (read
+    # override_num_blocks / target_max_block_size) + the explicit
+    # size-bucket path (pipelines.extract.split_by_size)
+    pdf_batch_size: int | None = None
     # batch size for the big-payload bucket (skew defusal, SURVEY §4.3)
     pdf_big_batch_size: int = 4
     # payloads at or above this many bytes ride in the small-batch bucket
     big_payload_bytes: int = 1 * 1024 * 1024
 
     # --- sniff/HTML stage ---
-    sniff_batch_size: int = 256
+    sniff_batch_size: int | None = None
 
     # --- partitioned runner / lineage ---
     # max input shards processed concurrently by the resumable runner

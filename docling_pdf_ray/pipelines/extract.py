@@ -75,10 +75,14 @@ def build_extract_ds(ds: "rd.Dataset", cfg: PipelineConfig = DEFAULT_CONFIG,
 
 
 def extract_dataset(input_paths, cfg: PipelineConfig = DEFAULT_CONFIG,
-                    keep_meta: bool = False, url_filter=None) -> "rd.Dataset":
+                    keep_meta: bool = False, url_filter=None,
+                    override_num_blocks: int | None = None) -> "rd.Dataset":
     """read → extract, column-pruned at the read (only the columns the
-    pipeline touches leave storage)."""
-    ds = rd.read_parquet(input_paths, columns=["url", "warc_ts", "html"])
+    pipeline touches leave storage). ``override_num_blocks`` sizes the
+    scan's blocks (≈ cpus×8 keeps per-block fixed costs amortized while
+    leaving enough blocks for pipelining)."""
+    ds = rd.read_parquet(input_paths, columns=["url", "warc_ts", "html"],
+                         override_num_blocks=override_num_blocks)
     if url_filter is not None:
         ds = ds.map_batches(url_filter, batch_format="pyarrow")
     return build_extract_ds(ds, cfg, keep_meta=keep_meta)

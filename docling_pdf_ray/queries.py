@@ -90,9 +90,17 @@ def q_extract_method_counts(sf_dir: str):
     from .sources.pages_from_documents import pages_dataset
 
     ds = build_extract_ds(pages_dataset(sf_dir))
-    agg = ds.groupby("extraction_method").count()
-    t = agg.to_pandas().rename(columns={"count()": "n"})
-    return t.sort_values("extraction_method", na_position="first").reset_index(drop=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"extraction_method": batch.column("extraction_method")})
+        return t.group_by("extraction_method") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["extraction_method", "p_n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # driver combine (4 groups); Ray's sort-based shuffle groupby
+    # rejects null string keys, and the key is nullable here
+    return _driver_combine(partials, ["extraction_method"], {"n": ("p_n", "sum")})
 
 
 SQL_EXTRACT_METHOD_COUNTS = """
