@@ -438,6 +438,49 @@ def q_lang_detect(sf_dir: str):
     return _driver_combine(partials, ["lang", "predicted"], {"n": ("p_n", "sum")})
 
 
+def q_sniff_counts(sf_dir: str):
+    """Router audit (M3): payload-kind counts from the sniff stage
+    alone — SQL-checkable because the synthesized payload class is a
+    pure function of doc_id."""
+    from .sources.pages_from_documents import pages_dataset
+    from .stages.sniff import sniff_and_extract_html
+    from .config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = sniff_and_extract_html(batch, cfg)
+        k = pa.table({"content_kind": t.column("content_kind")})
+        return k.group_by("content_kind").aggregate([([], "count_all")]) \
+            .rename_columns(["content_kind", "p_n"])
+
+    partials = pages_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return _driver_combine(partials, ["content_kind"], {"n": ("p_n", "sum")})
+
+
+SQL_SNIFF_COUNTS = """
+SELECT CASE
+         WHEN doc_id % 10 <= 8 THEN CASE WHEN doc_id % 10 <= 5
+                                         THEN 'html' ELSE 'pdf' END
+         WHEN doc_id % 100 = 19 THEN 'other'
+         ELSE 'pdf'
+       END AS content_kind,
+       count(*) AS n
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_training_prep(sf_dir: str):
+    """Composed training-data prep pipeline: extract → quality
+    features → language filter → exact text dedup → per-lang token
+    stats. One streaming pass plus a tiny hash shuffle; the shape a
+    pre-training corpus build takes. Deterministic; rows-only check
+    (extraction is not SQL-expressible)."""
+    from .pipelines.prep import training_prep_summary
+
+    return training_prep_summary(sf_dir)
+
+
 # ================================================================ near-dup / ANN
 
 PLANT_OFFSET = 1_000_000      # planted near-duplicates get doc_id + offset
@@ -689,6 +732,8 @@ ORDER BY query_id, rank
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
+    "sniff_counts": q_sniff_counts,
+    "training_prep": q_training_prep,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_lang": q_doc_quality_by_lang,
@@ -708,6 +753,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "extract_method_counts": SQL_EXTRACT_METHOD_COUNTS,
+    "sniff_counts": SQL_SNIFF_COUNTS,
     "doc_stats_by_lang": SQL_DOC_STATS_BY_LANG,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality_by_lang": SQL_DOC_QUALITY_BY_LANG,

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): totality and invariants that
+must hold for ARBITRARY inputs, not just fixture classes."""
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from docling_pdf_ray import oracle
+from docling_pdf_ray.config import DEFAULT_CONFIG as CFG
+from docling_pdf_ray.functions import dedup as dd
+from docling_pdf_ray.htmlx import extract_main_content
+from docling_pdf_ray.schema import EXTRACTED_SCHEMA, result_to_arrow
+
+FAST = settings(max_examples=60, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+@FAST
+@given(st.binary(max_size=2000))
+def test_extract_row_total_on_arbitrary_bytes(payload):
+    """Any bytes → exactly one well-formed row, never an exception."""
+    r = oracle.extract_row("u", payload, CFG)
+    assert set(r) == set(EXTRACTED_SCHEMA.names)
+    assert isinstance(r["extraction_successful"], bool)
+    if r["extraction_successful"]:
+        assert r["full_text"] is not None
+        assert r["word_count"] == len(r["full_text"].split()) or \
+            r["extraction_method"] == "fallback"  # fallback counts unstripped
+    else:
+        assert r["error"]
+    # arrow-buildable
+    result_to_arrow([r])
+
+
+@FAST
+@given(st.binary(max_size=2000).map(lambda b: b"%PDF-1.4\n" + b))
+def test_pdf_branch_total(payload):
+    r = oracle.extract_row("u", payload, CFG)
+    assert set(r) == set(EXTRACTED_SCHEMA.names)
+    result_to_arrow([r])
+
+
+@FAST
+@given(st.text(max_size=2000))
+def test_html_extractor_total_on_arbitrary_text(text):
+    ex = extract_main_content(("<html><body>" + text).encode("utf-8", "replace"), CFG)
+    assert isinstance(ex.full_text, str)
+    for s in ex.spans:
+        assert ex.full_text[s["start"]:s["end"]]
+
+
+@FAST
+@given(st.lists(st.text(alphabet=st.characters(blacklist_characters="\n"),
+                        max_size=30), max_size=200),
+       st.integers(min_value=1, max_value=60))
+def test_paginate_reassembles_exactly(lines, per_page):
+    text = "\n".join(lines)
+    pages = oracle.paginate(text, per_page)
+    assert "\n".join(p["content"] for p in pages) == text
+    assert [p["page_number"] for p in pages] == list(range(1, len(pages) + 1))
+    assert all(p["line_count"] <= per_page for p in pages)
+    assert sum(p["line_count"] for p in pages) == len(text.split("\n"))
+
+
+@FAST
+@given(st.text(max_size=500), st.text(max_size=500))
+def test_jaccard_bounds_and_symmetry(a, b):
+    j = dd.ngram_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == dd.ngram_jaccard(b, a)
+    assert dd.ngram_jaccard(a, a) == 1.0
+
+
+@FAST
+@given(st.text(max_size=300))
+def test_minhash_signature_shape_and_determinism(text):
+    s1 = dd.minhash_signature(text)
+    s2 = dd.minhash_signature(text)
+    assert s1.shape == (dd.NUM_PERM,)
+    assert (s1 == s2).all()
+    assert dd.minhash_estimate(s1, s2) == 1.0
+
+
+@FAST
+@given(st.text(max_size=300))
+def test_simhash_range(text):
+    fp = dd.simhash64(text)
+    assert 0 <= fp < (1 << 64)
+    assert len(dd.simhash_bands(fp)) == 4
+
+
+@FAST
+@given(st.text(max_size=400))
+def test_language_detect_total(text):
+    lang = __import__("docling_pdf_ray.functions.text", fromlist=["detect_language"]) \
+        .detect_language(text)
+    assert lang in {"en", "fr", "es", "de", "zh", "unknown"}

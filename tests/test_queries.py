@@ -53,6 +53,7 @@ def test_all_oracle_keys_have_queries():
     "doc_quality_by_lang", "doc_fingerprints", "dedup_exact",
     "size_histogram", "pricing_summary", "segment_revenue",
     "events_hourly", "user_sessions", "embedding_dup_pairs", "ann_topk",
+    "sniff_counts",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry

@@ -1,0 +1,70 @@
+"""Size-bucket skew split (SURVEY §4.3) and the composed training-prep
+pipeline."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from docling_pdf_ray.config import DEFAULT_CONFIG
+from docling_pdf_ray.sources.fixtures import TEST_MAX_BYTES
+
+CFG = DEFAULT_CONFIG.with_(max_payload_bytes=TEST_MAX_BYTES,
+                           pdf_pool_min=1, pdf_pool_max=2)
+
+
+def test_split_by_size_partitions_completely(ray_session, fixture_pages_dir):
+    import ray.data as rd
+
+    from docling_pdf_ray.pipelines.extract import split_by_size
+    from docling_pdf_ray.stages.sniff import sniff_and_extract_html
+
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+    cfg = CFG.with_(big_payload_bytes=20_000)
+    sniffed = rd.read_parquet(shards, columns=["url", "warc_ts", "html"]) \
+        .map_batches(lambda b: sniff_and_extract_html(b, cfg),
+                     batch_format="pyarrow")
+    small, big = split_by_size(sniffed, cfg)
+    small_t = pa.concat_tables(small.iter_batches(batch_format="pyarrow"))
+    big_t = pa.concat_tables(big.iter_batches(batch_format="pyarrow"))
+
+    import pyarrow.parquet as pq
+
+    n_in = sum(pq.read_metadata(s).num_rows for s in shards)
+    # complete, disjoint partition of the row set
+    assert small_t.num_rows + big_t.num_rows == n_in
+    assert set(small_t.column("url").to_pylist()).isdisjoint(
+        big_t.column("url").to_pylist())
+    assert pc.max(small_t.column("payload_bytes")).as_py() < 20_000
+    assert pc.min(big_t.column("payload_bytes")).as_py() >= 20_000
+    assert big_t.num_rows > 0, "fixture should contain big payloads"
+
+
+def test_training_prep_pipeline(ray_session, fixture_pages_dir):
+    import ray.data as rd
+
+    from docling_pdf_ray.pipelines.prep import build_training_prep
+
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+    pages = rd.read_parquet(shards, columns=["url", "warc_ts", "html"])
+    out = build_training_prep(pages, CFG)
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert t.num_rows > 0
+    # deduped on content hash
+    hashes = t.column("text_hash").to_pylist()
+    assert len(hashes) == len(set(hashes))
+    # quality gate: all survivors meet the floors
+    assert pc.min(t.column("n_chars")).as_py() >= 80
+    assert pc.min(t.column("alpha_ratio")).as_py() >= 0.5
+    langs = set(t.column("pred_lang").to_pylist())
+    assert langs <= {"en", "fr", "es", "de", "zh", "unknown"}
+
+
+def test_training_prep_summary_deterministic(ray_session):
+    from docling_pdf_ray.pipelines.prep import training_prep_summary
+
+    a = training_prep_summary("/root/testdata/sf0.001")
+    b = training_prep_summary("/root/testdata/sf0.001")
+    assert a.equals(b)
+    assert (a["n_docs"] > 0).any()
