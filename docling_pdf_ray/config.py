@@ -50,6 +50,18 @@ class PipelineConfig:
     # --- sniff/HTML stage ---
     sniff_batch_size: int | None = None
 
+    # --- execution mode ---
+    # 'actor_pool' (default): the north-star structure — PDF conversion
+    #   on a map_batches actor pool with converter state warm in
+    #   __init__ (one copy per actor).
+    # 'tasks': the whole extraction as ONE stateless-task stage with
+    #   the converter warm in a worker-process global (same
+    #   load-once-per-worker amortization, elastic task scheduling; on
+    #   this single-node sandbox it measured ~+60% throughput at 32
+    #   CPUs because tasks avoid per-execution actor-pool spin-up and
+    #   scheduling).
+    execution_mode: str = "actor_pool"
+
     # --- partitioned runner / lineage ---
     # max input shards processed concurrently by the resumable runner
     partition_concurrency: int = 2

@@ -81,3 +81,68 @@ def brute_force_topk(ds, queries_ref, k: int = 5) -> pd.DataFrame:
         out.append(g[["query_id", "rank", "vec_id", "cos_r"]])
     return (pd.concat(out, ignore_index=True)
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def lsh_topk(ds, queries_ref, k: int = 5, n_planes: int = 8,
+             seed: int = 42) -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH (the scale path):
+    bucket every corpus vector by its n-plane sign pattern; each query
+    probes its own bucket plus all 1-bit-flip neighbors (multi-probe),
+    so only vectors in ~(n_planes+1) of 2^n_planes buckets are scored.
+    Same output schema as :func:`brute_force_topk`; recall < 1 by
+    design — the recall/test harness quantifies it."""
+    import ray
+
+    from .dedup import hyperplane_signs
+
+    qids, qmat = ray.get(queries_ref)
+    qbuckets = hyperplane_signs(np.asarray(qmat, dtype=np.float64),
+                                n_planes=n_planes, seed=seed)
+    probes: dict[int, set[int]] = {}
+    for qid, b in zip(qids, qbuckets):
+        s = {int(b)}
+        for bit in range(n_planes):
+            s.add(int(b) ^ (1 << bit))
+        probes[int(qid)] = s
+    # bucket → queries probing it (broadcast via closure; tiny)
+    bucket_to_q: dict[int, list[int]] = {}
+    for qid, s in probes.items():
+        for b in s:
+            bucket_to_q.setdefault(b, []).append(qid)
+    qindex = {int(q): i for i, q in enumerate(qids)}
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _qids, _qmat = ray.get(queries_ref)
+        qn = _qmat / np.maximum(np.linalg.norm(_qmat, axis=1, keepdims=True), 1e-12)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _to_matrix(batch.column("embedding"))
+        buckets = hyperplane_signs(m, n_planes=n_planes, seed=seed)
+        out_q, out_v, out_s = [], [], []
+        for j, b in enumerate(buckets):
+            for qid in bucket_to_q.get(int(b), ()):
+                if vids[j] == qid:
+                    continue
+                qi = qindex[qid]
+                mnj = m[j] / max(np.linalg.norm(m[j]), 1e-12)
+                out_q.append(qid)
+                out_v.append(int(vids[j]))
+                out_s.append(round(float(qn[qi] @ mnj), 6))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos_r": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    frames = list(partials.iter_batches(batch_format="pandas"))
+    cand = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame(columns=["query_id", "vec_id", "cos_r"])
+    out = []
+    for qid, g in cand.groupby("query_id"):
+        g = g.drop_duplicates("vec_id") \
+            .sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g[["query_id", "rank", "vec_id", "cos_r"]])
+    if not out:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cos_r"])
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))

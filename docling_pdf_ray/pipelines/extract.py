@@ -48,14 +48,68 @@ from ..stages.sniff import sniff_and_extract_html
 from ..state import lineage
 
 
+# worker-process-global warm converter for the 'tasks' execution mode:
+# loaded on a worker's first batch, reused for that worker's lifetime —
+# the same load-once amortization the actor pool gives, without
+# per-execution pool spin-up.
+_WORKER_CONVERTER = None
+
+
+def _flat_extract_batch(batch, cfg: PipelineConfig, keep_meta: bool):
+    global _WORKER_CONVERTER
+
+    import pyarrow as pa
+
+    from .. import oracle
+    from ..schema import result_to_arrow
+    from ..stages.pdf_stage import WarmConverter
+
+    if _WORKER_CONVERTER is None:
+        _WORKER_CONVERTER = WarmConverter(cfg)
+    urls = batch.column("url").to_pylist()
+    payloads = batch.column("html").to_pylist()
+    rows = []
+    kinds = []
+    for u, p in zip(urls, payloads):
+        kind = oracle.sniff_kind(p)
+        kinds.append(kind)
+        if kind == oracle.KIND_PDF and not (
+                p is not None and len(p) > cfg.max_payload_bytes):
+            rows.append(_WORKER_CONVERTER.extract(u, p))
+        else:
+            rows.append(oracle.extract_row(u, p, cfg))
+    out = result_to_arrow(rows)
+    if keep_meta:
+        import pyarrow.compute as pc
+
+        out = out.append_column("content_kind", pa.array(kinds, pa.string()))
+        out = out.append_column(
+            "payload_bytes",
+            pc.cast(pc.fill_null(pc.binary_length(batch.column("html")), 0),
+                    pa.int64()))
+    return out
+
+
 def build_extract_ds(ds: "rd.Dataset", cfg: PipelineConfig = DEFAULT_CONFIG,
                      keep_meta: bool = False) -> "rd.Dataset":
     """Compose the extraction over an existing Dataset of `pages` rows.
 
     ``keep_meta`` retains ``content_kind``/``payload_bytes`` for
     observability queries; by default output is exactly
-    EXTRACTED_SCHEMA.
+    EXTRACTED_SCHEMA. ``cfg.execution_mode`` selects the actor-pool
+    structure (default) or the single warm-worker task stage — both
+    produce byte-identical output (tested).
     """
+    if cfg.execution_mode not in ("actor_pool", "tasks"):
+        raise ValueError(
+            f"execution_mode must be 'actor_pool' or 'tasks', got "
+            f"{cfg.execution_mode!r}")
+    if cfg.execution_mode == "tasks":
+        return ds.map_batches(
+            lambda b: _flat_extract_batch(b, cfg, keep_meta),
+            batch_format="pyarrow",
+            batch_size=cfg.sniff_batch_size,
+        )
     ds = ds.map_batches(
         lambda b: sniff_and_extract_html(b, cfg),
         batch_format="pyarrow",

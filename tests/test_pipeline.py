@@ -19,16 +19,21 @@ CFG = DEFAULT_CONFIG.with_(max_payload_bytes=TEST_MAX_BYTES,
                            partition_concurrency=2)
 
 
+# dup_url fixture rows tie on url → always break sort ties on content
+SORT_KEY = [("url", "ascending"), ("full_text", "ascending"),
+            ("error", "ascending")]
+
+
 def _oracle_table(pages_dir: str) -> pa.Table:
     t = pq.read_table(pages_dir)
     rows = extract_rows(t.column("url").to_pylist(),
                         t.column("html").to_pylist(), CFG)
     out = result_to_arrow(rows)
-    return out.sort_by("url")
+    return out.sort_by(SORT_KEY)
 
 
 def _assert_equal_per_url(ray_t: pa.Table, oracle_t: pa.Table):
-    ray_t = ray_t.select(EXTRACTED_SCHEMA.names).sort_by("url").combine_chunks()
+    ray_t = ray_t.select(EXTRACTED_SCHEMA.names).sort_by(SORT_KEY).combine_chunks()
     oracle_t = oracle_t.combine_chunks()
     assert ray_t.num_rows == oracle_t.num_rows
     assert ray_t.schema.equals(oracle_t.schema), (
@@ -155,3 +160,26 @@ def test_stage1_meta_columns(ray_session, fixture_pages_dir):
     kinds = set(pc.unique(t.column("content_kind")).to_pylist())
     assert kinds <= {"pdf", "html", "other"}
     assert pc.min(t.column("payload_bytes")).as_py() >= 0
+
+
+def test_tasks_mode_byte_identical_to_actor_mode(ray_session, fixture_pages_dir):
+    """cfg.execution_mode='tasks' (warm worker-global converter) must
+    produce exactly the same rows as the actor-pool structure."""
+    import ray.data as rd
+
+    from docling_pdf_ray.pipelines.extract import build_extract_ds
+
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+    pages = lambda: rd.read_parquet(shards, columns=["url", "warc_ts", "html"])  # noqa: E731
+    a = build_extract_ds(pages(), CFG)
+    b = build_extract_ds(pages(), CFG.with_(execution_mode="tasks"))
+    # fixture contains dup_url rows → break sort ties on content too
+    key = [("url", "ascending"), ("full_text", "ascending")]
+    ta = pa.concat_tables(a.iter_batches(batch_format="pyarrow")) \
+        .sort_by(key).combine_chunks()
+    tb = pa.concat_tables(b.iter_batches(batch_format="pyarrow")) \
+        .sort_by(key).combine_chunks()
+    assert ta.column("url").equals(tb.column("url"))
+    assert ta.column("full_text").equals(tb.column("full_text"))
+    for name in EXTRACTED_SCHEMA.names:
+        assert ta.column(name).equals(tb.column(name)), name
