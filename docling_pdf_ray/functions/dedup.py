@@ -1,6 +1,13 @@
 """Near-duplicate detection operators for training-data pipelines:
 MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
 
+Algorithms follow the published literature: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997), banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive
+Datasets ch. 3), SimHash (Charikar, "Similarity estimation techniques
+from rounding algorithms", STOC 2002; applied to web dedup in Manku et
+al., WWW 2007), and random-hyperplane cosine LSH (Charikar 2002).
+
 All hashing is seeded/deterministic (no process randomness — results
 are identical across runs and parallelism levels). The Ray pipelines
 follow the sketch-then-shuffle-small discipline: signatures are

@@ -2,7 +2,11 @@
 
 The reference has no HTML path; this operator is mandated by the
 north-star ("strips HTML boilerplate via DOM-tree heuristics —
-tag/text-density scoring, link-density pruning"). Implemented over the
+tag/text-density scoring, link-density pruning"). The heuristics
+follow the published boilerplate-detection line (Kohlschütter,
+Fankhauser & Nejdl, "Boilerplate detection using shallow text
+features", WSDM 2010; Sun, Song & Liao, "DOM based content extraction
+via text density", SIGIR 2011). Implemented over the
 stdlib ``html.parser`` (no lxml/bs4 in this sandbox) with **frozen
 deterministic constants** (:class:`~docling_pdf_ray.config.PipelineConfig`)
 so the single-threaded oracle and the Ray pipeline produce
