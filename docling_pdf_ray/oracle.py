@@ -286,8 +286,10 @@ def fallback_extraction(data: bytes) -> dict[str, Any]:
         pages = []
         full_text = ""
         images_info = []
+        raw_spans = []                                  # page offsets, unstripped
         for page_num, page in enumerate(doc.pages):
             page_text = "\n".join(page.lines) + "\n"    # get_text() analog (:514)
+            raw_spans.append((len(full_text), len(full_text) + len(page_text)))
             full_text += page_text + "\n"               # :515
             img_idx = 0
             for line in page.lines:
@@ -305,9 +307,20 @@ def fallback_extraction(data: bytes) -> dict[str, Any]:
                 "word_count": len(page_text.split()),           # :531 (dropped in flattening)
                 "character_count": len(page_text),              # :532 (dropped in flattening)
             })
+        stripped = full_text.strip()
+        # span offsets into the STRIPPED full_text (north-star span
+        # requirement on the degraded path): shift by the leading strip,
+        # clip to the stripped bounds, drop pages stripped away entirely
+        lead = len(full_text) - len(full_text.lstrip())
+        spans = []
+        for s, e in raw_spans:
+            s2, e2 = max(0, s - lead), min(len(stripped), e - lead)
+            if e2 > s2:
+                spans.append({"start": s2, "end": e2, "kind": "page"})
         return {
-            "full_text": full_text.strip(),             # :556
+            "full_text": stripped,                      # :556
             "pages": pages,
+            "spans": spans,
             "tables": [],                               # :558
             "images": images_info,
             "word_count": len(full_text.split()),       # :560 — UNstripped, preserved quirk

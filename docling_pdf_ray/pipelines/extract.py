@@ -211,6 +211,40 @@ def split_by_size(ds: "rd.Dataset", cfg: PipelineConfig):
     return small, big
 
 
+def extract_dataset_bucketed(input_paths, cfg: PipelineConfig = DEFAULT_CONFIG,
+                             override_num_blocks: int | None = None) -> "rd.Dataset":
+    """§4.3 size-bucketed variant for heavy-tailed corpora: two
+    branches over the same scan — payloads under ``big_payload_bytes``
+    ride normal batches; payloads at/above it ride
+    ``pdf_big_batch_size`` batches so one multi-hundred-page document
+    never shares a work unit with thousands of small pages — then
+    union. Each branch runs its own (column-pruned, cheap) scan+sniff;
+    the vectorized size filter drops the other branch's payload bytes
+    before any heavy work. Output rows are identical to
+    :func:`extract_dataset` (tested)."""
+    import pyarrow as pa
+
+    def _read():
+        return rd.read_parquet(input_paths, columns=["url", "warc_ts", "html"],
+                               override_num_blocks=override_num_blocks)
+
+    def _size_filter(batch: pa.Table, big: bool) -> pa.Table:
+        sizes = pc.fill_null(pc.binary_length(batch.column("html")), 0)
+        mask = (pc.greater_equal(sizes, cfg.big_payload_bytes) if big
+                else pc.less(sizes, cfg.big_payload_bytes))
+        return batch.filter(mask)
+
+    small = _read().map_batches(lambda b: _size_filter(b, False),
+                                batch_format="pyarrow")
+    big = _read().map_batches(lambda b: _size_filter(b, True),
+                              batch_format="pyarrow")
+    small_out = build_extract_ds(small, cfg)
+    big_out = build_extract_ds(
+        big, cfg.with_(pdf_batch_size=cfg.pdf_big_batch_size,
+                       sniff_batch_size=cfg.pdf_big_batch_size))
+    return small_out.union(big_out)
+
+
 # ------------------------------------------------------------------ runner
 
 def _process_partition(pid: int, path: str, out_dir: str,

@@ -106,3 +106,35 @@ def test_deterministic():
                 if c.startswith("html")]
     for p in payloads:
         assert extract_main_content(p, CFG).full_text == extract_main_content(p, CFG).full_text
+
+
+def test_entities_decoded_and_comments_ignored():
+    html = ("<html><body><!-- boilerplate comment with words words words -->"
+            "<p>Tom &amp; Jerry say &quot;hello&quot; &lt;sometimes&gt; "
+            "and keep talking for quite a while longer here</p></body></html>").encode()
+    ex = extract_main_content(html, CFG)
+    assert 'Tom & Jerry say "hello" <sometimes>' in ex.full_text
+    assert "boilerplate comment" not in ex.full_text
+
+
+def test_nested_table_cells_not_double_counted():
+    cell = LOREM + " cell content long enough to keep"
+    html = (f"<html><body><table><tr><td><p>{cell}</p></td></tr></table>"
+            f"</body></html>").encode()
+    ex = extract_main_content(html, CFG)
+    # the <p> inside <td>: td is a leaf block consuming its subtree, so
+    # the text appears exactly once in full_text
+    assert ex.full_text.count("cell content long enough") == 1
+
+
+def test_numeric_charrefs():
+    html = "<html><body><p>caf&#233; and &#x2014; dashes with plenty of text around them</p></body></html>".encode()
+    ex = extract_main_content(html, CFG)
+    assert "café and — dashes" in ex.full_text
+
+
+def test_deeply_nested_does_not_recurse_error():
+    html = ("<html><body>" + "<div>" * 150 +
+            f"<p>{LOREM}</p>" + "</div>" * 150 + "</body></html>").encode()
+    ex = extract_main_content(html, CFG)
+    assert LOREM in ex.full_text

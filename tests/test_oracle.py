@@ -225,3 +225,17 @@ def test_determinism():
     a = fixtures.generate_pages_table(100, seed=7)
     b = fixtures.generate_pages_table(100, seed=7)
     assert a.equals(b)
+
+
+def test_fallback_spans_cover_pages_in_stripped_text():
+    data = spdf.build([(612.0, 792.0, ["", "alpha beta"]),
+                       (612.0, 792.0, ["gamma"])], terminated=False)
+    fb = oracle.fallback_extraction(data)
+    ft = fb["full_text"]
+    assert ft == "alpha beta\n\ngamma"
+    # each span indexes the stripped text and contains its page's words
+    assert [s["kind"] for s in fb["spans"]] == ["page", "page"]
+    assert "alpha beta" in ft[fb["spans"][0]["start"]:fb["spans"][0]["end"]]
+    assert "gamma" in ft[fb["spans"][1]["start"]:fb["spans"][1]["end"]]
+    for s in fb["spans"]:
+        assert 0 <= s["start"] < s["end"] <= len(ft)

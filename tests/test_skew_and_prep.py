@@ -68,3 +68,26 @@ def test_training_prep_summary_deterministic(ray_session):
     b = training_prep_summary("/root/testdata/sf0.001")
     assert a.equals(b)
     assert (a["n_docs"] > 0).any()
+
+
+def test_bucketed_pipeline_identical_to_linear(ray_session, fixture_pages_dir):
+    """The size-bucketed variant (§4.3) must produce exactly the same
+    row set as the linear pipeline."""
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.pipelines.extract import (extract_dataset,
+                                                   extract_dataset_bucketed)
+
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+    cfg = CFG.with_(big_payload_bytes=20_000)
+    key = [("url", "ascending"), ("full_text", "ascending"),
+           ("error", "ascending")]
+    a = pa.concat_tables(extract_dataset(shards, cfg)
+                         .iter_batches(batch_format="pyarrow")) \
+        .sort_by(key).combine_chunks()
+    b = pa.concat_tables(extract_dataset_bucketed(shards, cfg)
+                         .iter_batches(batch_format="pyarrow")) \
+        .sort_by(key).combine_chunks()
+    assert a.num_rows == b.num_rows
+    for name in a.column_names:
+        assert a.column(name).equals(b.column(name)), name
