@@ -14,7 +14,7 @@ rule's N-vs-4N-node criterion).
 
 Input: pages parquet synthesized deterministically from the sf dir's
 documents table (sources/pages_from_documents.py), replicated
-GRAFT_BENCH_REPL× (default 4) with distinct urls so the corpus is
+GRAFT_BENCH_REPL× (default 16) with distinct urls so the corpus is
 large enough that fixed startup cost doesn't mask scaling; cached
 under /tmp/graft_bench and page-cache-warmed before timing.
 """
@@ -32,7 +32,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPL = int(os.environ.get("GRAFT_BENCH_REPL", "4"))
+REPL = int(os.environ.get("GRAFT_BENCH_REPL", "16"))
 CACHE_ROOT = "/tmp/graft_bench"
 
 

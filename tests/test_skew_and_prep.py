@@ -91,3 +91,39 @@ def test_bucketed_pipeline_identical_to_linear(ray_session, fixture_pages_dir):
     assert a.num_rows == b.num_rows
     for name in a.column_names:
         assert a.column(name).equals(b.column(name)), name
+
+
+def test_large_payload_flows_through(ray_session, tmp_path):
+    """Memory-awareness smoke: a multi-MB payload rides the pipeline
+    (its own small batch in the bucketed path) and extracts fully."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from docling_pdf_ray.payload import build
+    from docling_pdf_ray.pipelines.extract import extract_dataset_bucketed
+    from docling_pdf_ray.schema import PAGES_SCHEMA
+    import datetime as dt
+
+    # ~6 MB synthetic PDF: 400 pages x 30 lines
+    line = "word " * 50
+    big = build([(612.0, 792.0, [line] * 30) for _ in range(800)])
+    assert len(big) > 5_000_000, len(big)
+    small = build([(612.0, 792.0, ["tiny page"])])
+    t = pa.Table.from_arrays([
+        pa.array(["https://x/big", "https://x/small"], pa.string()),
+        pa.array([dt.datetime(2024, 1, 1)] * 2, pa.timestamp("us")),
+        pa.array([big, small], pa.binary()),
+        pa.array([None, None], pa.string()),
+        pa.array(["en", "en"], pa.string()),
+    ], schema=PAGES_SCHEMA)
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(t, p)
+    out = pa.concat_tables(
+        extract_dataset_bucketed([p], CFG.with_(big_payload_bytes=1_000_000,
+                                                max_payload_bytes=50 * 1024 * 1024))
+        .iter_batches(batch_format="pyarrow")).sort_by("url")
+    assert out.num_rows == 2
+    assert out.column("extraction_successful").to_pylist() == [True, True]
+    big_row = out.filter(pc.equal(out.column("url"), "https://x/big"))
+    assert big_row.column("character_count")[0].as_py() > 2_000_000
+    assert big_row.column("total_pages")[0].as_py() > 200  # repaginated
