@@ -1,0 +1,76 @@
+"""Partitioned hash join for two LARGE sides (ray_guide pattern: when
+neither side fits a broadcast, bucket both by key hash and join
+matching buckets pairwise).
+
+Implementation is the single-shuffle co-group trick: pad both sides to
+a common schema (absent columns null), tag the side, union, and
+``groupby(bucket)`` ONCE — one all-to-all exchange moves both sides
+together — then pandas-merge the two sides inside ``map_groups``.
+
+Skew note: a hot key inflates its bucket; salt hot keys into
+sub-buckets before calling (extension point). ``n_buckets`` controls
+shuffle granularity.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
+    if pa.types.is_integer(col.type):
+        vals = col.to_pylist()
+        return pa.array([None if v is None else int(v) % n_buckets for v in vals],
+                        pa.int32())
+    return pa.array([None if v is None else zlib.crc32(str(v).encode()) % n_buckets
+                     for v in col.to_pylist()], pa.int32())
+
+
+def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
+                       how: str = "inner"):
+    """left ⋈ right on ``key`` → Dataset of merged rows (left columns
+    then right columns, pandas-merge semantics). Non-key column names
+    must be disjoint across the sides."""
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_cols = [c for c in l_schema.names]
+    r_cols = [c for c in r_schema.names]
+    if set(l_cols) & set(r_cols) != {key}:
+        raise ValueError("non-key columns must be disjoint; shared: "
+                         f"{(set(l_cols) & set(r_cols)) - {key}}")
+    all_fields = list(zip(l_schema.names, l_schema.types)) + \
+        [(n, t) for n, t in zip(r_schema.names, r_schema.types) if n != key]
+
+    def pad(side: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays, names = [], []
+            for name, typ in all_fields:
+                names.append(name)
+                if name in batch.column_names:
+                    arrays.append(batch.column(name).cast(typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            out = pa.Table.from_arrays(arrays, names=names)
+            out = out.append_column("_bucket", _bucket_of(batch.column(key), n_buckets))
+            return out.append_column("_side", pa.array([side] * n, pa.string()))
+
+        return _f
+
+    both = left_ds.map_batches(pad("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(pad("r"), batch_format="pyarrow"))
+
+    r_only = [c for c in r_cols if c != key]
+    l_only = [c for c in l_cols if c != key]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"][[key] + l_only]
+        r = g[g["_side"] == "r"][[key] + r_only]
+        if l.empty or (r.empty and how == "inner"):
+            return pd.DataFrame(columns=[key] + l_only + r_only)
+        return l.merge(r, on=key, how=how)
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")

@@ -481,6 +481,88 @@ def q_training_prep(sf_dir: str):
     return training_prep_summary(sf_dir)
 
 
+def q_order_priority_revenue(sf_dir: str):
+    """BOTH-sides-large join: lineitem ⋈ orders via the partitioned
+    hash join (functions/joins.py — one shuffle moves both sides,
+    pandas-merge per bucket). Lineitem is pre-aggregated per
+    (batch, orderkey) first so the shuffle carries partial sums, not
+    raw rows."""
+    from .functions.joins import bucketed_hash_join
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(
+            pc.multiply(pc.multiply(batch.column("l_extendedprice"),
+                                    pc.subtract(pa.scalar(1.0),
+                                                batch.column("l_discount"))),
+                        100.0), round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"), "cents": cents})
+        return t.group_by("o_orderkey").aggregate(
+            [("cents", "sum"), ([], "count_all")]) \
+            .rename_columns(["o_orderkey", "cents", "n_items"])
+
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, key="o_orderkey", n_buckets=32)
+
+    def post(batch: pa.Table) -> pa.Table:
+        return batch.group_by("o_orderpriority").aggregate(
+            [("cents", "sum"), ("n_items", "sum")]) \
+            .rename_columns(["o_orderpriority", "p_cents", "p_n"])
+
+    partials = joined.map_batches(post, batch_format="pyarrow")
+    return _driver_combine(partials, ["o_orderpriority"], {
+        "revenue_cents": ("p_cents", "sum"), "n_items": ("p_n", "sum")})
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+SELECT o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_top_orders(sf_dir: str, k: int = 10):
+    """Global top-k (sort/limit) with deterministic tiebreak."""
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "totalprice_cents": c})
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    return ds.sort(["totalprice_cents", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values (§2.7 'unique' analog)."""
+    import pandas as pd
+
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+SQL_DISTINCT_SEGMENTS = """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1
+"""
+
+
 # ================================================================ near-dup / ANN
 
 PLANT_OFFSET = 1_000_000      # planted near-duplicates get doc_id + offset
@@ -742,6 +824,9 @@ QUERIES = {
     "size_histogram": q_size_histogram,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
+    "order_priority_revenue": q_order_priority_revenue,
+    "top_orders": q_top_orders,
+    "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "lang_detect": q_lang_detect,
@@ -762,6 +847,9 @@ ORACLE_SQL = {
     "size_histogram": SQL_SIZE_HISTOGRAM,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
+    "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
+    "top_orders": SQL_TOP_ORDERS,
+    "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,

@@ -53,7 +53,8 @@ def test_all_oracle_keys_have_queries():
     "doc_quality_by_lang", "doc_fingerprints", "dedup_exact",
     "size_histogram", "pricing_summary", "segment_revenue",
     "events_hourly", "user_sessions", "embedding_dup_pairs", "ann_topk",
-    "sniff_counts",
+    "sniff_counts", "order_priority_revenue", "top_orders",
+    "distinct_segments",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -77,3 +78,32 @@ def test_extract_pages_deterministic(registry):
     a = _to_pandas(queries["extract_pages"](SF))
     b = _to_pandas(queries["extract_pages"](SF))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucketed_hash_join_string_key_and_outer(ray_session):
+    """joins.bucketed_hash_join: string keys, left-outer rows, and the
+    disjoint-columns guard."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import bucketed_hash_join
+
+    left = rd.from_arrow(pa.table({"k": ["a", "b", "c", "a"],
+                                   "lv": [1, 2, 3, 4]}))
+    right = rd.from_arrow(pa.table({"k": ["a", "b", "d"],
+                                    "rv": [10, 20, 40]}))
+    inner = bucketed_hash_join(left, right, "k", n_buckets=4).to_pandas()
+    inner = inner.sort_values(["k", "lv"]).reset_index(drop=True)
+    assert inner.to_dict("list") == {
+        "k": ["a", "a", "b"], "lv": [1, 4, 2], "rv": [10, 10, 20]}
+
+    outer = bucketed_hash_join(left, right, "k", n_buckets=4,
+                               how="left").to_pandas()
+    assert len(outer) == 4
+    assert outer[outer.k == "c"]["rv"].isna().all()
+
+    with _pytest.raises(ValueError, match="disjoint"):
+        bucketed_hash_join(
+            rd.from_arrow(pa.table({"k": [1], "x": [1]})),
+            rd.from_arrow(pa.table({"k": [1], "x": [2]})), "k")
