@@ -139,6 +139,16 @@ def run_bench() -> dict:
         reps.append(time.monotonic() - t0)
     headline = sorted(reps)[1]   # median of 3 (noisy shared host)
 
+    # the alternative execution mode, one timed run (same output,
+    # warm worker-global converter — see config.execution_mode)
+    tmode_out = os.path.join(CACHE_ROOT, f"extract-out-tasks-{NUM_CPUS}")
+    shutil.rmtree(tmode_out, ignore_errors=True)
+    t0 = time.monotonic()
+    extract_dataset(shards, cfg.with_(execution_mode="tasks"),
+                    override_num_blocks=NUM_CPUS * 8).write_parquet(tmode_out)
+    tasks_sec = time.monotonic() - t0
+    shutil.rmtree(tmode_out, ignore_errors=True)
+
     # representative operator timings (consumed to small results)
     from docling_pdf_ray import queries as Q
 
@@ -170,6 +180,8 @@ def run_bench() -> dict:
         "input_mb": round(n_bytes / 1e6, 1),
         "docs_per_s": round(n_docs / headline, 1),
         "mb_per_s": round(n_bytes / 1e6 / headline, 1),
+        "tasks_mode_sec": round(tasks_sec, 3),
+        "tasks_mode_docs_per_s": round(n_docs / tasks_sec, 1),
     }
     ray.shutdown()
     return result

@@ -176,3 +176,4 @@ def test_lsh_topk_finds_true_near_neighbors(ray_session):
     exact = brute_force_topk(rd.from_arrow(corpus), ref, k=1)
     for q in qids:
         assert exact[exact.query_id == q].vec_id.iloc[0] == q + 5000
+
