@@ -100,16 +100,10 @@ def _warmup(shards, cfg) -> None:
     shutil.rmtree(wout, ignore_errors=True)
 
 
-def run_bench() -> dict:
-    import ray
-
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-
+def _measure() -> dict:
+    """Shared headline measurement (Ray session must be initialised):
+    prepare + page-cache warm + worker warmup + 3-rep median of the
+    default-mode pipeline."""
     import pyarrow.parquet as pq
 
     from docling_pdf_ray.config import DEFAULT_CONFIG
@@ -138,6 +132,35 @@ def run_bench() -> dict:
         ds.write_parquet(out_dir)
         reps.append(time.monotonic() - t0)
     headline = sorted(reps)[1]   # median of 3 (noisy shared host)
+    return {
+        "metric": "end-to-end extraction throughput (mixed HTML+PDF pages)",
+        "value": round(headline, 3),
+        "reps": [round(r, 2) for r in reps],
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "input_mb": round(n_bytes / 1e6, 1),
+        "docs_per_s": round(n_docs / headline, 1),
+        "mb_per_s": round(n_bytes / 1e6 / headline, 1),
+        "_shards": shards,
+        "_cfg": cfg,
+    }
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from docling_pdf_ray.pipelines.extract import extract_dataset
+
+    result = _measure()
+    shards, cfg = result.pop("_shards"), result.pop("_cfg")
 
     # the alternative execution mode, one timed run (same output,
     # warm worker-global converter — see config.execution_mode)
@@ -148,11 +171,13 @@ def run_bench() -> dict:
                     override_num_blocks=NUM_CPUS * 8).write_parquet(tmode_out)
     tasks_sec = time.monotonic() - t0
     shutil.rmtree(tmode_out, ignore_errors=True)
+    result["tasks_mode_sec"] = round(tasks_sec, 3)
+    result["tasks_mode_docs_per_s"] = round(result["n_docs"] / tasks_sec, 1)
 
     # representative operator timings (consumed to small results)
-    from docling_pdf_ray import queries as Q
-
     import pandas as pd
+
+    from docling_pdf_ray import queries as Q
 
     def timed(name):
         t = time.monotonic()
@@ -162,27 +187,11 @@ def run_bench() -> dict:
         assert len(r) >= 0
         return round(time.monotonic() - t, 3)
 
-    qtimes = {}
-    for name in ["pricing_summary", "events_hourly", "dedup_exact",
-                 "doc_token_stats", "user_sessions", "minhash_near_dups",
-                 "ann_topk", "embedding_dup_pairs"]:
-        qtimes[name] = timed(name)
-
-    result = {
-        "metric": "end-to-end extraction throughput (mixed HTML+PDF pages)",
-        "value": round(headline, 3),
-        "reps": [round(r, 2) for r in reps],
-        "unit": "sec",
-        "queries": qtimes,
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
-        "n_docs": n_docs,
-        "input_mb": round(n_bytes / 1e6, 1),
-        "docs_per_s": round(n_docs / headline, 1),
-        "mb_per_s": round(n_bytes / 1e6 / headline, 1),
-        "tasks_mode_sec": round(tasks_sec, 3),
-        "tasks_mode_docs_per_s": round(n_docs / tasks_sec, 1),
-    }
+    result["queries"] = {
+        name: timed(name)
+        for name in ["pricing_summary", "events_hourly", "dedup_exact",
+                     "doc_token_stats", "user_sessions", "minhash_near_dups",
+                     "ann_topk", "embedding_dup_pairs"]}
     ray.shutdown()
     return result
 
@@ -236,7 +245,6 @@ def main() -> None:
         return
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         # child of --scaling: skip the query sweep, headline only
-        global _HEADLINE_ONLY
         result = run_bench_headline_only()
         print(json.dumps(result))
         return
@@ -244,6 +252,8 @@ def main() -> None:
 
 
 def run_bench_headline_only() -> dict:
+    """--scaling child: the same measurement as run_bench minus the
+    query sweep and tasks-mode comparison (shared via _measure)."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -251,37 +261,13 @@ def run_bench_headline_only() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    import pyarrow.parquet as pq
-
-    from docling_pdf_ray.config import DEFAULT_CONFIG
-    from docling_pdf_ray.pipelines.extract import extract_dataset
-
-    shards = prepare_pages()
-    n_docs = sum(pq.read_metadata(s).num_rows for s in shards)
-    n_bytes = sum(os.path.getsize(s) for s in shards)
-    for s in shards:
-        with open(s, "rb") as f:
-            while f.read(1 << 22):
-                pass
-    pool = NUM_CPUS - max(1, NUM_CPUS // 8)
-    cfg = DEFAULT_CONFIG.with_(pdf_pool_min=pool, pdf_pool_max=pool)
-    _warmup(shards, cfg)
-    reps = []
-    for rep in range(3):
-        out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.monotonic()
-        ds = extract_dataset(shards, cfg, override_num_blocks=NUM_CPUS * 8)
-        ds.write_parquet(out_dir)
-        reps.append(time.monotonic() - t0)
-    headline = sorted(reps)[1]   # median of 3 (noisy shared host)
+    result = _measure()
+    result.pop("_shards")
+    result.pop("_cfg")
+    result["metric"] = "extraction headline"
+    result["queries"] = {}
     ray.shutdown()
-    return {"metric": "extraction headline", "value": round(headline, 3),
-            "reps": [round(r, 2) for r in reps],
-            "unit": "sec", "num_cpus": NUM_CPUS, "n_docs": n_docs,
-            "input_mb": round(n_bytes / 1e6, 1),
-            "docs_per_s": round(n_docs / headline, 1),
-            "mb_per_s": round(n_bytes / 1e6 / headline, 1), "queries": {}}
+    return result
 
 
 if __name__ == "__main__":

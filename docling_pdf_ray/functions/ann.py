@@ -47,15 +47,18 @@ def make_topk_partial(queries_ref, k: int):
         out_q, out_v, out_s = [], [], []
         kk = min(k + 1, scores.shape[1])            # +1 to survive self-hit
         for qi, qid in enumerate(qids):
-            row = scores[qi]
-            idx = (np.argpartition(-row, kk - 1)[:kk]
-                   if kk < row.size else np.arange(row.size))
-            for j in idx:
+            # candidate selection must use the SAME ordering as the
+            # final ranking (rounded score desc, vec_id asc) or a
+            # vector within 1e-6 of the cutoff could be dropped here
+            # yet outrank a kept one after rounding
+            row_r = np.round(scores[qi], 6)
+            order = np.lexsort((vids, -row_r))[:kk]
+            for j in order:
                 if vids[j] == qid:
                     continue                        # exclude self
                 out_q.append(qid)
                 out_v.append(int(vids[j]))
-                out_s.append(round(float(row[j]), 6))
+                out_s.append(float(row_r[j]))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "cos_r": pa.array(out_s, pa.float64())})

@@ -21,19 +21,26 @@ import pyarrow as pa
 
 
 def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
+    # null keys ride bucket 0 (they match nothing — see merge); a null
+    # bucket key would break the shuffle groupby
     if pa.types.is_integer(col.type):
         vals = col.to_pylist()
-        return pa.array([None if v is None else int(v) % n_buckets for v in vals],
+        return pa.array([0 if v is None else int(v) % n_buckets for v in vals],
                         pa.int32())
-    return pa.array([None if v is None else zlib.crc32(str(v).encode()) % n_buckets
+    return pa.array([0 if v is None else zlib.crc32(str(v).encode()) % n_buckets
                      for v in col.to_pylist()], pa.int32())
 
 
 def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
                        how: str = "inner"):
     """left ⋈ right on ``key`` → Dataset of merged rows (left columns
-    then right columns, pandas-merge semantics). Non-key column names
-    must be disjoint across the sides."""
+    then right columns, SQL null semantics: null keys never match).
+    Non-key column names must be disjoint across the sides. Supported
+    ``how``: 'inner', 'left' (a right/full-outer needs per-bucket
+    right-side emission this cogroup shape doesn't implement — rejected
+    loudly rather than silently degrading)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     l_cols = [c for c in l_schema.names]
@@ -67,10 +74,22 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
     l_only = [c for c in l_cols if c != key]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # SQL semantics: null keys match nothing (pandas merge would
+        # pair NaN==NaN) — null-key left rows survive only under 'left'
         l = g[g["_side"] == "l"][[key] + l_only]
         r = g[g["_side"] == "r"][[key] + r_only]
+        r = r[r[key].notna()]
+        if how == "inner":
+            l = l[l[key].notna()]
         if l.empty or (r.empty and how == "inner"):
             return pd.DataFrame(columns=[key] + l_only + r_only)
+        if how == "left":
+            l_null = l[l[key].isna()]
+            l = l[l[key].notna()]
+            merged = l.merge(r, on=key, how="left") if not l.empty else l
+            if not l_null.empty:
+                merged = pd.concat([merged, l_null], ignore_index=True)
+            return merged
         return l.merge(r, on=key, how=how)
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")

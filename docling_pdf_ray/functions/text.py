@@ -46,9 +46,12 @@ def punct_char_counts(texts: list[str | None]) -> np.ndarray:
         dtype=np.int64, count=len(texts))
 
 
-def md5_hex(texts: list[str | None]) -> list[str]:
-    """Content fingerprint == DuckDB md5(text)."""
-    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+def md5_hex(texts: list[str | None]) -> list[str | None]:
+    """Content fingerprint == DuckDB md5(text): None → None (SQL
+    md5(NULL) IS NULL — hashing None as '' would silently merge
+    null-text rows into the empty-string dedup group)."""
+    return [None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in texts]
 
 
 def rolling_fingerprint(text: str, window: int = 8, mod: int = 1 << 61) -> int:

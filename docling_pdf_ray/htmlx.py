@@ -62,6 +62,14 @@ STRIP_TAGS = frozenset({
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 LEAF_BLOCK_TAGS = frozenset({"p", "li", "pre", "blockquote", "td", "th"})
 CONTAINER_TAGS = frozenset({"div", "section", "article", "main", "body"})
+# inline elements join the surrounding text into ONE pseudo-block when
+# they appear as direct children of a container (prose written straight
+# into divs with <b>/<a>/<span> markup must not lose or split text)
+INLINE_TAGS = frozenset({
+    "a", "b", "i", "em", "strong", "span", "code", "small", "u", "s",
+    "sub", "sup", "mark", "abbr", "time", "cite", "q", "kbd", "var",
+    "samp", "br", "wbr",
+})
 VOID_TAGS = frozenset({
     "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
     "embed", "source", "track", "wbr",
@@ -209,13 +217,16 @@ def extract_blocks(root: _Node, cfg: PipelineConfig) -> tuple[list[Block], list[
     tables: list[dict] = []
     images: list[dict] = []
 
-    def emit_pseudo(run: list[str]) -> None:
-        text = _norm(" ".join(run))
-        if text and _keep(cfg, len(text), 0, 0):
+    def emit_pseudo(run: list) -> None:
+        # a run is a mix of raw strings and inline _Nodes; wrap it in a
+        # synthetic node so the standard text/link/tag collectors apply
+        pseudo = _Node("_run", children=list(run))
+        text = _collect_text(pseudo)
+        if text and _keep(cfg, len(text), _link_len(pseudo), _tag_count(pseudo)):
             blocks.append(Block("text", text, text))
 
     def walk(node: _Node) -> None:
-        text_run: list[str] = []
+        text_run: list = []
         for c in node.children:
             if isinstance(c, str):
                 if node.tag in CONTAINER_TAGS:
@@ -223,7 +234,11 @@ def extract_blocks(root: _Node, cfg: PipelineConfig) -> tuple[list[Block], list[
                 continue
             if c.tag in STRIP_TAGS:
                 continue
-            # element child ends any pending pseudo-text run
+            if c.tag in INLINE_TAGS and node.tag in CONTAINER_TAGS:
+                # inline markup continues the current pseudo-block
+                text_run.append(c)
+                continue
+            # a block-level element child ends any pending pseudo run
             if text_run:
                 emit_pseudo(text_run)
                 text_run = []
@@ -241,28 +256,35 @@ def extract_blocks(root: _Node, cfg: PipelineConfig) -> tuple[list[Block], list[
                 text = _collect_text(c)
                 if len(text) >= cfg.html_min_heading_chars:
                     blocks.append(Block.make("heading", text, level=int(c.tag[1])))
-                _collect_imgs(c)
+                _collect_nested(c)
                 continue
             if c.tag in LEAF_BLOCK_TAGS:
                 text = _collect_text(c)
                 if _keep(cfg, len(text), _link_len(c), _tag_count(c)):
                     blocks.append(Block.make(_KIND[c.tag], text))
-                _collect_imgs(c)
+                _collect_nested(c)
                 continue
             walk(c)
         if text_run:
             emit_pseudo(text_run)
 
-    def _collect_imgs(node: _Node) -> None:
-        # images inside consumed leaf blocks are still reported (M11 analog)
+    def _collect_nested(node: _Node) -> None:
+        # images AND tables inside consumed leaf blocks are still
+        # reported (M10/M11 analogs — a leaf block consumes its subtree
+        # for TEXT blocks only, not for the element inventories)
         for c in node.children:
             if isinstance(c, str) or c.tag in STRIP_TAGS:
                 continue
             if c.tag == "img":
                 desc = c.attrs.get("alt") or c.attrs.get("src") or "image"
                 images.append({"description": desc, "page": -1})
+            elif c.tag == "table":
+                t = _collect_text(c)
+                if t:
+                    tables.append({"content": t, "page": -1})
+                _collect_nested(c)
             else:
-                _collect_imgs(c)
+                _collect_nested(c)
 
     walk(root)
     return blocks, tables, images

@@ -48,24 +48,25 @@ from ..stages.sniff import sniff_and_extract_html
 from ..state import lineage
 
 
-# worker-process-global warm converter for the 'tasks' execution mode:
+# worker-process-global warm converters for the 'tasks' execution mode:
 # loaded on a worker's first batch, reused for that worker's lifetime —
 # the same load-once amortization the actor pool gives, without
-# per-execution pool spin-up.
-_WORKER_CONVERTER = None
+# per-execution pool spin-up. Keyed by the (frozen, hashable) cfg so a
+# later pipeline with a different config in the same session gets its
+# own converter instead of a stale one.
+_WORKER_CONVERTERS: dict = {}
 
 
 def _flat_extract_batch(batch, cfg: PipelineConfig, keep_meta: bool):
-    global _WORKER_CONVERTER
-
     import pyarrow as pa
 
     from .. import oracle
     from ..schema import result_to_arrow
     from ..stages.pdf_stage import WarmConverter
 
-    if _WORKER_CONVERTER is None:
-        _WORKER_CONVERTER = WarmConverter(cfg)
+    conv = _WORKER_CONVERTERS.get(cfg)
+    if conv is None:
+        conv = _WORKER_CONVERTERS.setdefault(cfg, WarmConverter(cfg))
     urls = batch.column("url").to_pylist()
     payloads = batch.column("html").to_pylist()
     rows = []
@@ -75,7 +76,7 @@ def _flat_extract_batch(batch, cfg: PipelineConfig, keep_meta: bool):
         kinds.append(kind)
         if kind == oracle.KIND_PDF and not (
                 p is not None and len(p) > cfg.max_payload_bytes):
-            rows.append(_WORKER_CONVERTER.extract(u, p))
+            rows.append(conv.extract(u, p))
         else:
             rows.append(oracle.extract_row(u, p, cfg))
     out = result_to_arrow(rows)
@@ -277,7 +278,8 @@ def _process_partition(pid: int, path: str, out_dir: str,
     n_failed = n_rows - n_ok
     wall = time.monotonic() - t0
     lineage.write_lineage(out_dir, pid, lineage.STATUS_DONE, n_ok, n_failed,
-                          first_url, last_url, wall)
+                          first_url, last_url, wall,
+                          shard=os.path.basename(path))
     return {"partition_id": pid, "rows": n_rows, "n_ok": n_ok,
             "n_failed": n_failed, "wall_s": wall}
 
@@ -302,7 +304,7 @@ def run_partitioned(input_paths: list[str], out_dir: str,
         _shutil.rmtree(stale, ignore_errors=True)
 
     shards = sorted(input_paths)
-    done = lineage.completed_partitions(out_dir) if resume else set()
+    done = lineage.completed_partitions(out_dir, shards) if resume else set()
 
     dedup_filter = None
     if cfg.dedup_urls:

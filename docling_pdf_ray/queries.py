@@ -224,10 +224,15 @@ def q_dedup_exact(sf_dir: str):
     column never shuffles — only (hash, doc_id) pairs do."""
 
     def hashes(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "text_hash": pa.array(ftext.md5_hex(batch.column("text").to_pylist())),
+        t = pa.table({
+            "text_hash": pa.array(ftext.md5_hex(batch.column("text").to_pylist()),
+                                  pa.string()),
             "doc_id": batch.column("doc_id"),
         })
+        # null text has no content to dedup (and Ray's sort-based
+        # shuffle groupby rejects null string keys) — dropped on both
+        # sides (SQL mirrors with WHERE text IS NOT NULL)
+        return t.filter(pc.is_valid(t.column("text_hash")))
 
     from ray.data.aggregate import Count, Min
 
@@ -239,7 +244,7 @@ def q_dedup_exact(sf_dir: str):
 
 SQL_DEDUP_EXACT = """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
-FROM documents GROUP BY 1 ORDER BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
@@ -626,10 +631,21 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7):
         lambda s: sorted(s.unique()))
     pairs = set()
     for ids in grp:
-        if 2 <= len(ids) <= 100:             # cap degenerate buckets
-            for i, a in enumerate(ids):
-                for b in ids[i + 1:]:
-                    pairs.add((a, b))
+        if len(ids) < 2:
+            continue
+        if len(ids) > 100:
+            # degenerate bucket (mass duplication): STAR-link every
+            # member to the min id instead of O(n²) pairs — duplicates
+            # of the anchor are still found and verified; never drop a
+            # bucket silently (a 150-copy boilerplate page must not be
+            # reported as 150 uniques)
+            anchor = ids[0]
+            for b in ids[1:]:
+                pairs.add((anchor, b))
+            continue
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                pairs.add((a, b))
     cand_pd = pd.DataFrame(sorted(pairs), columns=["a", "b"])
     if cand_pd.empty:
         return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "jaccard_r": []})
@@ -708,26 +724,71 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3):
 EMB_PLANT_OFFSET = 100_000
 
 
+def _plant_embeddings(batch: pa.Table) -> pa.Table:
+    ids = batch.column("vec_id").to_pylist()
+    embs = batch.column("embedding").to_pylist()
+    oi, oe = list(ids), list(embs)
+    for i, e in zip(ids, embs):
+        if i % PLANT_EVERY == 0:
+            oi.append(i + EMB_PLANT_OFFSET)
+            oe.append(e)
+    return pa.table({"vec_id": pa.array(oi, pa.int64()),
+                     "embedding": pa.array(oe, pa.list_(pa.float32()))})
+
+
 def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
-    """Embedding-cosine near-dup via random-hyperplane LSH bucketing:
-    bucket by 16-plane sign pattern, exact cosine only within buckets.
-    Planted exact copies (vec_id+1e5 for vec_id%25==0) are the ground
-    truth; the SQL oracle replicates the planting and brute-forces the
-    join, so this VALUE-checks the LSH path end-to-end."""
+    """Embedding-cosine near-dup, EXACT: block × broadcast-matrix
+    matmul (every block scored against the full normalized corpus put
+    once in the object store — the O(N²/B) brute-force baseline, exact
+    by construction so the SQL brute-force oracle always agrees; scale
+    beyond ~10^5 vectors by sharding the broadcast matrix or switching
+    to q_embedding_dup_pairs_lsh). Planted exact copies
+    (vec_id+1e5 for vec_id%25==0) are the ground truth."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    full = _plant_embeddings(base)
+    ids = np.asarray(full.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mn))
+
+    def pairs_vs_all(batch: pa.Table) -> pa.Table:
+        all_ids, all_mn = ray.get(ref)
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        bm = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bmn = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        s = bmn @ all_mn.T
+        out_a, out_b = [], []
+        for bi in range(len(bids)):
+            hits = np.where(s[bi] >= threshold)[0]
+            for j in hits:
+                if bids[bi] < all_ids[j]:     # each pair emitted once
+                    out_a.append(int(bids[bi]))
+                    out_b.append(int(all_ids[j]))
+        return pa.table({"vec_id_a": pa.array(out_a, pa.int64()),
+                         "vec_id_b": pa.array(out_b, pa.int64())})
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .map_batches(_plant_embeddings, batch_format="pyarrow") \
+        .map_batches(pairs_vs_all, batch_format="pyarrow")
+    pairs = ds.to_pandas().drop_duplicates()
+    return pairs.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+def q_embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.95):
+    """The LSH scale path for the same operator: bucket by 16-plane
+    sign pattern, exact cosine only within buckets. Approximate
+    (identical copies always share a bucket; non-identical near-dups
+    can straddle buckets) — rows-only check by design; recall
+    properties are pinned by tests/test_dedup.py."""
     import pandas as pd
 
     from .functions import dedup as dd
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_pylist()
-        embs = batch.column("embedding").to_pylist()
-        oi, oe = list(ids), list(embs)
-        for i, e in zip(ids, embs):
-            if i % PLANT_EVERY == 0:
-                oi.append(i + EMB_PLANT_OFFSET)
-                oe.append(e)
-        return pa.table({"vec_id": pa.array(oi, pa.int64()),
-                         "embedding": pa.array(oe, pa.list_(pa.float32()))})
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
@@ -752,7 +813,7 @@ def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    pairs = ds.map_batches(plant, batch_format="pyarrow") \
+    pairs = ds.map_batches(_plant_embeddings, batch_format="pyarrow") \
         .map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
         .to_pandas().drop_duplicates()
@@ -833,6 +894,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "ann_topk": q_ann_topk,
 }
 

@@ -61,6 +61,9 @@ EXTRACTED_SCHEMA = pa.schema([
 # redis_manager.py:51-68; FIXTURES.md §3)
 LINEAGE_SCHEMA = pa.schema([
     pa.field("partition_id", pa.int32()),
+    pa.field("shard", pa.string()),       # input shard basename — resume
+                                          # identity (an index alone would
+                                          # mis-map when the input set changes)
     pa.field("status", pa.string()),
     pa.field("n_ok", pa.int64()),
     pa.field("n_failed", pa.int64()),

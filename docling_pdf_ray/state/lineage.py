@@ -39,10 +39,10 @@ def partition_dir(out_dir: str, partition_id: int) -> str:
 
 def write_lineage(out_dir: str, partition_id: int, status: str, n_ok: int,
                   n_failed: int, first_url: str | None, last_url: str | None,
-                  wall_s: float) -> None:
+                  wall_s: float, shard: str | None = None) -> None:
     os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
     t = pa.Table.from_pydict({
-        "partition_id": [partition_id], "status": [status],
+        "partition_id": [partition_id], "shard": [shard], "status": [status],
         "n_ok": [n_ok], "n_failed": [n_failed],
         "first_url": [first_url], "last_url": [last_url],
         "wall_s": [wall_s],
@@ -60,16 +60,30 @@ def read_lineage(out_dir: str) -> pa.Table:
     return pa.concat_tables(pq.read_table(f) for f in files)
 
 
-def completed_partitions(out_dir: str) -> set[int]:
+def completed_partitions(out_dir: str,
+                         shards: list[str] | None = None) -> set[int]:
     """Partitions safe to skip on resume: sidecar says done AND the
     renamed data directory exists (defends against a sidecar written
-    for a since-deleted output)."""
+    for a since-deleted output). When ``shards`` (the current sorted
+    input list) is given, a partition also only counts done if its
+    recorded shard basename matches the shard now assigned that id —
+    adding/removing input files re-maps ids, and an index-only check
+    would silently skip never-processed shards."""
     done: set[int] = set()
     t = read_lineage(out_dir)
-    for pid, status in zip(t.column("partition_id").to_pylist(),
-                           t.column("status").to_pylist()):
-        if status == STATUS_DONE and os.path.isdir(partition_dir(out_dir, pid)):
-            done.add(pid)
+    shard_names = t.column("shard").to_pylist() if "shard" in t.column_names \
+        else [None] * t.num_rows
+    for pid, status, shard in zip(t.column("partition_id").to_pylist(),
+                                  t.column("status").to_pylist(),
+                                  shard_names):
+        if status != STATUS_DONE or not os.path.isdir(partition_dir(out_dir, pid)):
+            continue
+        if shards is not None:
+            if pid >= len(shards):
+                continue
+            if shard is not None and shard != os.path.basename(shards[pid]):
+                continue
+        done.add(pid)
     return done
 
 

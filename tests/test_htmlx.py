@@ -138,3 +138,34 @@ def test_deeply_nested_does_not_recurse_error():
             f"<p>{LOREM}</p>" + "</div>" * 150 + "</body></html>").encode()
     ex = extract_main_content(html, CFG)
     assert LOREM in ex.full_text
+
+
+def test_inline_elements_join_pseudo_blocks():
+    # review finding: prose in divs with inline markup must stay one
+    # block and lose no words
+    html = ("<html><body><div>This is a fairly long sentence with "
+            "<b>important</b> words in the middle of it all.</div>"
+            "</body></html>").encode()
+    ex = extract_main_content(html, CFG)
+    assert ex.full_text == ("This is a fairly long sentence with important "
+                            "words in the middle of it all.")
+    assert len(ex.spans) == 1
+
+
+def test_inline_link_density_still_prunes_pseudo_blocks():
+    links = " ".join(f'<a href="/{i}">linky text piece {i}</a>' for i in range(12))
+    html = f"<html><body><div>{links}</div><div>{LOREM} plain prose here</div></body></html>".encode()
+    ex = extract_main_content(html, CFG)
+    assert "linky text" not in ex.full_text
+    assert LOREM in ex.full_text
+
+
+def test_table_inside_leaf_block_is_reported():
+    # review finding: tables nested in blockquote/li/etc must appear in
+    # the tables inventory
+    cell = LOREM + " inner table cell"
+    html = (f"<html><body><blockquote><table><tr><td>{cell}</td></tr></table>"
+            f"</blockquote></body></html>").encode()
+    ex = extract_main_content(html, CFG)
+    assert len(ex.tables) == 1
+    assert "inner table cell" in ex.tables[0]["content"]

@@ -183,3 +183,49 @@ def test_tasks_mode_byte_identical_to_actor_mode(ray_session, fixture_pages_dir)
     assert ta.column("full_text").equals(tb.column("full_text"))
     for name in EXTRACTED_SCHEMA.names:
         assert ta.column(name).equals(tb.column(name)), name
+
+
+def test_resume_detects_changed_input_set(ray_session, fixture_pages_dir, tmp_path):
+    """Review finding: adding a shard re-maps partition ids; resume
+    must reprocess re-mapped ids, never skip a never-seen shard."""
+    from docling_pdf_ray.pipelines.extract import run_partitioned
+    from docling_pdf_ray.state import lineage
+
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))
+    out = str(tmp_path / "remap_out")
+    # first run over shards[1:3] only (they get pids 0,1)
+    run_partitioned(shards[1:3], out, CFG)
+    assert lineage.completed_partitions(out, sorted(shards[1:3])) == {0, 1}
+
+    # now the full set: shards[0] becomes pid0 — the old pid0 sidecar
+    # (recorded for shards[1]) must NOT let it be skipped
+    s = run_partitioned(shards, out, CFG, resume=True)
+    assert s["partitions_processed"] == len(shards)  # all re-mapped ids rerun
+    n_in = sum(pq.read_metadata(x).num_rows for x in shards)
+    assert s["n_ok"] + s["n_failed"] == n_in
+
+
+def test_tasks_mode_worker_cache_keyed_by_cfg(ray_session, fixture_pages_dir):
+    """Review finding: two tasks-mode runs with different configs in
+    one session must not share a stale converter."""
+    import ray.data as rd
+
+    from docling_pdf_ray.pipelines.extract import build_extract_ds
+
+    shards = sorted(glob.glob(os.path.join(fixture_pages_dir, "*.parquet")))[:1]
+    pages = lambda: rd.read_parquet(shards, columns=["url", "warc_ts", "html"])  # noqa: E731
+    c1 = CFG.with_(execution_mode="tasks")
+    c2 = CFG.with_(execution_mode="tasks", lines_per_page=10)
+    t1 = pa.concat_tables(build_extract_ds(pages(), c1)
+                          .iter_batches(batch_format="pyarrow"))
+    t2 = pa.concat_tables(build_extract_ds(pages(), c2)
+                          .iter_batches(batch_format="pyarrow"))
+    # same workers, different config: pagination must differ for pdf rows
+    import pyarrow.compute as _pc
+
+    pdf1 = t1.filter(_pc.equal(t1.column("extraction_method"), "pdf_parse"))
+    pdf2 = t2.filter(_pc.equal(t2.column("extraction_method"), "pdf_parse"))
+    assert pdf1.num_rows and pdf2.num_rows
+    tp1 = dict(zip(pdf1.column("url").to_pylist(), pdf1.column("total_pages").to_pylist()))
+    tp2 = dict(zip(pdf2.column("url").to_pylist(), pdf2.column("total_pages").to_pylist()))
+    assert any(tp2[u] > tp1[u] for u in tp1), "lines_per_page=10 must repaginate"
