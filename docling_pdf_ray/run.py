@@ -54,6 +54,8 @@ def cmd_extract(args) -> int:
         cfg = cfg.with_(dedup_urls=True)
     if args.concurrency:
         cfg = cfg.with_(partition_concurrency=args.concurrency)
+    if args.mode:
+        cfg = cfg.with_(execution_mode=args.mode)
     _ray_init()
     summary = run_partitioned(inputs, args.output, cfg, resume=not args.no_resume)
     print(json.dumps(summary))
@@ -110,6 +112,9 @@ def main(argv=None) -> int:
                     help="payload size cap in MiB (default 50)")
     pe.add_argument("--concurrency", type=int, default=None,
                     help="partitions in flight")
+    pe.add_argument("--mode", choices=["actor_pool", "tasks"], default=None,
+                    help="execution mode (default actor_pool; 'tasks' = "
+                         "warm worker-global converter, byte-identical)")
     pe.set_defaults(fn=cmd_extract)
 
     ps = sub.add_parser("status", help="lineage/counters for an output dir")
