@@ -427,6 +427,120 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """SLIDING window (2h window, 1h slide) per event_type: the
+    rolling composition of tumbling partials — hourly counts computed
+    distributed, window sums rolled on the tiny hourly table. SQL
+    oracle: self-join of hourly buckets."""
+    import pandas as pd
+
+    hourly = q_events_hourly(sf_dir)[["event_type", "hour_ts", "n_events"]]
+    out = []
+    for et, g in hourly.groupby("event_type"):
+        g = g.sort_values("hour_ts")
+        # align on the ACTUAL previous hour (hour buckets have gaps —
+        # the previous ROW is not the previous hour)
+        lut = dict(zip(g["hour_ts"], g["n_events"]))
+        prev = [lut.get(h - pd.Timedelta(hours=1), 0) for h in g["hour_ts"]]
+        out.append(pd.DataFrame({
+            "event_type": et, "hour_ts": g["hour_ts"].values,
+            "n_window": (g["n_events"].values + np.asarray(prev)).astype("int64")}))
+    return pd.concat(out, ignore_index=True) \
+        .sort_values(["event_type", "hour_ts"]).reset_index(drop=True)
+
+
+SQL_EVENTS_SLIDING = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.hour_ts,
+       a.n + coalesce(b.n, 0) AS n_window
+FROM hourly a
+LEFT JOIN hourly b
+  ON b.event_type = a.event_type
+ AND b.hour_ts = a.hour_ts - INTERVAL 1 HOUR
+ORDER BY 1, 2
+"""
+
+
+def q_region_order_counts(sf_dir: str):
+    """Multi-hop broadcast join chain: orders → customer → nation →
+    region (three dimension tables composed into ONE broadcast lookup
+    dict on the driver; the fact table never shuffles)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+    c2rname = {c: r2name.get(n2r.get(n))
+               for c, n in zip(cust.column("c_custkey").to_pylist(),
+                               cust.column("c_nationkey").to_pylist())}
+    ref = ray.put(c2rname)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        names = [lut.get(k) for k in batch.column("o_custkey").to_pylist()]
+        t = pa.table({"r_name": pa.array(names, pa.string())})
+        return t.group_by("r_name").aggregate([([], "count_all")]) \
+            .rename_columns(["r_name", "p_n"])
+
+    partials = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                  columns=["o_custkey"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return _driver_combine(partials, ["r_name"], {"n_orders": ("p_n", "sum")})
+
+
+SQL_REGION_ORDER_COUNTS = """
+SELECT r_name, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_quality_gate_counts(sf_dir: str):
+    """Quality-filter operator over the raw documents table with an
+    EXACT SQL mirror: docs passing (len ≥ 80 AND alpha_ratio ≥ 0.5),
+    counted per lang. Demonstrates the corpus quality gate as a
+    value-checked relational predicate (the prep pipeline applies the
+    same gate to EXTRACTED text, which SQL can't see)."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        alpha = ftext.alpha_char_counts(texts)
+        keep = [t is not None and len(t) >= 80 and 2 * a >= len(t)
+                for t, a in zip(texts, alpha)]
+        t = pa.table({"lang": batch.column("lang"),
+                      "keep": pa.array(keep, pa.bool_())})
+        t = t.filter(t.column("keep"))
+        return t.group_by("lang").aggregate([([], "count_all")]) \
+            .rename_columns(["lang", "p_n"])
+
+    partials = _docs(sf_dir, ["text", "lang"]).map_batches(gate,
+                                                           batch_format="pyarrow")
+    return _driver_combine(partials, ["lang"], {"n_pass": ("p_n", "sum")})
+
+
+SQL_QUALITY_GATE_COUNTS = """
+SELECT lang, count(*) AS n_pass
+FROM documents
+WHERE text IS NOT NULL AND length(text) >= 80
+  AND 2 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) >= length(text)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_lang_detect(sf_dir: str):
     """Language-ID heuristic audit: confusion counts (lang ×
     predicted). Deterministic; no SQL analog (rows-only check)."""
@@ -889,6 +1003,9 @@ QUERIES = {
     "top_orders": q_top_orders,
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
+    "region_order_counts": q_region_order_counts,
+    "quality_gate_counts": q_quality_gate_counts,
     "user_sessions": q_user_sessions,
     "lang_detect": q_lang_detect,
     "minhash_near_dups": q_minhash_near_dups,
@@ -913,6 +1030,9 @@ ORACLE_SQL = {
     "top_orders": SQL_TOP_ORDERS,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sliding": SQL_EVENTS_SLIDING,
+    "region_order_counts": SQL_REGION_ORDER_COUNTS,
+    "quality_gate_counts": SQL_QUALITY_GATE_COUNTS,
     "user_sessions": SQL_USER_SESSIONS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "ann_topk": SQL_ANN_TOPK,

@@ -54,7 +54,8 @@ def test_all_oracle_keys_have_queries():
     "size_histogram", "pricing_summary", "segment_revenue",
     "events_hourly", "user_sessions", "embedding_dup_pairs", "ann_topk",
     "sniff_counts", "order_priority_revenue", "top_orders",
-    "distinct_segments",
+    "distinct_segments", "events_sliding", "region_order_counts",
+    "quality_gate_counts",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
