@@ -93,3 +93,59 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
         return l.merge(r, on=key, how=how)
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
+                       ts_right: str, n_buckets: int = 64):
+    """As-of join (ray_guide pattern): for each left row, the LATEST
+    right row with the same ``key`` and ``ts_right <= ts_left``. Both
+    sides co-shuffle once by key bucket; each bucket sorts and runs
+    ``pd.merge_asof`` grouped by key. Left rows with no match keep
+    null right columns (left-join semantics). Equal-``ts_right`` ties
+    are resolved to the same timestamp, so emit the right TS (and
+    aggregates of it), not tie-ambiguous payload columns, when
+    determinism across engines matters."""
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    if (set(l_schema.names) & set(r_schema.names)) - {key}:
+        raise ValueError("non-key columns must be disjoint")
+    all_fields = list(zip(l_schema.names, l_schema.types)) + \
+        [(n, t) for n, t in zip(r_schema.names, r_schema.types) if n != key]
+
+    def pad(side: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays, names = [], []
+            for name, typ in all_fields:
+                names.append(name)
+                if name in batch.column_names:
+                    arrays.append(batch.column(name).cast(typ))
+                else:
+                    arrays.append(pa.nulls(n, typ))
+            out = pa.Table.from_arrays(arrays, names=names)
+            out = out.append_column("_bucket", _bucket_of(batch.column(key), n_buckets))
+            return out.append_column("_side", pa.array([side] * n, pa.string()))
+
+        return _f
+
+    both = left_ds.map_batches(pad("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(pad("r"), batch_format="pyarrow"))
+    l_only = [c for c in l_schema.names if c != key]
+    r_only = [c for c in r_schema.names if c != key]
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "l"][[key] + l_only]
+        r = g[g["_side"] == "r"][[key] + r_only]
+        l = l[l[key].notna()].sort_values(ts_left, kind="mergesort")
+        r = r[r[key].notna()].sort_values(ts_right, kind="mergesort")
+        if l.empty:
+            return pd.DataFrame(columns=[key] + l_only + r_only)
+        if r.empty:
+            out = l.copy()
+            for c in r_only:
+                out[c] = pd.NA
+            return out
+        return pd.merge_asof(l, r, left_on=ts_left, right_on=ts_right,
+                             by=key, direction="backward")
+
+    return both.groupby("_bucket").map_groups(asof, batch_format="pandas")

@@ -509,6 +509,44 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_order_asof_event(sf_dir: str):
+    """AS-OF join: for each EVENT, the customer's latest order date at
+    or before the event timestamp (user_id = o_custkey). Co-bucketed
+    merge_asof (functions/joins.py); output is the matched DATE
+    (tie-unambiguous — equal-date ties yield the same value).
+    SQL mirror: correlated max(o_orderdate) ≤ ts."""
+    from .functions.joins import bucketed_asof_join
+
+    events = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id", "ts"])
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.rename_columns(["user_id", "o_orderdate"]),
+                     batch_format="pyarrow")
+    joined = bucketed_asof_join(events, orders, key="user_id",
+                                ts_left="ts", ts_right="o_orderdate",
+                                n_buckets=32)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch.column("event_id"),
+                         "asof_order_date": batch.column("o_orderdate")})
+
+    import pandas as pd
+
+    out = pd.concat(list(joined.map_batches(project, batch_format="pyarrow")
+                         .iter_batches(batch_format="pandas")),
+                    ignore_index=True)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ORDER_ASOF_EVENT = """
+SELECT event_id,
+       (SELECT max(o_orderdate) FROM orders o
+        WHERE o.o_custkey = user_id AND o.o_orderdate <= ts) AS asof_order_date
+FROM events ORDER BY event_id
+"""
+
+
 def q_quality_gate_counts(sf_dir: str):
     """Quality-filter operator over the raw documents table with an
     EXACT SQL mirror: docs passing (len ≥ 80 AND alpha_ratio ≥ 0.5),
@@ -1004,6 +1042,7 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
+    "order_asof_event": q_order_asof_event,
     "region_order_counts": q_region_order_counts,
     "quality_gate_counts": q_quality_gate_counts,
     "user_sessions": q_user_sessions,
@@ -1031,6 +1070,7 @@ ORACLE_SQL = {
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "order_asof_event": SQL_ORDER_ASOF_EVENT,
     "region_order_counts": SQL_REGION_ORDER_COUNTS,
     "quality_gate_counts": SQL_QUALITY_GATE_COUNTS,
     "user_sessions": SQL_USER_SESSIONS,

@@ -55,7 +55,7 @@ def test_all_oracle_keys_have_queries():
     "events_hourly", "user_sessions", "embedding_dup_pairs", "ann_topk",
     "sniff_counts", "order_priority_revenue", "top_orders",
     "distinct_segments", "events_sliding", "region_order_counts",
-    "quality_gate_counts",
+    "quality_gate_counts", "order_asof_event",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -108,3 +108,25 @@ def test_bucketed_hash_join_string_key_and_outer(ray_session):
         bucketed_hash_join(
             rd.from_arrow(pa.table({"k": [1], "x": [1]})),
             rd.from_arrow(pa.table({"k": [1], "x": [2]})), "k")
+
+
+def test_bucketed_asof_join_semantics(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import bucketed_asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1, 2, 3], "lt": [10, 25, 5, 7], "lv": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({
+        "k": [1, 1, 2], "rt": [8, 20, 9], "rv": [100, 200, 300]}))
+    out = bucketed_asof_join(left, right, key="k", ts_left="lt",
+                             ts_right="rt", n_buckets=4).to_pandas()
+    out = out.sort_values(["k", "lt"]).reset_index(drop=True)
+    # k=1,lt=10 → rt=8; k=1,lt=25 → rt=20; k=2,lt=5 → no rt≤5 → null;
+    # k=3 → no right rows at all → null
+    assert out["rt"].tolist()[0] == 8 and out["rv"].tolist()[0] == 100
+    assert out["rt"].tolist()[1] == 20 and out["rv"].tolist()[1] == 200
+    assert pd.isna(out["rt"].tolist()[2]) and pd.isna(out["rt"].tolist()[3])
+    assert len(out) == 4
