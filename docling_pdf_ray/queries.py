@@ -547,6 +547,41 @@ FROM events ORDER BY event_id
 """
 
 
+def q_order_coverage(sf_dir: str):
+    """SEMI/ANTI join via broadcast key set (ray_guide pattern): the
+    orders key set ships once through the object store; each customer
+    batch partitions against it locally — no shuffle. One-row summary
+    so the result is never an empty frame."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    keys = set(pq.read_table(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"]).column("o_custkey").to_pylist())
+    ref = ray.put(keys)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        hits = sum(1 for c in batch.column("c_custkey").to_pylist() if c in ks)
+        return pa.table({"p_with": pa.array([hits], pa.int64()),
+                         "p_without": pa.array([batch.num_rows - hits], pa.int64())})
+
+    partials = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey"]) \
+        .map_batches(part, batch_format="pyarrow")
+    df = pd.concat(list(partials.iter_batches(batch_format="pandas")),
+                   ignore_index=True)
+    return pd.DataFrame({"with_orders": [int(df["p_with"].sum())],
+                         "without_orders": [int(df["p_without"].sum())]})
+
+
+SQL_ORDER_COVERAGE = """
+SELECT count(*) FILTER (WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+       count(*) FILTER (WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS without_orders
+FROM customer
+"""
+
+
 def q_quality_gate_counts(sf_dir: str):
     """Quality-filter operator over the raw documents table with an
     EXACT SQL mirror: docs passing (len ≥ 80 AND alpha_ratio ≥ 0.5),
@@ -1043,6 +1078,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "order_asof_event": q_order_asof_event,
+    "order_coverage": q_order_coverage,
     "region_order_counts": q_region_order_counts,
     "quality_gate_counts": q_quality_gate_counts,
     "user_sessions": q_user_sessions,
@@ -1071,6 +1107,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sliding": SQL_EVENTS_SLIDING,
     "order_asof_event": SQL_ORDER_ASOF_EVENT,
+    "order_coverage": SQL_ORDER_COVERAGE,
     "region_order_counts": SQL_REGION_ORDER_COUNTS,
     "quality_gate_counts": SQL_QUALITY_GATE_COUNTS,
     "user_sessions": SQL_USER_SESSIONS,

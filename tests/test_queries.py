@@ -56,6 +56,7 @@ def test_all_oracle_keys_have_queries():
     "sniff_counts", "order_priority_revenue", "top_orders",
     "distinct_segments", "events_sliding", "region_order_counts",
     "quality_gate_counts", "order_asof_event",
+    "order_coverage",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
