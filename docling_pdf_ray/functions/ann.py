@@ -50,9 +50,17 @@ def make_topk_partial(queries_ref, k: int):
             # candidate selection must use the SAME ordering as the
             # final ranking (rounded score desc, vec_id asc) or a
             # vector within 1e-6 of the cutoff could be dropped here
-            # yet outrank a kept one after rounding
+            # yet outrank a kept one after rounding. O(B) argpartition
+            # on the rounded scores, then include ALL cutoff ties and
+            # lexsort only that small slice.
             row_r = np.round(scores[qi], 6)
-            order = np.lexsort((vids, -row_r))[:kk]
+            if kk < row_r.size:
+                part = np.argpartition(-row_r, kk - 1)
+                cutoff = row_r[part[kk - 1]]
+                cand = np.where(row_r >= cutoff)[0]
+            else:
+                cand = np.arange(row_r.size)
+            order = cand[np.lexsort((vids[cand], -row_r[cand]))][:kk]
             for j in order:
                 if vids[j] == qid:
                     continue                        # exclude self

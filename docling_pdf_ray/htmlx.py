@@ -224,6 +224,9 @@ def extract_blocks(root: _Node, cfg: PipelineConfig) -> tuple[list[Block], list[
         text = _collect_text(pseudo)
         if text and _keep(cfg, len(text), _link_len(pseudo), _tag_count(pseudo)):
             blocks.append(Block("text", text, text))
+        # images/tables nested in the run's inline elements still join
+        # the inventories regardless of the keep decision (M10/M11)
+        _collect_nested(pseudo)
 
     def walk(node: _Node) -> None:
         text_run: list = []

@@ -318,7 +318,11 @@ def run_partitioned(input_paths: list[str], out_dir: str,
                     for pid, p in todo]
             for f in futs:
                 results.append(f.result())
-    summary = lineage.rollup_counters(out_dir)
+    # restrict the rollup to the CURRENT shard set's partition ids —
+    # sidecars from shards since removed from the input must not
+    # inflate the summary (their data dirs also persist; clean the
+    # output dir when shrinking the input set)
+    summary = lineage.rollup_counters_for(out_dir, set(range(len(shards))))
     summary["partitions_skipped"] = len(done)
     summary["partitions_processed"] = len(results)
     return summary

@@ -490,6 +490,11 @@ def q_region_order_counts(sf_dir: str):
         lut = ray.get(ref)
         names = [lut.get(k) for k in batch.column("o_custkey").to_pylist()]
         t = pa.table({"r_name": pa.array(names, pa.string())})
+        # inner-join semantics like the SQL mirror: orders whose
+        # custkey misses the dimension chain are dropped, not grouped
+        # under a null region (referentially broken inputs would
+        # otherwise diverge from the oracle)
+        t = t.filter(pc.is_valid(t.column("r_name")))
         return t.group_by("r_name").aggregate([([], "count_all")]) \
             .rename_columns(["r_name", "p_n"])
 
@@ -556,13 +561,14 @@ def q_order_coverage(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    keys = set(pq.read_table(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey"]).column("o_custkey").to_pylist())
-    ref = ray.put(keys)
+    key_arr = pc.unique(pq.read_table(f"{sf_dir}/orders.parquet",
+                                      columns=["o_custkey"]).column("o_custkey"))
+    ref = ray.put(key_arr)   # arrow array: zero-copy from the object store
 
     def part(batch: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        hits = sum(1 for c in batch.column("c_custkey").to_pylist() if c in ks)
+        hits = pc.sum(pc.cast(pc.is_in(batch.column("c_custkey"),
+                                       value_set=ks), pa.int64())).as_py() or 0
         return pa.table({"p_with": pa.array([hits], pa.int64()),
                          "p_without": pa.array([batch.num_rows - hits], pa.int64())})
 

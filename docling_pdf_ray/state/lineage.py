@@ -57,7 +57,16 @@ def read_lineage(out_dir: str) -> pa.Table:
     files = sorted(glob.glob(os.path.join(out_dir, LINEAGE_DIR, "part-*.parquet")))
     if not files:
         return LINEAGE_SCHEMA.empty_table()
-    return pa.concat_tables(pq.read_table(f) for f in files)
+
+    def _upgrade(t: pa.Table) -> pa.Table:
+        # sidecars written before the 'shard' column existed get a null
+        # shard so mixed-version output dirs still concat/resume
+        for f in LINEAGE_SCHEMA:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        return t.select(LINEAGE_SCHEMA.names)
+
+    return pa.concat_tables(_upgrade(pq.read_table(f)) for f in files)
 
 
 def completed_partitions(out_dir: str,
@@ -81,10 +90,31 @@ def completed_partitions(out_dir: str,
         if shards is not None:
             if pid >= len(shards):
                 continue
-            if shard is not None and shard != os.path.basename(shards[pid]):
+            # an unknown (pre-upgrade) shard identity cannot prove the
+            # mapping still holds — reprocess conservatively rather
+            # than risk skipping a never-processed shard
+            if shard is None or shard != os.path.basename(shards[pid]):
                 continue
         done.add(pid)
     return done
+
+
+def rollup_counters_for(out_dir: str, pids: set[int]) -> dict:
+    """Counter rollup restricted to the given partition ids — the
+    runner uses this so sidecars left by shards since REMOVED from the
+    input set don't inflate the summary."""
+    import pyarrow.compute as pc
+
+    t = read_lineage(out_dir)
+    mask = pa.array([p in pids for p in t.column("partition_id").to_pylist()],
+                    pa.bool_())
+    t = t.filter(mask)
+    return {
+        "partitions": t.num_rows,
+        "n_ok": pc.sum(t.column("n_ok")).as_py() or 0,
+        "n_failed": pc.sum(t.column("n_failed")).as_py() or 0,
+        "wall_s_total": pc.sum(t.column("wall_s")).as_py() or 0.0,
+    }
 
 
 def rollup_counters(out_dir: str) -> dict:
