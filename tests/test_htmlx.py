@@ -169,3 +169,12 @@ def test_table_inside_leaf_block_is_reported():
     ex = extract_main_content(html, CFG)
     assert len(ex.tables) == 1
     assert "inner table cell" in ex.tables[0]["content"]
+
+
+def test_image_inside_inline_element_reported():
+    # second-review regression: <img> wrapped in <a> inside a div run
+    html = ('<html><body><div>Some prose around here that is long enough '
+            '<a href="/x"><img src="pic.png" alt="a chart"></a> '
+            'and more prose following it</div></body></html>').encode()
+    ex = extract_main_content(html, CFG)
+    assert [i["description"] for i in ex.images] == ["a chart"]

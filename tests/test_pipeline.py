@@ -229,3 +229,33 @@ def test_tasks_mode_worker_cache_keyed_by_cfg(ray_session, fixture_pages_dir):
     tp1 = dict(zip(pdf1.column("url").to_pylist(), pdf1.column("total_pages").to_pylist()))
     tp2 = dict(zip(pdf2.column("url").to_pylist(), pdf2.column("total_pages").to_pylist()))
     assert any(tp2[u] > tp1[u] for u in tp1), "lines_per_page=10 must repaginate"
+
+
+def test_lineage_mixed_schema_and_conservative_resume(tmp_path):
+    """Second-review findings: pre-'shard'-column sidecars must read
+    (no ArrowInvalid) and must NOT satisfy the shard-identity check."""
+    import pyarrow as pa
+
+    from docling_pdf_ray.state import lineage
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "_lineage"))
+    old = pa.Table.from_pydict({
+        "partition_id": pa.array([0], pa.int32()), "status": ["done"],
+        "n_ok": [5], "n_failed": [0], "first_url": ["a"],
+        "last_url": ["z"], "wall_s": [1.0]})
+    pq.write_table(old, os.path.join(d, "_lineage", "part-00000.parquet"))
+    lineage.write_lineage(d, 1, "done", 3, 1, "a", "z", 2.0, shard="s1.parquet")
+
+    t = lineage.read_lineage(d)
+    assert t.num_rows == 2 and "shard" in t.column_names
+    assert lineage.rollup_counters(d)["n_ok"] == 8
+
+    os.makedirs(os.path.join(d, "partition_id=0"))
+    os.makedirs(os.path.join(d, "partition_id=1"))
+    # no shard list: both count (back-compat)
+    assert lineage.completed_partitions(d) == {0, 1}
+    # with a shard list: the unknown-identity old sidecar is NOT trusted
+    assert lineage.completed_partitions(d, ["NEW.parquet", "s1.parquet"]) == {1}
+    # restricted rollup excludes out-of-range pids
+    assert lineage.rollup_counters_for(d, {1})["n_ok"] == 3
