@@ -37,7 +37,13 @@ CACHE_ROOT = "/tmp/graft_bench"
 
 
 def _pages_cache_dir() -> str:
-    key = hashlib.md5(f"{SF_DIR}|{REPL}|v3".encode()).hexdigest()[:10]
+    # the synthesis source is part of the key: a future round changing
+    # pages_from_documents.py must not silently benchmark a stale corpus
+    import docling_pdf_ray.sources.pages_from_documents as _pfd
+
+    with open(_pfd.__file__, "rb") as f:
+        src_h = hashlib.md5(f.read()).hexdigest()[:8]
+    key = hashlib.md5(f"{SF_DIR}|{REPL}|v3|{src_h}".encode()).hexdigest()[:10]
     return os.path.join(CACHE_ROOT, f"pages-{key}")
 
 

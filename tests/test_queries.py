@@ -131,3 +131,30 @@ def test_bucketed_asof_join_semantics(ray_session):
     assert out["rt"].tolist()[1] == 20 and out["rv"].tolist()[1] == 200
     assert pd.isna(out["rt"].tolist()[2]) and pd.isna(out["rt"].tolist()[3])
     assert len(out) == 4
+
+
+def test_bucketed_hash_join_matches_pandas_merge_on_random_tables(ray_session):
+    """Randomized oracle: the distributed join must equal a plain
+    pandas merge for arbitrary key distributions (dups, misses, skew)."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import bucketed_hash_join
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        lk = [rng.randrange(0, 12) for _ in range(60)]
+        rk = [rng.randrange(0, 12) for _ in range(25)]
+        left = pd.DataFrame({"k": lk, "lv": range(60)})
+        right = pd.DataFrame({"k": rk, "rv": range(1000, 1025)})
+        got = bucketed_hash_join(
+            rd.from_arrow(pa.Table.from_pandas(left)),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            "k", n_buckets=5).to_pandas()
+        want = left.merge(right, on="k", how="inner")
+        key = ["k", "lv", "rv"]
+        got = got[key].sort_values(key).reset_index(drop=True)
+        want = want[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), seed
