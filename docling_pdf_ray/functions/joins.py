@@ -8,6 +8,13 @@ a common schema (absent columns null), tag the side, union, and
 together — then pandas-merge/merge_asof the two sides inside
 ``map_groups``.
 
+Dtype discipline: every per-bucket result is emitted as an Arrow table
+with the EXACT union schema (derived from the two input side schemas),
+never a raw pandas frame. pandas silently upcasts int64 columns to
+float64/object whenever a bucket is empty or NA-padded, and Ray then
+unions the poisoned block into the whole column — the explicit-schema
+conversion makes that class of bug structurally impossible.
+
 Skew note: a hot key inflates its bucket; salt hot keys into
 sub-buckets before calling (extension point). ``n_buckets`` controls
 shuffle granularity.
@@ -15,27 +22,37 @@ shuffle granularity.
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
-    # null keys ride bucket 0 (they match nothing — see merge); a null
-    # bucket key would break the shuffle groupby
+    """Vectorized bucket assignment; null keys ride bucket 0 (they
+    match nothing — see merge; a null bucket key would break the
+    shuffle groupby). Integer keys: numpy modulo. Other keys: cast to
+    string + pandas hash_array (SipHash with a fixed key — process-
+    and run-deterministic, so both sides always agree)."""
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
     if pa.types.is_integer(col.type):
-        vals = col.to_pylist()
-        return pa.array([0 if v is None else int(v) % n_buckets for v in vals],
-                        pa.int32())
-    return pa.array([0 if v is None else zlib.crc32(str(v).encode()) % n_buckets
-                     for v in col.to_pylist()], pa.int32())
+        vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (vals % n_buckets).astype(np.int32)
+    else:
+        s = pc.fill_null(pc.cast(col, pa.string()), "")
+        h = pd.util.hash_array(np.asarray(s.to_pylist(), dtype=object),
+                               categorize=False)
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
+    b[null_mask] = 0
+    return pa.array(b, pa.int32())
 
 
 def _pad_and_union(left_ds, right_ds, key: str, n_buckets: int):
     """Shared co-group scaffolding: validate disjoint columns, pad both
     sides to the union schema (absent columns null), tag the side,
-    bucket by key, union. Returns (both_ds, l_only, r_only)."""
+    bucket by key, union. Returns (both_ds, l_only, r_only, fields)
+    where fields is the ordered [(name, arrow_type)] union schema the
+    per-bucket merge output must conform to."""
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     shared = (set(l_schema.names) & set(r_schema.names)) - {key}
@@ -64,7 +81,22 @@ def _pad_and_union(left_ds, right_ds, key: str, n_buckets: int):
         right_ds.map_batches(pad("r"), batch_format="pyarrow"))
     l_only = [c for c in l_schema.names if c != key]
     r_only = [c for c in r_schema.names if c != key]
-    return both, l_only, r_only
+    return both, l_only, r_only, all_fields
+
+
+def _to_schema_table(df: pd.DataFrame, fields) -> pa.Table:
+    """pandas → Arrow under the EXACT union schema. NaN/NaT/pd.NA become
+    nulls; float64 columns that pandas upcast from int64 round-trip back
+    losslessly (from_pandas treats NaN as null before the cast)."""
+    n = len(df)
+    arrays, names = [], []
+    for name, typ in fields:
+        names.append(name)
+        if name in df.columns:
+            arrays.append(pa.Array.from_pandas(df[name], type=typ))
+        else:
+            arrays.append(pa.nulls(n, typ))
+    return pa.Table.from_arrays(arrays, names=names)
 
 
 def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
@@ -77,9 +109,9 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
     loudly rather than silently degrading)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    both, l_only, r_only = _pad_and_union(left_ds, right_ds, key, n_buckets)
+    both, l_only, r_only, fields = _pad_and_union(left_ds, right_ds, key, n_buckets)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         # SQL semantics: null keys match nothing (pandas merge would
         # pair NaN==NaN) — null-key left rows survive only under 'left'
         l = g[g["_side"] == "l"][[key] + l_only]
@@ -88,15 +120,16 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
         if how == "inner":
             l = l[l[key].notna()]
         if l.empty or (r.empty and how == "inner"):
-            return pd.DataFrame(columns=[key] + l_only + r_only)
+            return _to_schema_table(pd.DataFrame(columns=[key] + l_only + r_only),
+                                    fields)
         if how == "left":
             l_null = l[l[key].isna()]
             l = l[l[key].notna()]
             merged = l.merge(r, on=key, how="left") if not l.empty else l
             if not l_null.empty:
                 merged = pd.concat([merged, l_null], ignore_index=True)
-            return merged
-        return l.merge(r, on=key, how=how)
+            return _to_schema_table(merged, fields)
+        return _to_schema_table(l.merge(r, on=key, how=how), fields)
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
 
@@ -112,27 +145,26 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
     timestamp, so emit the right TS (and aggregates of it), not
     tie-ambiguous payload columns, when cross-engine determinism
     matters."""
-    both, l_only, r_only = _pad_and_union(left_ds, right_ds, key, n_buckets)
+    both, l_only, r_only, fields = _pad_and_union(left_ds, right_ds, key, n_buckets)
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
+    def asof(g: pd.DataFrame) -> pa.Table:
         l_all = g[g["_side"] == "l"][[key] + l_only]
         r = g[g["_side"] == "r"][[key] + r_only]
         l_null = l_all[l_all[key].isna()]
         l = l_all[l_all[key].notna()].sort_values(ts_left, kind="mergesort")
         r = r[r[key].notna()].sort_values(ts_right, kind="mergesort")
         if l.empty and l_null.empty:
-            return pd.DataFrame(columns=[key] + l_only + r_only)
-        if l.empty:
             merged = pd.DataFrame(columns=[key] + l_only + r_only)
+        elif l.empty:
+            merged = l_null
         elif r.empty:
-            merged = l.copy()
-            for c in r_only:
-                merged[c] = pd.NA
+            merged = pd.concat([l, l_null], ignore_index=True) \
+                if not l_null.empty else l
         else:
             merged = pd.merge_asof(l, r, left_on=ts_left, right_on=ts_right,
                                    by=key, direction="backward")
-        if not l_null.empty:
-            merged = pd.concat([merged, l_null], ignore_index=True)
-        return merged
+            if not l_null.empty:
+                merged = pd.concat([merged, l_null], ignore_index=True)
+        return _to_schema_table(merged, fields)
 
     return both.groupby("_bucket").map_groups(asof, batch_format="pandas")

@@ -139,7 +139,8 @@ def q_doc_stats_by_lang(sf_dir: str):
 
 
 SQL_DOC_STATS_BY_LANG = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -164,7 +165,7 @@ def q_doc_token_stats(sf_dir: str):
 
 SQL_DOC_TOKEN_STATS = f"""
 SELECT lang,
-       sum(array_length(regexp_extract_all(text, '{ftext.TOKEN_PATTERN}'))) AS total_tokens,
+       CAST(sum(array_length(regexp_extract_all(text, '{ftext.TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -193,8 +194,8 @@ def q_doc_quality_by_lang(sf_dir: str):
 
 SQL_DOC_QUALITY_BY_LANG = """
 SELECT lang,
-       sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS alpha_chars,
-       sum(length(text)) AS total_chars
+       CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS alpha_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -309,9 +310,9 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -359,7 +360,7 @@ def q_segment_revenue(sf_dir: str):
 
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -389,7 +390,7 @@ def q_events_hourly(sf_dir: str):
 
 SQL_EVENTS_HOURLY = """
 SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        count(*) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -418,8 +419,8 @@ def q_user_sessions(sf_dir: str):
 
 SQL_USER_SESSIONS = """
 SELECT user_id, count(*) AS n_events,
-       sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-                THEN 1 ELSE 0 END) AS n_sessions
+       CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
       FROM events)
@@ -717,7 +718,7 @@ def q_order_priority_revenue(sf_dir: str):
 
 SQL_ORDER_PRIORITY_REVENUE = """
 SELECT o_orderpriority,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
@@ -725,19 +726,31 @@ GROUP BY 1 ORDER BY 1
 
 
 def q_top_orders(sf_dir: str, k: int = 10):
-    """Global top-k (sort/limit) with deterministic tiebreak."""
+    """Global top-k WITHOUT a global sort: per-batch local top-k
+    partials (numpy lexsort on ≤ batch rows) → ≤ k rows per block →
+    exact driver merge, the ann.py:77-94 partials pattern. A
+    ``ds.sort(...).limit(k)`` would all-to-all-shuffle the entire
+    orders table to keep 10 rows — the canonical 100-TB scale-killer.
+    Deterministic tiebreak: (cents desc, o_orderkey asc)."""
+    import pandas as pd
 
-    def cents(batch: pa.Table) -> pa.Table:
+    def topk_partial(batch: pa.Table) -> pa.Table:
         c = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0),
-                             round_mode="half_towards_infinity"), pa.int64())
-        return pa.table({"o_orderkey": batch.column("o_orderkey"),
-                         "totalprice_cents": c})
+                             round_mode="half_towards_infinity"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -c))[:k]
+        return pa.table({"o_orderkey": pa.array(keys[order], pa.int64()),
+                         "totalprice_cents": pa.array(c[order], pa.int64())})
 
-    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
-                            columns=["o_orderkey", "o_totalprice"]) \
-        .map_batches(cents, batch_format="pyarrow")
-    return ds.sort(["totalprice_cents", "o_orderkey"],
-                   descending=[True, False]).limit(k)
+    partials = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                  columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(topk_partial, batch_format="pyarrow")
+    cand = pd.concat(list(partials.iter_batches(batch_format="pandas")),
+                     ignore_index=True)
+    return cand.sort_values(["totalprice_cents", "o_orderkey"],
+                            ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
 
 
 SQL_TOP_ORDERS = """

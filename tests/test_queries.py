@@ -64,6 +64,16 @@ def test_query_matches_duckdb(registry, name):
     want = _normalize(_duck(oracles[name]))
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want), (len(got), len(want))
+    # driver-hash parity guard: the driver hashes VALUES, so an int64
+    # engine column vs a float64 oracle column (DuckDB sum → HUGEINT →
+    # float64 in fetchdf) hash-mismatches even when values are equal —
+    # the round-1 failure mode. Numeric columns must agree on
+    # integer-vs-float on both sides.
+    for c in got.columns:
+        a, b = got[c].dtype, want[c].dtype
+        if pd.api.types.is_numeric_dtype(a) or pd.api.types.is_numeric_dtype(b):
+            assert pd.api.types.is_float_dtype(a) == pd.api.types.is_float_dtype(b), \
+                (name, c, a, b)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
 
