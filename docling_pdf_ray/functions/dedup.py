@@ -46,6 +46,16 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return jaccard(word_shingles(text_a, k), word_shingles(text_b, k))
 
 
+def jaccard_counts(text_a: str, text_b: str, k: int = 3) -> tuple[int, int]:
+    """Exact Jaccard as (|A∩B|, |A∪B|) integer counts — used where the
+    result must hash identically across engines (float division and
+    rounding rules differ between Python and SQL; the integer pair is
+    representation-unambiguous)."""
+    a, b = word_shingles(text_a, k), word_shingles(text_b, k)
+    inter = len(a & b)
+    return inter, len(a) + len(b) - inter
+
+
 # ---------------------------------------------------------------- MinHash
 
 _MERSENNE = (1 << 61) - 1
@@ -127,17 +137,22 @@ def minhash_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (term-frequency
-    weighted)."""
-    acc = np.zeros(64, dtype=np.int64)
+    weighted). The per-word bit expansion is one numpy broadcast over
+    the unique-word hash vector (not a Python loop per word per bit) —
+    byte-identical output to the scalar definition."""
     words = text.split()
     if not words:
         return 0
     from collections import Counter
 
-    for w, c in Counter(words).items():
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += c * (2 * bits - 1)
+    c = Counter(words)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+         for w in c), dtype=np.uint64, count=len(c))
+    cnt = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)) \
+        .astype(np.int64)
+    acc = (cnt[:, None] * (2 * bits - 1)).sum(axis=0)
     fp = 0
     for i in range(64):
         if acc[i] > 0:

@@ -623,7 +623,13 @@ GROUP BY 1 ORDER BY 1
 
 def q_lang_detect(sf_dir: str):
     """Language-ID heuristic audit: confusion counts (lang ×
-    predicted). Deterministic; no SQL analog (rows-only check)."""
+    predicted). SQL-checked: the heuristic (CJK codepoint ratio, then
+    stopword hit-count argmax over the first 500 words, ties to the
+    lexicographically first language) is mirrored exactly in DuckDB —
+    the CJK threshold compares in exact integer arithmetic
+    (20·cjk > chars ⟺ ratio > 0.05) and the word regex uses \\p{L}+
+    (RE2) ⇔ [^\\W\\d_]+ (Python unicode), verified equivalent per-doc
+    on the gate corpora."""
 
     def pred(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -635,6 +641,44 @@ def q_lang_detect(sf_dir: str):
 
     partials = _docs(sf_dir, ["text", "lang"]).map_batches(pred, batch_format="pyarrow")
     return _driver_combine(partials, ["lang", "predicted"], {"n": ("p_n", "sum")})
+
+
+def _sql_stop_list(lang: str) -> str:
+    return "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'"
+        for w in sorted(ftext.STOPWORDS[lang])) + "]"
+
+
+SQL_LANG_DETECT = f"""
+WITH pred AS (
+  SELECT lang,
+    CASE
+      WHEN text IS NULL OR text = '' THEN 'unknown'
+      WHEN 20 * len(regexp_extract_all(text, '[\\x{{4E00}}-\\x{{9FFF}}]'))
+           > length(text) THEN 'zh'
+      ELSE (
+        WITH w AS (SELECT list_transform(
+                     list_slice(regexp_extract_all(text, '\\p{{L}}+'), 1, 500),
+                     x -> lower(x)) AS ws)
+        SELECT CASE
+          WHEN len(ws) = 0 THEN 'unknown'
+          WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'unknown'
+          WHEN de_h = greatest(de_h, en_h, es_h, fr_h) THEN 'de'
+          WHEN en_h = greatest(de_h, en_h, es_h, fr_h) THEN 'en'
+          WHEN es_h = greatest(de_h, en_h, es_h, fr_h) THEN 'es'
+          ELSE 'fr' END
+        FROM (SELECT ws,
+                len(list_filter(ws, x -> list_contains({_sql_stop_list('de')}, x))) AS de_h,
+                len(list_filter(ws, x -> list_contains({_sql_stop_list('en')}, x))) AS en_h,
+                len(list_filter(ws, x -> list_contains({_sql_stop_list('es')}, x))) AS es_h,
+                len(list_filter(ws, x -> list_contains({_sql_stop_list('fr')}, x))) AS fr_h
+              FROM w))
+    END AS predicted
+  FROM documents
+)
+SELECT lang, predicted, count(*) AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def q_sniff_counts(sf_dir: str):
@@ -801,92 +845,178 @@ def _docs_with_planted_dups(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(plant, batch_format="pyarrow")
 
 
-def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7):
-    """MinHash+LSH near-dup detection (shingle → 64-perm signature →
-    16-band LSH → bucket groupby → exact-Jaccard verify). Only
-    (band, band_hash, doc_id) triples shuffle; verification runs
-    distributed over the (small) candidate-pair set with candidate
-    texts broadcast. Deterministic; no SQL analog (rows-only)."""
+STAR_LINK_BUCKET = 100    # LSH buckets larger than this star-link to
+                          # the min doc_id instead of O(n²) pairing —
+                          # mass duplication (a 150-copy boilerplate
+                          # page) must never be silently dropped
+
+
+def _hot_bucket_pairs(g, key_cols: list[str], star_limit: int = STAR_LINK_BUCKET):
+    """Per-shuffle-bucket candidate pairing (shared by minhash and
+    simhash blocking): vectorized duplicate-key prefilter, then pair
+    only within hot (band, hash) keys; oversized keys star-link to the
+    min doc_id. Returns list of (a, b) with a < b."""
+    pairs = []
+    hot = g[g.duplicated(key_cols, keep=False)]
+    for _, grp in hot.groupby(key_cols, sort=False):
+        ids = sorted(grp["doc_id"].unique())
+        if len(ids) < 2:
+            continue
+        if len(ids) > star_limit:
+            anchor = ids[0]
+            pairs.extend((anchor, b) for b in ids[1:])
+            continue
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                pairs.append((a, b))
+    return pairs
+
+
+def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
+                        n_buckets: int = 64):
+    """MinHash+LSH near-dup detection, fully distributed blocking:
+    shingle → 64-perm signature → 16-band LSH triples (doc_id, band,
+    band_hash) → ONE narrow-column shuffle (bucket by band_hash) →
+    per-bucket vectorized hot-key pairing (star-linked above
+    STAR_LINK_BUCKET) → exact-Jaccard verify distributed over the
+    candidate pairs with only the CANDIDATE texts broadcast (fetched
+    by a distributed is_in filter, never a full driver scan). The only
+    driver-side materializations are the candidate-pair set and the
+    candidate texts — both O(near-dups), not O(corpus).
+
+    Docs whose shingle set is empty (null/blank text) emit no bands:
+    an empty sketch carries no similarity evidence (and would
+    degenerately bucket all blank docs together).
+
+    Output is exact-integer (jacc_num, jacc_den) per pair — Jaccard as
+    a ratio of counts, representation-identical in SQL. Pair kept iff
+    num/den ≥ threshold, compared in exact integer arithmetic."""
+    from fractions import Fraction
+
+    import pandas as pd
+    import ray
+
     from .functions import dedup as dd
+
+    fr = Fraction(str(threshold))
+    empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                          "doc_id_b": pd.Series([], dtype="int64"),
+                          "jacc_num": pd.Series([], dtype="int64"),
+                          "jacc_den": pd.Series([], dtype="int64")})
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids, bands, hashes = [], [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
+            if not dd.word_shingles(t or ""):
+                continue
             sig = dd.minhash_signature(t or "")
             for b, h in enumerate(dd.band_hashes(sig)):
                 ids.append(i)
                 bands.append(b)
                 hashes.append(h)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "band_hash": pa.array(hashes, pa.int64())})
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "band": pa.array(bands, pa.int32()),
+                      "band_hash": pa.array(hashes, pa.int64())})
+        return t.append_column(
+            "_bucket", pc.cast(pc.bit_wise_and(t.column("band_hash"),
+                                               n_buckets - 1), pa.int32()))
 
-    import pandas as pd
+    def hot_pairs(g: pd.DataFrame) -> pa.Table:
+        pairs = _hot_bucket_pairs(g, ["band", "band_hash"])
+        return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                         "b": pa.array([p[1] for p in pairs], pa.int64())})
 
     docs = _docs_with_planted_dups(sf_dir)
-    bands = docs.map_batches(sigs, batch_format="pyarrow")
-    # hot-bucket detection: (band, hash) keys with ≥2 docs are RARE
-    # (near-dups + collisions only), so collect the band triples and
-    # pair on the driver. At 10^12-doc scale this step becomes a
-    # distributed groupby-count → filter n>1 → broadcast — same shape,
-    # one-line switch; candidate PAIRS stay small either way.
-    band_pd = pd.concat(list(bands.iter_batches(batch_format="pandas")),
-                        ignore_index=True)
-    grp = band_pd.groupby(["band", "band_hash"])["doc_id"].apply(
-        lambda s: sorted(s.unique()))
-    pairs = set()
-    for ids in grp:
-        if len(ids) < 2:
-            continue
-        if len(ids) > 100:
-            # degenerate bucket (mass duplication): STAR-link every
-            # member to the min id instead of O(n²) pairs — duplicates
-            # of the anchor are still found and verified; never drop a
-            # bucket silently (a 150-copy boilerplate page must not be
-            # reported as 150 uniques)
-            anchor = ids[0]
-            for b in ids[1:]:
-                pairs.add((anchor, b))
-            continue
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                pairs.add((a, b))
-    cand_pd = pd.DataFrame(sorted(pairs), columns=["a", "b"])
+    cand_pd = docs.map_batches(sigs, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(hot_pairs, batch_format="pandas") \
+        .to_pandas().drop_duplicates()          # small: candidates only
     if cand_pd.empty:
-        return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "jaccard_r": []})
+        return empty
 
-    # exact verify: candidate texts are a small set → broadcast dict
-    import ray
+    # candidate texts via broadcast id-set + distributed filter: only
+    # rows IN the candidate set ever reach the driver
+    need = pa.array(sorted(set(cand_pd["a"]).union(cand_pd["b"])), pa.int64())
+    need_ref = ray.put(need)
 
-    need = set(cand_pd["a"]).union(cand_pd["b"])
-    texts: dict[int, str] = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if i in need:
-                texts[i] = t or ""
-    ref = ray.put(texts)
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=ray.get(need_ref)))
+
+    picked = docs.map_batches(pick, batch_format="pyarrow").to_pandas()
+    texts_ref = ray.put(dict(zip(picked["doc_id"],
+                                 picked["text"].fillna(""))))
 
     def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(ref)
+        tx = ray.get(texts_ref)
         rows = []
         for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            j = dd.ngram_jaccard(tx[a], tx[b])
-            if j >= threshold:
-                rows.append((a, b, round(j, 4)))
+            num, den = dd.jaccard_counts(tx[a], tx[b])
+            if num * fr.denominator >= fr.numerator * den:
+                rows.append((a, b, num, den))
         return pa.table({"doc_id_a": pa.array([r[0] for r in rows], pa.int64()),
                          "doc_id_b": pa.array([r[1] for r in rows], pa.int64()),
-                         "jaccard_r": pa.array([r[2] for r in rows], pa.float64())})
+                         "jacc_num": pa.array([r[2] for r in rows], pa.int64()),
+                         "jacc_den": pa.array([r[3] for r in rows], pa.int64())})
 
     out = _rd().from_arrow(pa.Table.from_pandas(cand_pd)) \
         .map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
-def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup detection: 64-bit fingerprints, 4×16-bit band
-    blocking (pigeonhole: hamming<4 ⇒ ≥1 shared band), hamming verify.
-    Rows-only check."""
+SQL_MINHASH_NEAR_DUPS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), aug AS (
+  SELECT doc_id, words FROM base
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET},
+         list_slice(words, 1, greatest(len(words) - 5, 0))
+  FROM base WHERE doc_id % {PLANT_EVERY} = 0 AND len(words) > 0
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(words) = 0 THEN []
+              WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         END AS sh
+  FROM aug
+), exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM shingled
+), cand AS (
+  -- exact-complete prefilter: J >= 0.7 > 0 requires >= 1 shared shingle
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       len(list_intersect(sa.sh, sb.sh)) AS jacc_num,
+       len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS jacc_den
+FROM cand
+JOIN shingled sa ON sa.doc_id = ida
+JOIN shingled sb ON sb.doc_id = idb
+WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+      >= 7 * (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+ORDER BY 1, 2
+"""
+
+
+def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3,
+                        n_buckets: int = 64):
+    """SimHash near-dup detection, fully distributed blocking: 64-bit
+    fingerprints, 4×16-bit band blocking (pigeonhole: hamming < 4 ⇒
+    ≥ 1 shared band) → ONE narrow shuffle (bucket by band_key) →
+    per-bucket hot-key pairing with hamming verify inline (the
+    fingerprint rides the triple, so no second text pass is needed).
+    Oversized buckets star-link to the min doc_id — same recall
+    guarantee as minhash, never silently dropped. Approximate by
+    construction (fingerprint collisions): rows-only check; recall on
+    planted dups is pinned by tests."""
     import pandas as pd
 
     from .functions import dedup as dd
@@ -895,36 +1025,41 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3):
         ids, bands, fp_col = [], [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
+            if not (t or "").split():
+                continue        # blank docs carry no similarity signal
             fp = dd.simhash64(t or "")
             for bk in dd.simhash_bands(fp):
                 ids.append(i)
                 bands.append(bk)
                 fp_col.append(fp - (1 << 63))     # shift into int64 range
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band_key": pa.array(bands, pa.int64()),
-                         "fp": pa.array(fp_col, pa.int64())})
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "band_key": pa.array(bands, pa.int64()),
+                      "fp": pa.array(fp_col, pa.int64())})
+        return t.append_column(
+            "_bucket", pc.cast(pc.bit_wise_and(t.column("band_key"),
+                                               n_buckets - 1), pa.int32()))
 
-    docs = _docs_with_planted_dups(sf_dir)
-    band_pd = pd.concat(
-        list(docs.map_batches(fps, batch_format="pyarrow")
-             .iter_batches(batch_format="pandas")), ignore_index=True)
-    # hot-band blocking on the driver (scale path: distributed
-    # groupby-count → broadcast, as in minhash above)
-    out = set()
-    for _, g in band_pd.groupby("band_key"):
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        f = rows["fp"].tolist()
-        if len(ids) < 2 or len(ids) > 100:
-            continue
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = dd.hamming64(f[i] + (1 << 63), f[j] + (1 << 63))
-                if h <= max_hamming:
-                    out.add((ids[i], ids[j], h))
-    pairs = pd.DataFrame(sorted(out),
-                         columns=["doc_id_a", "doc_id_b", "hamming"])
-    return pairs.reset_index(drop=True)
+    def hot_pairs(g: pd.DataFrame) -> pa.Table:
+        fp_of = dict(zip(g["doc_id"], g["fp"]))
+        out = []
+        for a, b in _hot_bucket_pairs(g, ["band_key"]):
+            h = dd.hamming64(fp_of[a] + (1 << 63), fp_of[b] + (1 << 63))
+            if h <= max_hamming:
+                out.append((a, b, h))
+        return pa.table({"doc_id_a": pa.array([r[0] for r in out], pa.int64()),
+                         "doc_id_b": pa.array([r[1] for r in out], pa.int64()),
+                         "hamming": pa.array([r[2] for r in out], pa.int64())})
+
+    pairs = _docs_with_planted_dups(sf_dir) \
+        .map_batches(fps, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(hot_pairs, batch_format="pandas") \
+        .to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                             "doc_id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pairs.drop_duplicates(["doc_id_a", "doc_id_b"]) \
+        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
 EMB_PLANT_OFFSET = 100_000
@@ -988,10 +1123,15 @@ def q_embedding_dup_pairs(sf_dir: str, threshold: float = 0.95):
 
 def q_embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.95):
     """The LSH scale path for the same operator: bucket by 16-plane
-    sign pattern, exact cosine only within buckets. Approximate
-    (identical copies always share a bucket; non-identical near-dups
-    can straddle buckets) — rows-only check by design; recall
-    properties are pinned by tests/test_dedup.py."""
+    sign pattern, exact cosine only within buckets. Approximate in
+    general (non-identical near-dups can straddle buckets), but
+    IDENTICAL vectors provably share a bucket, and the only ≥0.95
+    pairs in this corpus are the planted identical copies (verified:
+    LSH output == brute-force output at the gate scales) — so the
+    exact brute-force SQL is a sound oracle here; a borderline
+    straddling pair in future data would surface as a driver
+    mismatch, which is exactly what an oracle is for. Recall
+    properties are additionally pinned by tests/test_dedup.py."""
     import pandas as pd
 
     from .functions import dedup as dd
@@ -1130,6 +1270,9 @@ ORACLE_SQL = {
     "region_order_counts": SQL_REGION_ORDER_COUNTS,
     "quality_gate_counts": SQL_QUALITY_GATE_COUNTS,
     "user_sessions": SQL_USER_SESSIONS,
+    "lang_detect": SQL_LANG_DETECT,
+    "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "embedding_dup_pairs_lsh": SQL_EMBEDDING_DUP_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
 }

@@ -177,3 +177,61 @@ def test_lsh_topk_finds_true_near_neighbors(ray_session):
     for q in qids:
         assert exact[exact.query_id == q].vec_id.iloc[0] == q + 5000
 
+
+
+def test_hot_bucket_pairs_star_links_oversized_buckets():
+    """Mass duplication (a 150-copy boilerplate page) must star-link to
+    the min doc_id, never be silently dropped — shared by the minhash
+    and simhash blocking paths."""
+    import pandas as pd
+
+    from docling_pdf_ray.queries import _hot_bucket_pairs
+
+    g = pd.DataFrame({"band_key": [7] * 150, "doc_id": list(range(150))})
+    pairs = _hot_bucket_pairs(g, ["band_key"])
+    assert pairs == [(0, b) for b in range(1, 150)]
+
+    small = pd.DataFrame({"band_key": [7, 7, 7, 9], "doc_id": [3, 1, 2, 5]})
+    assert _hot_bucket_pairs(small, ["band_key"]) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_near_dup_queries_mass_duplicate_corpus(ray_session, tmp_path):
+    """End-to-end: a corpus that is one page duplicated 150× must come
+    back fully linked (149 star pairs) from BOTH near-dup operators —
+    the round-1 simhash implementation dropped >100-member buckets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.queries import q_minhash_near_dups, q_simhash_near_dups
+
+    text = ("the same boilerplate navigation footer page text repeated "
+            "verbatim across the whole crawl " * 4)
+    # doc_ids chosen to avoid the %25 plant (which would add near-copies)
+    ids = [i * 25 + 1 for i in range(150)]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array([text] * 150, pa.string())}),
+                   tmp_path / "documents.parquet")
+
+    mh = q_minhash_near_dups(str(tmp_path))
+    assert len(mh) == 149
+    assert set(mh["doc_id_a"]) == {ids[0]}
+    assert (mh["jacc_num"] == mh["jacc_den"]).all()   # exact copies: J = 1
+
+    sh = q_simhash_near_dups(str(tmp_path))
+    assert len(sh) == 149
+    assert set(sh["doc_id_a"]) == {ids[0]}
+    assert (sh["hamming"] == 0).all()
+
+
+def test_simhash_near_dups_regression_sf0001(ray_session):
+    """Pin the distributed simhash blocking output (rows-only query):
+    deterministic, int64 schema, all pairs within the hamming budget,
+    and the known pair count on the fixed sf0.001 corpus."""
+    from docling_pdf_ray.queries import q_simhash_near_dups
+
+    out = q_simhash_near_dups("/root/testdata/sf0.001")
+    assert list(out.columns) == ["doc_id_a", "doc_id_b", "hamming"]
+    assert [str(t) for t in out.dtypes] == ["int64", "int64", "int64"]
+    assert len(out) == 29
+    assert (out["hamming"] <= 3).all()
+    assert (out["doc_id_a"] < out["doc_id_b"]).all()
