@@ -353,9 +353,16 @@ def _flatten(url: str, method: str | None, data: dict[str, Any],
         extra.append(data["extraction_error"])
     if extra:
         warning = "; ".join(([warning] if warning else []) + extra)
+    # word_count/character_count/image_index exist only on the fallback
+    # path (pdf_extractor.py:519-533) — nullable struct members, null
+    # elsewhere (reference fidelity: the fallback output carries them)
     pages = [{"page_number": p["page_number"], "content": p["content"],
-              "line_count": p["line_count"]} for p in data.get("pages", [])]
-    images = [{"description": i["description"], "page": i.get("page", -1)}
+              "line_count": p["line_count"],
+              "word_count": p.get("word_count"),
+              "character_count": p.get("character_count")}
+             for p in data.get("pages", [])]
+    images = [{"description": i["description"], "page": i.get("page", -1),
+               "image_index": i.get("image_index")}
               for i in data.get("images", [])]
     return {
         "url": url,

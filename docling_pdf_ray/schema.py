@@ -24,6 +24,10 @@ PAGE_STRUCT = pa.struct([
     pa.field("page_number", pa.int32()),
     pa.field("content", pa.large_string()),
     pa.field("line_count", pa.int32()),
+    # fallback-only per-page counters (pdf_extractor.py:531-532);
+    # null on the happy/HTML paths, which never compute them
+    pa.field("word_count", pa.int64()),
+    pa.field("character_count", pa.int64()),
 ])
 SPAN_STRUCT = pa.struct([
     pa.field("start", pa.int64()),
@@ -37,6 +41,9 @@ TABLE_STRUCT = pa.struct([
 IMAGE_STRUCT = pa.struct([
     pa.field("description", pa.string()),
     pa.field("page", pa.int32()),
+    # fallback-only per-page image ordinal (pdf_extractor.py:519-524);
+    # null on the happy path (docling elements carry no index)
+    pa.field("image_index", pa.int32()),
 ])
 
 EXTRACTED_SCHEMA = pa.schema([

@@ -87,7 +87,8 @@ def test_extract_html_row_empty_has_one_empty_page():
     assert r["word_count"] == 0 and r["character_count"] == 0
     # reference pagination quirk: '' → one page with one empty line
     assert r["total_pages"] == 1
-    assert r["pages"] == [{"page_number": 1, "content": "", "line_count": 1}]
+    assert r["pages"] == [{"page_number": 1, "content": "", "line_count": 1,
+                           "word_count": None, "character_count": None}]
 
 
 def test_pseudo_text_blocks_in_divs():

@@ -51,7 +51,8 @@ def test_pdf_happy_path():
     # markdown: elements joined with \n\n; blank line skipped; image marker
     assert r["full_text"] == "# Title\n\nhello world\n\n| a | b |\n\n<!-- image -->"
     assert r["tables"] == [{"content": "a | b", "page": 1}]
-    assert r["images"] == [{"description": "fig one", "page": 1}]
+    assert r["images"] == [{"description": "fig one", "page": 1,
+                            "image_index": None}]
     assert r["has_tables"] and r["has_images"]
     assert r["word_count"] == len(r["full_text"].split())
     assert r["character_count"] == len(r["full_text"])
@@ -239,3 +240,31 @@ def test_fallback_spans_cover_pages_in_stripped_text():
     assert "gamma" in ft[fb["spans"][1]["start"]:fb["spans"][1]["end"]]
     for s in fb["spans"]:
         assert 0 <= s["start"] < s["end"] <= len(ft)
+
+
+def test_fallback_struct_fidelity_through_arrow():
+    """Reference fidelity (pdf_extractor.py:519-533): fallback output
+    carries per-page word_count/character_count and per-image
+    image_index; the Arrow structs keep them (nullable — null on the
+    happy/HTML paths, which never compute them)."""
+    from docling_pdf_ray import schema
+
+    probe = spdf.build([(612.0, 792.0, ["a b", "c", "%%IMAGE fig"])],
+                       terminated=False)      # strict fails → generic fallback
+    r = oracle.extract_row("u", probe)
+    assert r["extraction_method"] == "fallback"
+    t = schema.result_to_arrow([r])
+    row = t.to_pylist()[0]
+    (page,) = row["pages"]
+    assert page["word_count"] == len(page["content"].split())
+    assert page["character_count"] == len(page["content"])
+    assert row["images"] == [{"description": "Image 1 on page 1",
+                              "page": 1, "image_index": 0}]
+
+    happy = oracle.extract_row("u", spdf.build([(612.0, 792.0,
+                                                 ["t", "%%IMAGE fig"])]))
+    assert happy["extraction_method"] == "pdf_parse"
+    hrow = schema.result_to_arrow([happy]).to_pylist()[0]
+    assert all(p["word_count"] is None and p["character_count"] is None
+               for p in hrow["pages"])
+    assert all(i["image_index"] is None for i in hrow["images"])
