@@ -5,12 +5,15 @@ timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 Prints ONE JSON line:
   {"metric": "...", "value": <headline seconds>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_s": ...,
-   "mb_per_s": ...}
+   "mb_per_s": ..., "actor_pool_sec": ...}
 
---scaling: runs the headline pipeline in TWO fresh processes
-(num_cpus=8 then num_cpus=32) on the same input and reports both
-throughputs + scaling efficiency (the sandbox stand-in for the north
-rule's N-vs-4N-node criterion).
+The headline is the 'tasks' execution mode (byte-identical output to
+the default actor-pool structure, tested in test_pipeline.py); the
+actor-pool median is reported alongside. --scaling: runs the headline
+pipeline at 4/8/16/32 CPUs, each level as GRAFT_BENCH_SCALING_SESSIONS
+(default 3) fresh processes of 3 reps, and reports the 4→16 and 8→32
+N-vs-4N efficiencies from median sessions (the sandbox stand-in for
+the north rule's two-cluster-size criterion).
 
 Input: pages parquet synthesized deterministically from the sf dir's
 documents table (sources/pages_from_documents.py), replicated
@@ -86,7 +89,9 @@ def _warmup(shards, cfg) -> None:
     """Untimed: spin up the Ray worker pool and import the package in
     every worker (first-execution cost is once-per-session in
     production, ~15s here — it would otherwise dominate a seconds-scale
-    benchmark), and exercise the extract path once on one shard."""
+    benchmark), and exercise BOTH extract paths once on one shard (the
+    tasks path warms the worker-global converters; the actor path warms
+    the pool spin-up machinery and the parquet write)."""
     import ray.data as rd
 
     def _imp(b):
@@ -100,20 +105,43 @@ def _warmup(shards, cfg) -> None:
 
     # exercise the FULL path including the parquet write — the first
     # write execution in a session pays a large one-time cost
-    wout = os.path.join(CACHE_ROOT, "warmup-out")
-    shutil.rmtree(wout, ignore_errors=True)
-    extract_dataset(shards[:1], cfg).write_parquet(wout)
-    shutil.rmtree(wout, ignore_errors=True)
+    for mode in ("tasks", "actor_pool"):
+        wout = os.path.join(CACHE_ROOT, f"warmup-out-{mode}")
+        shutil.rmtree(wout, ignore_errors=True)
+        extract_dataset(shards[:1], cfg.with_(execution_mode=mode)) \
+            .write_parquet(wout)
+        shutil.rmtree(wout, ignore_errors=True)
 
 
-def _measure() -> dict:
+def _timed_extract(shards, cfg, tag: str, reps: int = 3) -> list[float]:
+    from docling_pdf_ray.pipelines.extract import extract_dataset
+
+    out = []
+    for _rep in range(reps):
+        out_dir = os.path.join(CACHE_ROOT, f"extract-out-{tag}-{NUM_CPUS}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        ds = extract_dataset(shards, cfg, override_num_blocks=NUM_CPUS * 8)
+        ds.write_parquet(out_dir)
+        out.append(time.monotonic() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def _measure(actor_pool_too: bool = True) -> dict:
     """Shared headline measurement (Ray session must be initialised):
-    prepare + page-cache warm + worker warmup + 3-rep median of the
-    default-mode pipeline."""
+    prepare + page-cache warm + worker warmup + 3-rep medians.
+
+    HEADLINE = 'tasks' execution mode (byte-identical output to the
+    actor-pool mode, tested): stateless task stage with worker-global
+    warm converters. On this single node it is consistently ~2-4×
+    faster than the actor-pool structure (pool scheduling + block
+    handoff overhead; unfusing the sniff stage does not close the gap —
+    measured), so the headline reports the faster of two correct
+    implementations with the actor-pool number alongside."""
     import pyarrow.parquet as pq
 
     from docling_pdf_ray.config import DEFAULT_CONFIG
-    from docling_pdf_ray.pipelines.extract import extract_dataset
 
     shards = prepare_pages()
     n_docs = sum(pq.read_metadata(s).num_rows for s in shards)
@@ -129,17 +157,11 @@ def _measure() -> dict:
     cfg = DEFAULT_CONFIG.with_(pdf_pool_min=pool, pdf_pool_max=pool)
     _warmup(shards, cfg)
 
-    reps = []
-    for _rep in range(3):
-        out_dir = os.path.join(CACHE_ROOT, f"extract-out-{NUM_CPUS}")
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.monotonic()
-        ds = extract_dataset(shards, cfg, override_num_blocks=NUM_CPUS * 8)
-        ds.write_parquet(out_dir)
-        reps.append(time.monotonic() - t0)
+    reps = _timed_extract(shards, cfg.with_(execution_mode="tasks"), "tasks")
     headline = sorted(reps)[1]   # median of 3 (noisy shared host)
-    return {
-        "metric": "end-to-end extraction throughput (mixed HTML+PDF pages)",
+    result = {
+        "metric": "end-to-end extraction throughput (mixed HTML+PDF pages, "
+                  "tasks mode)",
         "value": round(headline, 3),
         "reps": [round(r, 2) for r in reps],
         "unit": "sec",
@@ -149,9 +171,14 @@ def _measure() -> dict:
         "input_mb": round(n_bytes / 1e6, 1),
         "docs_per_s": round(n_docs / headline, 1),
         "mb_per_s": round(n_bytes / 1e6 / headline, 1),
-        "_shards": shards,
-        "_cfg": cfg,
     }
+    if actor_pool_too:
+        areps = _timed_extract(shards, cfg, "pool")
+        a_med = sorted(areps)[1]
+        result["actor_pool_sec"] = round(a_med, 3)
+        result["actor_pool_reps"] = [round(r, 2) for r in areps]
+        result["actor_pool_docs_per_s"] = round(n_docs / a_med, 1)
+    return result
 
 
 def run_bench() -> dict:
@@ -163,22 +190,7 @@ def run_bench() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from docling_pdf_ray.pipelines.extract import extract_dataset
-
     result = _measure()
-    shards, cfg = result.pop("_shards"), result.pop("_cfg")
-
-    # the alternative execution mode, one timed run (same output,
-    # warm worker-global converter — see config.execution_mode)
-    tmode_out = os.path.join(CACHE_ROOT, f"extract-out-tasks-{NUM_CPUS}")
-    shutil.rmtree(tmode_out, ignore_errors=True)
-    t0 = time.monotonic()
-    extract_dataset(shards, cfg.with_(execution_mode="tasks"),
-                    override_num_blocks=NUM_CPUS * 8).write_parquet(tmode_out)
-    tasks_sec = time.monotonic() - t0
-    shutil.rmtree(tmode_out, ignore_errors=True)
-    result["tasks_mode_sec"] = round(tasks_sec, 3)
-    result["tasks_mode_docs_per_s"] = round(result["n_docs"] / tasks_sec, 1)
 
     # representative operator timings (consumed to small results)
     import pandas as pd
@@ -209,6 +221,11 @@ def run_scaling() -> dict:
     # (~3 s) is negligible at the HIGH parallelism level — default 64×
     # replication ≈ 320k docs (≈400 CPU·s of extraction work)
     repl = os.environ.get("GRAFT_BENCH_REPL_SCALING", "64")
+    # host noise is ±25% run-to-run: each level runs N_SESSIONS fresh
+    # PROCESSES (each itself a 3-rep median) and the pair efficiency is
+    # computed from the median SESSION — a single lucky/unlucky session
+    # cannot move the headline claim
+    n_sessions = int(os.environ.get("GRAFT_BENCH_SCALING_SESSIONS", "3"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -218,26 +235,37 @@ def run_scaling() -> dict:
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    def level(ncpu: int) -> dict:
+        sessions = [one(ncpu) for _ in range(n_sessions)]
+        secs = sorted(s["value"] for s in sessions)
+        med = secs[len(secs) // 2]
+        rep = next(s for s in sessions if s["value"] == med)
+        return {"sec": med, "docs_per_s": rep["docs_per_s"],
+                "session_secs": [round(s, 3) for s in sorted(
+                    x["value"] for x in sessions)]}
+
     # Two N-vs-4N pairs, both reported. 4→16 models a real cluster's
     # N→4N node scale-out most faithfully on this one-node sandbox
     # (modest per-raylet worker counts at both levels); 8→32 pushes the
     # high level past the single raylet+object-store coordination knee,
     # a purely single-node artifact (BASELINE.md has the multiprocessing
     # control experiment quantifying that ceiling).
+    levels = {n: level(n) for n in (4, 8, 16, 32)}
     pairs = {}
     for lo, hi in ((4, 16), (8, 32)):
-        r_lo, r_hi = one(lo), one(hi)
-        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        r_lo, r_hi = levels[lo], levels[hi]
+        eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
         pairs[f"{lo}to{hi}"] = {
-            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "sec_lo": r_lo["sec"], "sec_hi": r_hi["sec"],
             "docs_per_s_lo": r_lo["docs_per_s"],
             "docs_per_s_hi": r_hi["docs_per_s"],
-            "reps_lo": r_lo.get("reps"), "reps_hi": r_hi.get("reps"),
+            "session_secs_lo": r_lo["session_secs"],
+            "session_secs_hi": r_hi["session_secs"],
             "scaling_efficiency": round(eff, 3),
         }
     return {
-        "metric": "scaling efficiency (same input, fresh sessions, "
-                  "N vs 4N cpus; median of 3 runs per level)",
+        "metric": "scaling efficiency (same input, fresh sessions, N vs 4N "
+                  f"cpus; median of {n_sessions} sessions × 3 reps per level)",
         "pairs": pairs,
         "scaling_efficiency": pairs["4to16"]["scaling_efficiency"],
         "scaling_efficiency_8to32": pairs["8to32"]["scaling_efficiency"],
@@ -258,8 +286,8 @@ def main() -> None:
 
 
 def run_bench_headline_only() -> dict:
-    """--scaling child: the same measurement as run_bench minus the
-    query sweep and tasks-mode comparison (shared via _measure)."""
+    """--scaling child: the same headline measurement as run_bench
+    minus the query sweep and the actor-pool comparison run."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -267,9 +295,7 @@ def run_bench_headline_only() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    result = _measure()
-    result.pop("_shards")
-    result.pop("_cfg")
+    result = _measure(actor_pool_too=False)
     result["metric"] = "extraction headline"
     result["queries"] = {}
     ray.shutdown()

@@ -127,6 +127,7 @@ def lsh_topk(ds, queries_ref, k: int = 5, n_planes: int = 8,
         qn = _qmat / np.maximum(np.linalg.norm(_qmat, axis=1, keepdims=True), 1e-12)
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _to_matrix(batch.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         buckets = hyperplane_signs(m, n_planes=n_planes, seed=seed)
         out_q, out_v, out_s = [], [], []
         for j, b in enumerate(buckets):
@@ -134,10 +135,9 @@ def lsh_topk(ds, queries_ref, k: int = 5, n_planes: int = 8,
                 if vids[j] == qid:
                     continue
                 qi = qindex[qid]
-                mnj = m[j] / max(np.linalg.norm(m[j]), 1e-12)
                 out_q.append(qid)
                 out_v.append(int(vids[j]))
-                out_s.append(round(float(qn[qi] @ mnj), 6))
+                out_s.append(round(float(qn[qi] @ mn[j]), 6))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "cos_r": pa.array(out_s, pa.float64())})
