@@ -331,21 +331,22 @@ def q_segment_revenue(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust.column("c_custkey").to_pylist(),
-                      cust.column("c_mktsegment").to_pylist()))
-    ref = ray.put(lookup)
+    ref = ray.put(cust)   # arrow table: zero-copy from the object store
 
     class SegmentJoin:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)   # once per actor
+            t = ray.get(ref)             # once per actor
+            self.keys = t.column("c_custkey").combine_chunks()
+            self.seg = t.column("c_mktsegment").combine_chunks()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pylist()
-            seg = [self.lookup.get(k) for k in keys]
+            # vectorized broadcast lookup: index_in + take (missing
+            # keys → null index → null segment), no per-row Python
+            idx = pc.index_in(batch.column("o_custkey"), value_set=self.keys)
+            seg = pc.take(self.seg, idx)
             cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0),
                                      round_mode="half_towards_infinity"), pa.int64())
-            t = pa.table({"c_mktsegment": pa.array(seg, pa.string()),
-                          "cents": cents})
+            t = pa.table({"c_mktsegment": seg, "cents": cents})
             return t.group_by("c_mktsegment").aggregate(
                 [("cents", "sum"), ("cents", "count")]) \
                 .rename_columns(["c_mktsegment", "p_cents", "p_n"])
@@ -396,25 +397,39 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def q_user_sessions(sf_dir: str):
-    """Session windowing (30-min gap) per user — the groupby +
-    map_groups pattern for ordered per-key state (ray_guide streaming
-    shape). Gap sums are order-tie-insensitive (same ts multiset)."""
+def q_user_sessions(sf_dir: str, n_buckets: int = 64):
+    """Session windowing (30-min gap) per user. Scale shape: users are
+    hash-BUCKETED (narrow (user_id, ts) shuffle into n_buckets groups,
+    every user wholly inside one bucket), and sessionization inside
+    each bucket is VECTORIZED — one mergesort + shift/diff over the
+    whole bucket frame, session starts = new-user OR gap>30min, then a
+    C-level groupby-sum — instead of one Python map_groups call per
+    user (millions of tiny pandas frames at corpus scale). Gap sums
+    are order-tie-insensitive (same ts multiset)."""
     import pandas as pd
 
     GAP = pd.Timedelta(minutes=30)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff()
-        n_sessions = int(1 + (gaps > GAP).sum()) if len(ts) else 0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_events": [len(g)],
-                             "n_sessions": [n_sessions]})
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch.column("user_id"), n_buckets - 1),
+                    pa.int32())
+        return batch.append_column("_bucket", b)
+
+    def sessions_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > GAP
+        starts = (new_user | gap).groupby(g["user_id"].values).sum()
+        counts = g.groupby("user_id")["ts"].size()
+        return pa.table({"user_id": pa.array(counts.index, pa.int64()),
+                         "n_events": pa.array(counts.values, pa.int64()),
+                         "n_sessions": pa.array(
+                             starts.reindex(counts.index).values, pa.int64())})
 
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas") \
-        .sort("user_id")
+    out = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(sessions_bucket, batch_format="pandas")
+    return out.sort("user_id")
 
 
 SQL_USER_SESSIONS = """
@@ -478,19 +493,23 @@ def q_region_order_counts(sf_dir: str):
                            columns=["n_nationkey", "n_regionkey"])
     region = pq.read_table(f"{sf_dir}/region.parquet",
                            columns=["r_regionkey", "r_name"])
-    n2r = dict(zip(nation.column("n_nationkey").to_pylist(),
-                   nation.column("n_regionkey").to_pylist()))
-    r2name = dict(zip(region.column("r_regionkey").to_pylist(),
-                      region.column("r_name").to_pylist()))
-    c2rname = {c: r2name.get(n2r.get(n))
-               for c, n in zip(cust.column("c_custkey").to_pylist(),
-                               cust.column("c_nationkey").to_pylist())}
-    ref = ray.put(c2rname)
+    # fold the 3-hop dimension chain into ONE (custkey → r_name) arrow
+    # pair of arrays, composed vectorized (index_in+take twice)
+    n_idx = pc.index_in(cust.column("c_nationkey"),
+                        value_set=nation.column("n_nationkey").combine_chunks())
+    c_region = pc.take(nation.column("n_regionkey").combine_chunks(), n_idx)
+    r_idx = pc.index_in(c_region,
+                        value_set=region.column("r_regionkey").combine_chunks())
+    c_rname = pc.take(region.column("r_name").combine_chunks(), r_idx)
+    lut = pa.table({"key": cust.column("c_custkey"), "r_name": c_rname})
+    ref = ray.put(lut)
 
     def partial(batch: pa.Table) -> pa.Table:
-        lut = ray.get(ref)
-        names = [lut.get(k) for k in batch.column("o_custkey").to_pylist()]
-        t = pa.table({"r_name": pa.array(names, pa.string())})
+        t_lut = ray.get(ref)
+        idx = pc.index_in(batch.column("o_custkey"),
+                          value_set=t_lut.column("key").combine_chunks())
+        names = pc.take(t_lut.column("r_name").combine_chunks(), idx)
+        t = pa.table({"r_name": names})
         # inner-join semantics like the SQL mirror: orders whose
         # custkey misses the dimension chain are dropped, not grouped
         # under a null region (referentially broken inputs would
@@ -832,15 +851,21 @@ def _docs_with_planted_dups(sf_dir: str):
     in-stream (flat_map-style map_batches), not driver-side."""
 
     def plant(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_i, out_t = list(ids), list(texts)
-        for i, t in zip(ids, texts):
-            if i % PLANT_EVERY == 0 and t:
+        # vectorized plant-row selection (1/PLANT_EVERY of rows); only
+        # the selected rows' texts ever leave Arrow
+        idn = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(idn % PLANT_EVERY == 0))
+        out_i, out_t = [], []
+        for i, t in zip(sub.column("doc_id").to_pylist(),
+                        sub.column("text").to_pylist()):
+            if t:
                 out_i.append(i + PLANT_OFFSET)
                 out_t.append(" ".join(t.split()[:-5]))
-        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
-                         "text": pa.array(out_t, pa.string())})
+        if not out_i:
+            return batch
+        extra = pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                          "text": pa.array(out_t, pa.string())})
+        return pa.concat_tables([batch.cast(extra.schema), extra])
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(plant, batch_format="pyarrow")
 
