@@ -1,12 +1,19 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernels are STUBS: either raise ``NotImplementedError``
-(``strict=True``) or produce a deterministic fake decode keyed on the
-payload hash (``strict=False``, default — used by tests/benches to
-exercise the REAL Ray-side plumbing: schema, batch sizing, actor
-signatures, output layout).
+Decode support is honest about the environment:
+
+* REAL decoders for self-contained formats needing only numpy/stdlib —
+  PPM (P6) images (`decode_ppm`, with a real nearest-neighbor
+  `resize_nearest` and real pixel-statistics features) and WAV PCM16
+  audio (`decode_wav`, stdlib ``wave``, with real RMS/duration
+  features).
+* STUBS for compressed codecs (JPEG/PNG/MP3/MP4 — PIL/ffmpeg are NOT
+  in this container): either raise ``NotImplementedError``
+  (``strict=True``) or produce a deterministic fake decode keyed on
+  the payload hash (``strict=False``, default — used by tests/benches
+  to exercise the REAL Ray-side plumbing: schema, batch sizing, actor
+  signatures, output layout).
 
 Schema convention:
 
@@ -24,6 +31,7 @@ pass ``batch_size=8..64`` for multi-MB media, never the 4096 default.
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
@@ -31,9 +39,120 @@ import pyarrow as pa
 FEATURE_DIM = 32
 
 
+# ---------------------------------------------------------------- real codecs
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval ≤ 255) into an (H, W, 3) uint8
+    array — pure numpy, no external image library. Raises ValueError
+    on anything that is not a well-formed P6."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace/comment-
+    # separated tokens, then a single whitespace byte, then raster
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":                 # comment to EOL
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(payload[start:pos])
+    pos += 1                                             # the one raster separator
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM geometry {w}x{h} maxval={maxval}")
+    need = w * h * 3
+    raster = payload[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8, count=need).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_ppm` (test fixture / synth corpus)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real nearest-neighbor resize via numpy fancy indexing (the
+    decode → resize → feature chain every image pipeline needs)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """Real pixel statistics, FEATURE_DIM floats: per-channel mean/std
+    (6), then a 26-bin luminance histogram (density)."""
+    f = np.empty(FEATURE_DIM, dtype=np.float32)
+    flat = img.reshape(-1, 3).astype(np.float32)
+    f[0:3] = flat.mean(axis=0) / 255.0
+    f[3:6] = flat.std(axis=0) / 255.0
+    lum = flat @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM - 6, range=(0.0, 255.0))
+    f[6:] = hist / max(1, lum.size)
+    return f
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM16 WAV via the stdlib ``wave`` module → (mono float32
+    in [-1, 1], sample_rate). No external audio library."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"only PCM16 supported, got width {wf.getsampwidth()}")
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        rate = wf.getframerate()
+        ch = wf.getnchannels()
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(x: np.ndarray, rate: int) -> bytes:
+    """Inverse of :func:`decode_wav` (test fixture / synth corpus)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.round(np.clip(x, -1, 1) * 32767)
+                       .astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    """Real audio statistics, FEATURE_DIM floats: duration, global
+    RMS, then RMS over FEATURE_DIM-2 equal time windows (a crude but
+    real energy envelope)."""
+    f = np.zeros(FEATURE_DIM, dtype=np.float32)
+    f[0] = len(x) / max(1, rate)
+    if len(x):
+        f[1] = float(np.sqrt(np.mean(x * x)))
+        nwin = FEATURE_DIM - 2
+        edges = np.linspace(0, len(x), nwin + 1, dtype=np.int64)
+        for i in range(nwin):
+            seg = x[edges[i]:edges[i + 1]]
+            f[2 + i] = float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
+    return f
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Deterministic stand-in for a real decoder: pseudo width/height
-    and an embedding derived from the payload digest."""
+    """Deterministic stand-in for codecs this container lacks: pseudo
+    width/height and an embedding derived from the payload digest."""
     h = hashlib.blake2b(payload, digest_size=32).digest()
     width = 64 + h[0]
     height = 64 + h[1]
@@ -45,9 +164,16 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 class MediaFeatureStage:
     """Actor-pool stage: decode + feature-extract media payloads.
 
-    A real deployment replaces ``_decode`` with a PIL/ffmpeg call and
-    loads the feature model in ``__init__`` (once per actor — the same
-    warm-state pattern as the PDF converter pool)."""
+    Payloads in self-contained formats decode FOR REAL (P6 PPM images
+    — decode → 64×64 nearest-neighbor resize → pixel statistics;
+    PCM16 WAV audio — decode → energy envelope). Other payloads hit
+    the stub arm: ``strict=True`` raises (honest: no JPEG/MP3 codec
+    here), default produces the deterministic fake so the Ray-side
+    plumbing is exercised end-to-end. A real deployment swaps the stub
+    arm for PIL/ffmpeg and loads its model in ``__init__`` (once per
+    actor — the warm-state pattern of the PDF converter pool)."""
+
+    RESIZE_TO = 64
 
     def __init__(self, strict: bool = False):
         self.strict = strict
@@ -55,11 +181,20 @@ class MediaFeatureStage:
         rng = np.random.RandomState(42)
         self.projection = rng.standard_normal((FEATURE_DIM, FEATURE_DIM)).astype(np.float32)
 
-    def _decode(self, payload: bytes, kind: str):
+    def _decode(self, payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
+        if kind == "image" and payload.startswith(b"P6"):
+            img = decode_ppm(payload)
+            h, w = img.shape[:2]
+            small = resize_nearest(img, self.RESIZE_TO, self.RESIZE_TO)
+            return w, h, image_features(small)
+        if kind == "audio" and payload.startswith(b"RIFF"):
+            x, rate = decode_wav(payload)
+            return len(x), rate, audio_features(x, rate)
         if self.strict:
             raise NotImplementedError(
-                f"no {kind} codec in this environment; install PIL/ffmpeg "
-                "and replace MediaFeatureStage._decode")
+                f"no {kind} codec for this payload in this environment; "
+                "install PIL/ffmpeg and replace the stub arm of "
+                "MediaFeatureStage._decode")
         return _fake_decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -94,7 +229,9 @@ def media_features(ds, concurrency=(1, 4), batch_size: int = 32,
 
 
 def synth_media_dataset(n: int = 64, seed: int = 5):
-    """Deterministic fake media table for tests/benches."""
+    """Deterministic fake media table for tests/benches: REAL P6 and
+    WAV payloads for image/audio rows (the real decoders run on them),
+    opaque bytes for video rows (the stub arm runs)."""
     import random
 
     import ray.data as rd
@@ -103,8 +240,19 @@ def synth_media_dataset(n: int = 64, seed: int = 5):
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(256, 4096)))
+        if kind == "image":
+            np_rng = np.random.RandomState(seed * 1000 + i)
+            img = np_rng.randint(0, 256, size=(rng.randint(8, 48),
+                                               rng.randint(8, 48), 3),
+                                 dtype=np.uint8)
+            payload = encode_ppm(img)
+        elif kind == "audio":
+            np_rng = np.random.RandomState(seed * 2000 + i)
+            x = np_rng.standard_normal(rng.randint(800, 4000)).astype(np.float32) * 0.2
+            payload = encode_wav(x, 8000)
+        else:
+            payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(256, 4096)))
         rows.append({"media_id": i, "kind": kind, "payload": payload,
-                     "meta": f'{{"codec":"fake","idx":{i}}}'})
+                     "meta": f'{{"codec":"{kind}","idx":{i}}}'})
     t = pa.Table.from_pylist(rows)
     return rd.from_arrow(t)

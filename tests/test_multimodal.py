@@ -45,3 +45,47 @@ def test_fake_decode_is_pure():
     assert np.array_equal(f1, f2)
     w3, _, f3 = _fake_decode(b"other")
     assert not np.array_equal(f1, f3)
+
+
+def test_ppm_decode_roundtrip_and_resize():
+    from docling_pdf_ray.functions.multimodal import (decode_ppm, encode_ppm,
+                                                      resize_nearest)
+
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # comment + extra whitespace in the header parse
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+    r = resize_nearest(img, 3, 2)
+    assert r.shape == (2, 3, 3)
+    # identity resize is exact
+    assert np.array_equal(resize_nearest(img, 7, 5), img)
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x00")
+
+
+def test_wav_decode_roundtrip():
+    from docling_pdf_ray.functions.multimodal import decode_wav, encode_wav
+
+    x = (np.sin(np.linspace(0, 20, 1600)) * 0.5).astype(np.float32)
+    y, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000 and len(y) == 1600
+    assert np.allclose(y, x, atol=1.0 / 32767)
+
+
+def test_real_decoders_run_inside_stage():
+    """image/audio rows of the synth corpus carry REAL P6/WAV payloads:
+    the stage must report their true geometry, not the fake's."""
+    from docling_pdf_ray.functions.multimodal import (MediaFeatureStage,
+                                                      decode_ppm, decode_wav,
+                                                      encode_ppm, encode_wav)
+
+    img = np.full((10, 20, 3), 128, dtype=np.uint8)
+    wav = encode_wav(np.zeros(1234, dtype=np.float32), 16000)
+    batch = pa.table({"media_id": [0, 1], "kind": ["image", "audio"],
+                      "payload": [encode_ppm(img), wav], "meta": ["{}", "{}"]})
+    out = MediaFeatureStage(strict=True)(batch)   # strict: stubs would raise
+    assert out.column("width").to_pylist() == [20, 1234]   # img w, audio samples
+    assert out.column("height").to_pylist() == [10, 16000]  # img h, sample rate
