@@ -94,6 +94,99 @@ def brute_force_topk(ds, queries_ref, k: int = 5) -> pd.DataFrame:
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+def _final_topk(cand: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Exact per-query top-k over the (small) candidate partials —
+    shared driver merge for the LSH and IVF scale paths."""
+    out = []
+    for qid, g in cand.groupby("query_id"):
+        g = g.drop_duplicates("vec_id") \
+            .sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g[["query_id", "rank", "vec_id", "cos_r"]])
+    if not out:
+        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cos_r"])
+    return (pd.concat(out, ignore_index=True)
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, seed: int = 42,
+                    n_iter: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd on normalized vectors,
+    cosine assignment) over a DRIVER-SIDE sample — the IVF training
+    step. The sample is small by contract (ds.limit of the corpus);
+    the full corpus is never pulled to the driver."""
+    rng = np.random.RandomState(seed)
+    s = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(s))
+    cent = s[rng.choice(len(s), size=n_centroids, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (s @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = s[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_topk(ds, queries_ref, k: int = 5, n_centroids: int = 32,
+             n_probe: int = 4, train_sample: int = 2048,
+             seed: int = 42) -> pd.DataFrame:
+    """Approximate top-k via IVF-Flat, Dataset-native: train spherical
+    k-means centroids on a small deterministic sample (ds.limit →
+    driver), broadcast (centroids + each query's n_probe nearest
+    cells) once via ray.put, then ONE streaming pass over the corpus —
+    each batch assigns its vectors to cells with a single matmul and
+    scores a vector only against the queries probing its cell. No
+    inverted index is materialized; the 'inverted list' is the
+    cell-membership test inside the pass. Per-block partials are tiny
+    (≤ Q×k rows), merged exactly on the driver. recall < 1 by design
+    (quantified by the test harness); raise n_probe toward n_centroids
+    to trade cost for recall."""
+    import ray
+
+    qids, qmat = ray.get(queries_ref)
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cent = train_centroids(sample, n_centroids, seed=seed)
+
+    qn = np.asarray(qmat, dtype=np.float64)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(cent))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    # cell → row-indices of queries probing it (tiny; ships via ray.put)
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    state_ref = ray.put((np.asarray(qids, dtype=np.int64), qn, cent, cell_to_q))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _qids, _qn, _cent, _c2q = ray.get(state_ref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _to_matrix(batch.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cells = (mn @ _cent.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(vids)):
+            for qi in _c2q.get(int(cells[j]), ()):
+                if vids[j] == _qids[qi]:
+                    continue
+                out_q.append(int(_qids[qi]))
+                out_v.append(int(vids[j]))
+                out_s.append(round(float(_qn[qi] @ mn[j]), 6))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cos_r": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    frames = list(partials.iter_batches(batch_format="pandas"))
+    cand = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame(columns=["query_id", "vec_id", "cos_r"])
+    return _final_topk(cand, k)
+
+
 def lsh_topk(ds, queries_ref, k: int = 5, n_planes: int = 8,
              seed: int = 42) -> pd.DataFrame:
     """Approximate top-k via random-hyperplane LSH (the scale path):
@@ -146,14 +239,4 @@ def lsh_topk(ds, queries_ref, k: int = 5, n_planes: int = 8,
     frames = list(partials.iter_batches(batch_format="pandas"))
     cand = pd.concat(frames, ignore_index=True) if frames else \
         pd.DataFrame(columns=["query_id", "vec_id", "cos_r"])
-    out = []
-    for qid, g in cand.groupby("query_id"):
-        g = g.drop_duplicates("vec_id") \
-            .sort_values(["cos_r", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        out.append(g[["query_id", "rank", "vec_id", "cos_r"]])
-    if not out:
-        return pd.DataFrame(columns=["query_id", "rank", "vec_id", "cos_r"])
-    return (pd.concat(out, ignore_index=True)
-            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    return _final_topk(cand, k)

@@ -1228,6 +1228,32 @@ def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
     return brute_force_topk(ds, ref, k=k)
 
 
+def q_ann_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """The IVF-Flat scale path for the same operator: spherical
+    k-means centroids trained on a driver-side sample, one streaming
+    pass assigning each batch to cells and scoring vectors only
+    against the queries probing their cell (functions/ann.py:ivf_topk).
+    Approximate by design (n_probe of n_centroids cells searched) —
+    rows-only check; recall on planted near-copies AND the
+    full-probe≡brute-force degenerate property are pinned by
+    tests/test_dedup.py."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.ann import ivf_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), n_queries))
+    qids = qt.column("vec_id").to_pylist()
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ref = ray.put((qids, qmat))
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return ivf_topk(ds, ref, k=k, n_centroids=32, n_probe=8)
+
+
 SQL_ANN_TOPK = """
 SELECT query_id, rank, vec_id, cos_r FROM (
   SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
@@ -1272,6 +1298,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
 }
 
 ORACLE_SQL = {

@@ -235,3 +235,52 @@ def test_simhash_near_dups_regression_sf0001(ray_session):
     assert len(out) == 29
     assert (out["hamming"] <= 3).all()
     assert (out["doc_id_a"] < out["doc_id_b"]).all()
+
+
+def test_ivf_topk_recall_and_determinism(ray_session):
+    """IVF-Flat scale path: planted near-copies (cos ≈ 0.99) quantize
+    to the same/nearby cells as their queries, so with a reasonable
+    n_probe they must be recovered; output is deterministic (seeded
+    k-means, fixed sample)."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.functions.ann import ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = t.slice(0, 8)
+    qids = qt.column("vec_id").to_pylist()
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ref = ray.put((qids, qmat))
+
+    rng = np.random.RandomState(3)
+    noisy = qmat + 0.02 * rng.standard_normal(qmat.shape) * \
+        np.linalg.norm(qmat, axis=1, keepdims=True) / qmat.shape[1] ** 0.5
+    base_ids = t.column("vec_id").to_pylist() + [q + 5000 for q in qids]
+    base_emb = t.column("embedding").to_pylist() + [r.astype(np.float32).tolist()
+                                                    for r in noisy]
+    corpus = pa.table({"vec_id": pa.array(base_ids, pa.int64()),
+                       "embedding": pa.array(base_emb, pa.list_(pa.float32()))})
+
+    approx = ivf_topk(rd.from_arrow(corpus), ref, k=5,
+                      n_centroids=16, n_probe=4)
+    found = sum(1 for q in qids
+                if (q + 5000) in set(approx[approx.query_id == q].vec_id))
+    assert found >= 7, f"planted near-neighbor recall {found}/8"
+
+    approx2 = ivf_topk(rd.from_arrow(corpus), ref, k=5,
+                       n_centroids=16, n_probe=4)
+    import pandas as pd
+    pd.testing.assert_frame_equal(approx.reset_index(drop=True),
+                                  approx2.reset_index(drop=True))
+
+    # full-probe IVF degenerates to exact: every cell probed
+    from docling_pdf_ray.functions.ann import brute_force_topk
+    exact = brute_force_topk(rd.from_arrow(corpus), ref, k=5)
+    full = ivf_topk(rd.from_arrow(corpus), ref, k=5,
+                    n_centroids=8, n_probe=8)
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  exact.reset_index(drop=True))
