@@ -56,38 +56,55 @@ def quality_and_lang(batch: pa.Table) -> pa.Table:
     })
 
 
-def build_training_prep(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+def build_training_prep(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        n_buckets: int = 64):
     """pages Dataset → deduped per-doc quality/lang/token table
-    (Dataset). The dedup shuffles only (hash, url, scalars)."""
+    (Dataset). The dedup shuffles only (hash, url, scalars), BUCKETED:
+    hashes co-locate in n_buckets groups and each bucket dedups with
+    one vectorized sort+drop_duplicates — not one map_groups call per
+    unique hash (that is one Python pandas frame per DOCUMENT at
+    corpus scale). Winner per hash = min url (deterministic)."""
     import pandas as pd
 
     from .extract import build_extract_ds
+    from ..functions.joins import _bucket_of
 
     ds = build_extract_ds(pages_ds, cfg)
     feat = ds.map_batches(quality_and_lang, batch_format="pyarrow")
 
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("url").head(1)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", _bucket_of(batch.column("text_hash"), n_buckets))
 
-    return feat.groupby("text_hash").map_groups(first_per_hash,
-                                                batch_format="pandas")
+    def first_per_hash_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["text_hash", "url"], kind="mergesort") \
+            .drop_duplicates("text_hash", keep="first") \
+            .drop(columns=["_bucket"])
+
+    return feat.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(first_per_hash_bucket,
+                                       batch_format="pandas")
 
 
 def training_prep_summary(sf_dir: str):
     """Per-predicted-language rollup of the deduped corpus (the
-    queries() entry; deterministic)."""
-    import pandas as pd
-
+    queries() entry; deterministic). Pre-aggregated per block inside
+    map_batches — only (blocks × languages) partial rows reach the
+    driver, never the O(N) per-doc table."""
+    from ..queries import _driver_combine
     from ..sources.pages_from_documents import pages_dataset
 
     deduped = build_training_prep(pages_dataset(sf_dir))
-    frames = list(deduped.iter_batches(batch_format="pandas"))
-    df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-        columns=["pred_lang", "n_chars", "n_tokens", "url"])
-    g = df.groupby("pred_lang", dropna=False)
-    out = pd.DataFrame({
-        "n_docs": g["url"].count(),
-        "total_tokens": g["n_tokens"].sum(),
-        "total_chars": g["n_chars"].sum(),
-    }).reset_index()
-    return out.sort_values("pred_lang").reset_index(drop=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"pred_lang": batch.column("pred_lang"),
+                      "n_tokens": batch.column("n_tokens"),
+                      "n_chars": batch.column("n_chars")})
+        return t.group_by("pred_lang").aggregate(
+            [("n_tokens", "sum"), ("n_chars", "sum"), ([], "count_all")]) \
+            .rename_columns(["pred_lang", "p_tokens", "p_chars", "p_n"])
+
+    partials = deduped.map_batches(partial, batch_format="pyarrow")
+    return _driver_combine(partials, ["pred_lang"], {
+        "n_docs": ("p_n", "sum"), "total_tokens": ("p_tokens", "sum"),
+        "total_chars": ("p_chars", "sum")}, sort_by="pred_lang")

