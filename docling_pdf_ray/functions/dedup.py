@@ -83,16 +83,13 @@ def _shingle_hashes(shingles: set[str]) -> np.ndarray:
         dtype=np.uint64, count=len(shingles))
 
 
-def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """64-permutation MinHash signature of the word-k-shingle set.
-    Universal hashing h_i(x) = (a_i·x + b_i) mod p over the Mersenne
-    prime p = 2^61-1, exact in uint64 via 30-bit limb split, fully
-    vectorized as one (perm × shingle) broadcast + min."""
-    sh = word_shingles(text, k)
-    if not sh:
-        return np.zeros(NUM_PERM, dtype=np.uint64)
+def _sig_from_hashes(x: np.ndarray) -> np.ndarray:
+    """Signature from pre-hashed shingles. Universal hashing
+    h_i(x) = (a_i·x + b_i) mod p over the Mersenne prime p = 2^61-1,
+    exact in uint64 via 30-bit limb split, fully vectorized as one
+    (perm × shingle) broadcast + min."""
     m = np.uint64(_MERSENNE)
-    x = _shingle_hashes(sh) % m
+    x = x % m
     lo = x & np.uint64((1 << 30) - 1)                     # low 30 bits
     hi = x >> np.uint64(30)                               # high 31 bits
     a = _A % m
@@ -107,6 +104,40 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     v = (t0 + _shl_mod(t1, 30) + _shl_mod(t2, 60)) % m
     v = (v + (_B % m)[:, None]) % m
     return v.min(axis=1)
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """64-permutation MinHash signature of the word-k-shingle set."""
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.zeros(NUM_PERM, dtype=np.uint64)
+    return _sig_from_hashes(_shingle_hashes(sh))
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                          "big")
+
+
+def minhash_signatures(texts, k: int = 3) -> list[np.ndarray]:
+    """Batch variant with a shared shingle-hash cache: each DISTINCT
+    shingle in the batch is blake2b-hashed once (near-dup corpora
+    share most shingles across documents, so the dominant cost —
+    per-shingle hashing — amortizes across the batch). Byte-identical
+    to per-doc :func:`minhash_signature` (pinned by test). Empty
+    shingle sets yield None (caller skips them — no similarity
+    evidence)."""
+    cache: dict[str, int] = {}
+    out: list[np.ndarray | None] = []
+    for t in texts:
+        sh = word_shingles(t or "", k)
+        if not sh:
+            out.append(None)
+            continue
+        hs = np.fromiter((cache[s] if s in cache else cache.setdefault(s, _h64(s))
+                          for s in sh), dtype=np.uint64, count=len(sh))
+        out.append(_sig_from_hashes(hs))
+    return out
 
 
 def _shl_mod(x: np.ndarray, s: int) -> np.ndarray:

@@ -930,11 +930,11 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids, bands, hashes = [], [], []
-        for i, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            if not dd.word_shingles(t or ""):
+        texts = batch.column("text").to_pylist()
+        for i, sig in zip(batch.column("doc_id").to_pylist(),
+                          dd.minhash_signatures(texts)):
+            if sig is None:       # empty shingle set: no bands emitted
                 continue
-            sig = dd.minhash_signature(t or "")
             for b, h in enumerate(dd.band_hashes(sig)):
                 ids.append(i)
                 bands.append(b)

@@ -284,3 +284,17 @@ def test_ivf_topk_recall_and_determinism(ray_session):
                     n_centroids=8, n_probe=8)
     pd.testing.assert_frame_equal(full.reset_index(drop=True),
                                   exact.reset_index(drop=True))
+
+
+def test_minhash_signatures_batch_identical_to_per_doc():
+    """The batched shingle-hash-cached variant must be byte-identical
+    to per-doc minhash_signature (None for empty shingle sets)."""
+    rng = random.Random(7)
+    texts = [_text(rng, rng.randint(0, 60)) for _ in range(40)] + ["", None]
+    batched = dd.minhash_signatures(texts)
+    for t, sig in zip(texts, batched):
+        sh = dd.word_shingles(t or "")
+        if not sh:
+            assert sig is None
+        else:
+            assert np.array_equal(sig, dd.minhash_signature(t))

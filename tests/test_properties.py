@@ -94,3 +94,69 @@ def test_language_detect_total(text):
     lang = __import__("docling_pdf_ray.functions.text", fromlist=["detect_language"]) \
         .detect_language(text)
     assert lang in {"en", "fr", "es", "de", "zh", "unknown"}
+
+
+@FAST
+@given(st.text(max_size=300), st.text(max_size=300))
+def test_jaccard_counts_consistent_with_float_jaccard(a, b):
+    """(num, den) integer Jaccard must agree with the float kernel and
+    obey set-theoretic bounds for arbitrary unicode text."""
+    num, den = dd.jaccard_counts(a, b)
+    assert 0 <= num <= den
+    j = dd.ngram_jaccard(a, b)
+    if den == 0:
+        assert j == 1.0        # both shingle sets empty
+    else:
+        assert j == num / den
+    # symmetry
+    assert dd.jaccard_counts(b, a) == (num, den)
+
+
+@FAST
+@given(st.lists(st.one_of(st.integers(min_value=-2**62, max_value=2**62),
+                          st.none()), max_size=50),
+       st.integers(min_value=1, max_value=64))
+def test_join_bucket_of_total_and_deterministic(keys, n_buckets):
+    """Bucket assignment: total (nulls → 0), in range, deterministic,
+    and equal-keys → equal buckets (the join correctness invariant)."""
+    import pyarrow as pa
+
+    from docling_pdf_ray.functions.joins import _bucket_of
+
+    col = pa.chunked_array([pa.array(keys, pa.int64())])
+    b1 = _bucket_of(col, n_buckets).to_pylist()
+    b2 = _bucket_of(col, n_buckets).to_pylist()
+    assert b1 == b2
+    assert all(0 <= x < n_buckets for x in b1)
+    seen = {}
+    for k, x in zip(keys, b1):
+        if k is None:
+            assert x == 0
+        else:
+            assert seen.setdefault(k, x) == x
+
+
+@FAST
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=0,
+                max_size=120))
+def test_hot_bucket_pairs_covers_all_duplicated_keys(key_ids):
+    """Every doc sharing a key with another doc appears in >=1 pair;
+    no pair links docs that share no key; a < b always."""
+    import pandas as pd
+
+    from docling_pdf_ray.queries import _hot_bucket_pairs
+
+    g = pd.DataFrame({"band_key": key_ids,
+                      "doc_id": list(range(len(key_ids)))})
+    pairs = _hot_bucket_pairs(g, ["band_key"])
+    by_key = {}
+    for k, d in zip(key_ids, g["doc_id"]):
+        by_key.setdefault(k, set()).add(d)
+    linked = set()
+    for a, b in pairs:
+        assert a < b
+        assert any({a, b} <= m for m in by_key.values())
+        linked.update((a, b))
+    for m in by_key.values():
+        if len(m) > 1:
+            assert m <= linked
