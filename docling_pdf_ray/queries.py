@@ -1030,6 +1030,60 @@ ORDER BY 1, 2
 """
 
 
+def q_minhash_dedup_groups(sf_dir: str, threshold: float = 0.7):
+    """Near-dup DEDUP DECISION on top of pair detection: the verified
+    minhash pair graph is closed into connected components (union-find
+    over the pair set — small by contract, the same O(near-dups)
+    driver object the pair query already produces) and every member of
+    a multi-doc component is mapped to its component representative
+    (min doc_id). Output = only docs that belong to a dup group
+    (doc_id, rep_id) — the drop/canonicalize list a corpus build
+    applies; untouched docs are absent (O(dups), not O(corpus)).
+    SQL oracle: recursive min-label propagation over the same pair
+    graph."""
+    import pandas as pd
+
+    pairs = q_minhash_near_dups(sf_dir, threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])   # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted(set(pairs["doc_id_a"]).union(pairs["doc_id_b"]))
+    return pd.DataFrame({
+        "doc_id": pd.Series(members, dtype="int64"),
+        "rep_id": pd.Series([find(m) for m in members], dtype="int64")})
+
+
+SQL_MINHASH_DEDUP_GROUPS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_NEAR_DUPS.replace("ORDER BY 1, 2", "")}),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk (node, lbl) AS (
+  -- min-label propagation to a fixpoint: lbl reaches the component
+  -- minimum because every reachable vertex is enumerated (UNION
+  -- dedups states, so the recursion terminates)
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.lbl
+)
+SELECT node AS doc_id, min(lbl) AS rep_id
+FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
 def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3,
                         n_buckets: int = 64):
     """SimHash near-dup detection, fully distributed blocking: 64-bit
@@ -1293,6 +1347,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "lang_detect": q_lang_detect,
     "minhash_near_dups": q_minhash_near_dups,
+    "minhash_dedup_groups": q_minhash_dedup_groups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -1323,6 +1378,7 @@ ORACLE_SQL = {
     "user_sessions": SQL_USER_SESSIONS,
     "lang_detect": SQL_LANG_DETECT,
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+    "minhash_dedup_groups": SQL_MINHASH_DEDUP_GROUPS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_dup_pairs_lsh": SQL_EMBEDDING_DUP_PAIRS,
     "ann_topk": SQL_ANN_TOPK,

@@ -222,6 +222,14 @@ def test_near_dup_queries_mass_duplicate_corpus(ray_session, tmp_path):
     assert set(sh["doc_id_a"]) == {ids[0]}
     assert (sh["hamming"] == 0).all()
 
+    # the dedup decision: one component, every member → min doc_id
+    from docling_pdf_ray.queries import q_minhash_dedup_groups
+
+    groups = q_minhash_dedup_groups(str(tmp_path))
+    assert len(groups) == 150
+    assert set(groups["rep_id"]) == {ids[0]}
+    assert groups["doc_id"].tolist() == ids
+
 
 def test_simhash_near_dups_regression_sf0001(ray_session):
     """Pin the distributed simhash blocking output (rows-only query):

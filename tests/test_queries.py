@@ -56,8 +56,8 @@ def test_all_oracle_keys_have_queries():
     "sniff_counts", "order_priority_revenue", "top_orders",
     "distinct_segments", "events_sliding", "region_order_counts",
     "quality_gate_counts", "order_asof_event",
-    "order_coverage", "minhash_near_dups", "lang_detect",
-    "embedding_dup_pairs_lsh",
+    "order_coverage", "minhash_near_dups", "minhash_dedup_groups",
+    "lang_detect", "embedding_dup_pairs_lsh",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
