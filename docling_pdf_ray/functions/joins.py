@@ -168,3 +168,37 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
         return _to_schema_table(merged, fields)
 
     return both.groupby("_bucket").map_groups(asof, batch_format="pandas")
+
+
+def bucketed_range_join(left_ds, right_ds, key: str, ts_left: str,
+                        ts_right: str, lower, upper, n_buckets: int = 64):
+    """RANGE (interval) join: inner-join rows with equal ``key`` where
+    ``ts_left + lower <= ts_right <= ts_left + upper`` (both bounds
+    inclusive; pass e.g. ``lower=-pd.Timedelta(days=7), upper=
+    pd.Timedelta(0)`` for "right event in the 7 days before left").
+    Same single-shuffle co-group shape as the equi/as-of joins: both
+    sides bucket by key hash once, each bucket equi-merges on the key
+    and filters the interval predicate vectorized. Null keys and null
+    timestamps match nothing (SQL semantics).
+
+    Skew note: the per-bucket merge materializes the per-KEY cross
+    product before filtering, so a key with n left × m right rows
+    costs n·m rows transiently — acceptable when per-key fan-in is
+    bounded (the usual case for user/session keys); salt hot keys
+    upstream otherwise."""
+    both, l_only, r_only, fields = _pad_and_union(left_ds, right_ds, key, n_buckets)
+
+    def rjoin(g: pd.DataFrame) -> pa.Table:
+        l = g[g["_side"] == "l"][[key] + l_only]
+        r = g[g["_side"] == "r"][[key] + r_only]
+        l = l[l[key].notna() & l[ts_left].notna()]
+        r = r[r[key].notna() & r[ts_right].notna()]
+        if l.empty or r.empty:
+            return _to_schema_table(pd.DataFrame(columns=[key] + l_only + r_only),
+                                    fields)
+        merged = l.merge(r, on=key, how="inner")
+        mask = (merged[ts_right] >= merged[ts_left] + lower) & \
+               (merged[ts_right] <= merged[ts_left] + upper)
+        return _to_schema_table(merged[mask], fields)
+
+    return both.groupby("_bucket").map_groups(rjoin, batch_format="pandas")

@@ -571,6 +571,52 @@ FROM events ORDER BY event_id
 """
 
 
+def q_ship_window_counts(sf_dir: str):
+    """RANGE (interval) join: lineitems shipped within 90 days of
+    their order's placement (l_shipdate ∈ [o_orderdate,
+    o_orderdate + 90d]), counted per order priority. Both (large)
+    sides co-shuffle ONCE by orderkey bucket (functions/joins.py::
+    bucketed_range_join); the interval predicate filters vectorized
+    inside each bucket; per-bucket counts pre-aggregate before a tiny
+    driver combine."""
+    import pandas as pd
+
+    from .functions.joins import bucketed_range_join
+
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(lambda b: b.rename_columns(["o_orderkey", "l_shipdate"]),
+                     batch_format="pyarrow")
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate",
+                                         "o_orderpriority"])
+    # predicate: o_orderdate ∈ [l_shipdate - 90d, l_shipdate]
+    #          ⟺ l_shipdate ∈ [o_orderdate, o_orderdate + 90d]
+    joined = bucketed_range_join(li, orders, key="o_orderkey",
+                                 ts_left="l_shipdate", ts_right="o_orderdate",
+                                 lower=-pd.Timedelta(days=90),
+                                 upper=pd.Timedelta(0), n_buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch.column("o_orderpriority")})
+        return t.group_by("o_orderpriority").aggregate([([], "count_all")]) \
+            .rename_columns(["o_orderpriority", "p_n"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return _driver_combine(partials, ["o_orderpriority"],
+                           {"n_pairs": ("p_n", "sum")})
+
+
+SQL_SHIP_WINDOW_COUNTS = """
+SELECT o_orderpriority, count(*) AS n_pairs
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_order_coverage(sf_dir: str):
     """SEMI/ANTI join via broadcast key set (ray_guide pattern): the
     orders key set ships once through the object store; each customer
@@ -1341,6 +1387,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "order_asof_event": q_order_asof_event,
+    "ship_window_counts": q_ship_window_counts,
     "order_coverage": q_order_coverage,
     "region_order_counts": q_region_order_counts,
     "quality_gate_counts": q_quality_gate_counts,
@@ -1372,6 +1419,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sliding": SQL_EVENTS_SLIDING,
     "order_asof_event": SQL_ORDER_ASOF_EVENT,
+    "ship_window_counts": SQL_SHIP_WINDOW_COUNTS,
     "order_coverage": SQL_ORDER_COVERAGE,
     "region_order_counts": SQL_REGION_ORDER_COUNTS,
     "quality_gate_counts": SQL_QUALITY_GATE_COUNTS,

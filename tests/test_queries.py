@@ -57,6 +57,7 @@ def test_all_oracle_keys_have_queries():
     "distinct_segments", "events_sliding", "region_order_counts",
     "quality_gate_counts", "order_asof_event",
     "order_coverage", "minhash_near_dups", "minhash_dedup_groups",
+    "ship_window_counts",
     "lang_detect", "embedding_dup_pairs_lsh",
 ])
 def test_query_matches_duckdb(registry, name):
@@ -169,3 +170,28 @@ def test_bucketed_hash_join_matches_pandas_merge_on_random_tables(ray_session):
         got = got[key].sort_values(key).reset_index(drop=True)
         want = want[key].sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False), seed
+
+
+def test_bucketed_range_join_semantics(ray_session):
+    """Interval join: inclusive bounds, null key/ts never match,
+    per-key cross within the window only."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import bucketed_range_join
+
+    left = rd.from_arrow(pa.table({
+        "k": [1, 1, 2, None], "lt": [10, 50, 10, 10], "lv": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 2, 2], "rt": [8, 10, 13, 30, None],
+        "rv": [100, 200, 300, 400, 500]}))
+    # window: rt in [lt - 2, lt + 3]
+    out = bucketed_range_join(left, right, key="k", ts_left="lt",
+                              ts_right="rt", lower=-2, upper=3,
+                              n_buckets=4).to_pandas()
+    got = sorted(zip(out["lv"], out["rv"]))
+    # k=1,lt=10 → rt 8,10,13; k=1,lt=50 → none; k=2,lt=10 → none
+    # (rt=30 outside, rt=None never matches); null-key left row never matches
+    assert got == [("a", 100), ("a", 200), ("a", 300)]
+    assert out["lt"].dtype.kind == "i" and out["rv"].dtype.kind == "i"
