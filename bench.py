@@ -213,7 +213,8 @@ def run_bench() -> dict:
         name: timed(name)
         for name in ["pricing_summary", "events_hourly", "dedup_exact",
                      "doc_token_stats", "user_sessions", "minhash_near_dups",
-                     "ann_topk", "embedding_dup_pairs"]}
+                     "ann_topk", "embedding_dup_pairs",
+                     "minhash_dedup_groups", "ship_window_counts"]}
     ray.shutdown()
     return result
 
