@@ -85,13 +85,14 @@ def prepare_pages() -> list[str]:
     return sorted(glob.glob(os.path.join(out, "*.parquet")))
 
 
-def _warmup(shards, cfg) -> None:
+def _warmup(shards, cfg, actor_pool_too: bool = True) -> None:
     """Untimed: spin up the Ray worker pool and import the package in
     every worker (first-execution cost is once-per-session in
     production, ~15s here — it would otherwise dominate a seconds-scale
-    benchmark), and exercise BOTH extract paths once on one shard (the
-    tasks path warms the worker-global converters; the actor path warms
-    the pool spin-up machinery and the parquet write)."""
+    benchmark), and exercise the measured extract path(s) once on one
+    shard (the tasks path warms the worker-global converters; the actor
+    path — only when it will be timed — warms pool spin-up and the
+    parquet write)."""
     import ray.data as rd
 
     def _imp(b):
@@ -105,7 +106,8 @@ def _warmup(shards, cfg) -> None:
 
     # exercise the FULL path including the parquet write — the first
     # write execution in a session pays a large one-time cost
-    for mode in ("tasks", "actor_pool"):
+    modes = ("tasks", "actor_pool") if actor_pool_too else ("tasks",)
+    for mode in modes:
         wout = os.path.join(CACHE_ROOT, f"warmup-out-{mode}")
         shutil.rmtree(wout, ignore_errors=True)
         extract_dataset(shards[:1], cfg.with_(execution_mode=mode)) \
@@ -159,7 +161,7 @@ def _measure(actor_pool_too: bool = True) -> dict:
 
     pool = NUM_CPUS - max(1, NUM_CPUS // 8)
     cfg = DEFAULT_CONFIG.with_(pdf_pool_min=pool, pdf_pool_max=pool)
-    _warmup(shards, cfg)
+    _warmup(shards, cfg, actor_pool_too=actor_pool_too)
 
     reps = _timed_extract(shards, cfg.with_(execution_mode="tasks"), "tasks")
     headline = sorted(reps)[1]   # median of 3 (noisy shared host)

@@ -168,14 +168,23 @@ def ivf_topk(ds, queries_ref, k: int = 5, n_centroids: int = 32,
         m = _to_matrix(batch.column("embedding"))
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         cells = (mn @ _cent.T).argmax(axis=1)
-        out_q, out_v, out_s = [], [], []
+        per_q: dict[int, list[tuple[float, int]]] = {}
         for j in range(len(vids)):
             for qi in _c2q.get(int(cells[j]), ()):
                 if vids[j] == _qids[qi]:
                     continue
+                per_q.setdefault(qi, []).append(
+                    (round(float(_qn[qi] @ mn[j]), 6), int(vids[j])))
+        # per-block top-k truncation (score desc, vec_id asc): the
+        # partial is at most Q×k rows per block — without it the
+        # driver merge would materialize O(corpus) candidate rows
+        out_q, out_v, out_s = [], [], []
+        for qi, cand in per_q.items():
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            for s, v in cand[:k]:
                 out_q.append(int(_qids[qi]))
-                out_v.append(int(vids[j]))
-                out_s.append(round(float(_qn[qi] @ mn[j]), 6))
+                out_v.append(v)
+                out_s.append(s)
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "cos_r": pa.array(out_s, pa.float64())})

@@ -119,13 +119,21 @@ def _h64(s: str) -> int:
                           "big")
 
 
+_SHINGLE_CACHE_CAP = 1 << 18     # ≈260k entries; bounds the per-batch
+                                 # footprint when a batch is a whole
+                                 # block of documents (batch_size=None)
+
+
 def minhash_signatures(texts, k: int = 3) -> list[np.ndarray]:
     """Batch variant with a shared shingle-hash cache: each DISTINCT
-    shingle in the batch is blake2b-hashed once (near-dup corpora
-    share most shingles across documents, so the dominant cost —
-    per-shingle hashing — amortizes across the batch). Byte-identical
-    to per-doc :func:`minhash_signature` (pinned by test). Empty
-    shingle sets yield None (caller skips them — no similarity
+    shingle in the batch is blake2b-hashed once while the cache is
+    warm (near-dup corpora share most shingles across documents, so
+    the dominant cost — per-shingle hashing — amortizes across the
+    batch). The cache is CAPPED: past _SHINGLE_CACHE_CAP distinct
+    shingles it resets rather than growing O(block text) in task
+    memory. Byte-identical to per-doc :func:`minhash_signature`
+    (pinned by test — caching/reset cannot change a hash value).
+    Empty shingle sets yield None (caller skips them — no similarity
     evidence)."""
     cache: dict[str, int] = {}
     out: list[np.ndarray | None] = []
@@ -134,6 +142,8 @@ def minhash_signatures(texts, k: int = 3) -> list[np.ndarray]:
         if not sh:
             out.append(None)
             continue
+        if len(cache) > _SHINGLE_CACHE_CAP:
+            cache = {}
         hs = np.fromiter((cache[s] if s in cache else cache.setdefault(s, _h64(s))
                           for s in sh), dtype=np.uint64, count=len(sh))
         out.append(_sig_from_hashes(hs))

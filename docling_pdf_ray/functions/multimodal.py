@@ -182,14 +182,22 @@ class MediaFeatureStage:
         self.projection = rng.standard_normal((FEATURE_DIM, FEATURE_DIM)).astype(np.float32)
 
     def _decode(self, payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
-        if kind == "image" and payload.startswith(b"P6"):
-            img = decode_ppm(payload)
-            h, w = img.shape[:2]
-            small = resize_nearest(img, self.RESIZE_TO, self.RESIZE_TO)
-            return w, h, image_features(small)
-        if kind == "audio" and payload.startswith(b"RIFF"):
-            x, rate = decode_wav(payload)
-            return len(x), rate, audio_features(x, rate)
+        # real-codec arms: a payload that LOOKS like a supported format
+        # but fails to decode (truncated crawl artifact) must not kill
+        # the task in the default mode — it falls through to the stub
+        # arm like any other undecodable payload (strict mode raises)
+        try:
+            if kind == "image" and payload.startswith(b"P6"):
+                img = decode_ppm(payload)
+                h, w = img.shape[:2]
+                small = resize_nearest(img, self.RESIZE_TO, self.RESIZE_TO)
+                return w, h, image_features(small)
+            if kind == "audio" and payload.startswith(b"RIFF"):
+                x, rate = decode_wav(payload)
+                return len(x), rate, audio_features(x, rate)
+        except Exception:
+            if self.strict:
+                raise
         if self.strict:
             raise NotImplementedError(
                 f"no {kind} codec for this payload in this environment; "

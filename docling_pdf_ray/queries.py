@@ -691,9 +691,12 @@ def q_lang_detect(sf_dir: str):
     stopword hit-count argmax over the first 500 words, ties to the
     lexicographically first language) is mirrored exactly in DuckDB —
     the CJK threshold compares in exact integer arithmetic
-    (20·cjk > chars ⟺ ratio > 0.05) and the word regex uses \\p{L}+
-    (RE2) ⇔ [^\\W\\d_]+ (Python unicode), verified equivalent per-doc
-    on the gate corpora."""
+    (20·cjk > chars ⟺ ratio > 0.05) and the word regex uses RE2
+    [\\p{L}\\p{Nl}\\p{No}]+ — the STRUCTURAL equivalent of Python's
+    [^\\W\\d_]+ (unicode alphanumerics minus decimal digits minus
+    underscore = letters ∪ letter-numbers ∪ other-numbers), not just
+    corpus-coincidentally equal; verified per-doc on the gate corpora
+    and on No/Nl probe tokens."""
 
     def pred(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -722,7 +725,8 @@ WITH pred AS (
            > length(text) THEN 'zh'
       ELSE (
         WITH w AS (SELECT list_transform(
-                     list_slice(regexp_extract_all(text, '\\p{{L}}+'), 1, 500),
+                     list_slice(regexp_extract_all(
+                       text, '[\\p{{L}}\\p{{Nl}}\\p{{No}}]+'), 1, 500),
                      x -> lower(x)) AS ws)
         SELECT CASE
           WHEN len(ws) = 0 THEN 'unknown'
@@ -960,7 +964,17 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
 
     Output is exact-integer (jacc_num, jacc_den) per pair — Jaccard as
     a ratio of counts, representation-identical in SQL. Pair kept iff
-    num/den ≥ threshold, compared in exact integer arithmetic."""
+    num/den ≥ threshold, compared in exact integer arithmetic.
+
+    Oracle contract (stated, not hidden): SQL_MINHASH_NEAR_DUPS is the
+    EXACT-Jaccard pair set, while this pipeline is LSH-approximate, so
+    pair-level equality additionally requires (i) LSH recall 1 on the
+    corpus (holds here: J≥0.7 pairs planted at J≳0.71 are caught with
+    P(miss)≤1%, and equality is pinned at both gate scales) and (ii)
+    no bucket past STAR_LINK_BUCKET (a mass-dup clique star-links to
+    O(n) pairs where exact SQL enumerates O(n²)). The GROUPS-level
+    oracle (q_minhash_dedup_groups) is robust to (ii) by construction:
+    star pairs and clique pairs span identical connected components."""
     from fractions import Fraction
 
     import pandas as pd

@@ -89,3 +89,18 @@ def test_real_decoders_run_inside_stage():
     out = MediaFeatureStage(strict=True)(batch)   # strict: stubs would raise
     assert out.column("width").to_pylist() == [20, 1234]   # img w, audio samples
     assert out.column("height").to_pylist() == [10, 16000]  # img h, sample rate
+
+
+def test_malformed_real_format_payloads_fall_back_not_raise():
+    """A payload that LOOKS like P6/WAV but is truncated must ride the
+    stub arm in default mode (never kill the task) and raise only
+    under strict=True."""
+    from docling_pdf_ray.functions.multimodal import MediaFeatureStage
+
+    bad = pa.table({"media_id": [0, 1], "kind": ["image", "audio"],
+                    "payload": [b"P6\n4 4\n255\n\x00", b"RIFFjunk"],
+                    "meta": ["{}", "{}"]})
+    out = MediaFeatureStage(strict=False)(bad)
+    assert out.num_rows == 2                      # fake-decoded, no raise
+    with pytest.raises((ValueError, Exception)):
+        MediaFeatureStage(strict=True)(bad)
