@@ -749,6 +749,45 @@ FROM pred GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+SAMPLE_RATES = {"en": 25, "de": 50, "es": 50, "fr": 50, "zh": 100}
+_KNUTH = 2654435761          # Knuth multiplicative hash constant
+
+
+def q_balanced_sample(sf_dir: str):
+    """Deterministic STRATIFIED sampling (training-data corpus
+    balancing): per-language keep-rates (percent) applied via an
+    integer multiplicative hash of doc_id — no RNG state, so the
+    sample is identical across runs, batch orders and engines, and
+    the decision is a pure row-local filter (no shuffle, no driver
+    pass; the exact shape a 100-TB downsample needs). Emits the
+    sampled (doc_id, lang) rows."""
+    import ray
+
+    rates_ref = ray.put(dict(SAMPLE_RATES))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        rates = ray.get(rates_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(100)
+        langs = batch.column("lang").to_pylist()
+        thresh = np.fromiter((rates.get(l, 0) for l in langs),
+                             dtype=np.uint64, count=len(langs))
+        return batch.filter(pa.array(h < thresh))
+
+    return _docs(sf_dir, ["doc_id", "lang"]) \
+        .map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_BALANCED_SAMPLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * {_KNUTH}) % 100 <
+      CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'es' THEN 50
+                WHEN 'fr' THEN 50 WHEN 'zh' THEN 100 ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 def q_sniff_counts(sf_dir: str):
     """Router audit (M3): payload-kind counts from the sniff stage
     alone — SQL-checkable because the synthesized payload class is a
@@ -1391,6 +1430,7 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_by_lang": q_doc_quality_by_lang,
     "doc_fingerprints": q_doc_fingerprints,
+    "balanced_sample": q_balanced_sample,
     "dedup_exact": q_dedup_exact,
     "size_histogram": q_size_histogram,
     "pricing_summary": q_pricing_summary,
@@ -1423,6 +1463,7 @@ ORACLE_SQL = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "doc_quality_by_lang": SQL_DOC_QUALITY_BY_LANG,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "balanced_sample": SQL_BALANCED_SAMPLE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "size_histogram": SQL_SIZE_HISTOGRAM,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -57,7 +57,7 @@ def test_all_oracle_keys_have_queries():
     "distinct_segments", "events_sliding", "region_order_counts",
     "quality_gate_counts", "order_asof_event",
     "order_coverage", "minhash_near_dups", "minhash_dedup_groups",
-    "ship_window_counts",
+    "ship_window_counts", "balanced_sample",
     "lang_detect", "embedding_dup_pairs_lsh",
 ])
 def test_query_matches_duckdb(registry, name):
