@@ -1321,7 +1321,11 @@ def q_embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.95):
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.asarray(g["vec_id"], dtype=np.int64)
         if len(ids) < 2:
-            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+            # Empty frames must keep int64 dtype: a bare [] defaults to
+            # float64 and poisons the unioned Dataset schema (same class
+            # of bug as the r1 asof-join event_id upcast).
+            return pd.DataFrame({"vec_id_a": np.array([], dtype=np.int64),
+                                 "vec_id_b": np.array([], dtype=np.int64)})
         m = np.asarray(list(g["embedding"]), dtype=np.float64)
         s = dd.cosine_matrix(m, m)
         out_a, out_b = [], []
@@ -1332,7 +1336,8 @@ def q_embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.95):
                 if s[i, j] >= threshold:
                     out_a.append(int(ids[i]))
                     out_b.append(int(ids[j]))
-        return pd.DataFrame({"vec_id_a": out_a, "vec_id_b": out_b})
+        return pd.DataFrame({"vec_id_a": np.asarray(out_a, dtype=np.int64),
+                             "vec_id_b": np.asarray(out_b, dtype=np.int64)})
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
