@@ -1362,6 +1362,155 @@ ORDER BY 1, 2
 """
 
 
+# ================================================================ corpus stats
+
+_TERM_RE = None     # compiled once per process (module scope, not per batch)
+
+
+def _term_re():
+    global _TERM_RE
+    if _TERM_RE is None:
+        import re
+
+        _TERM_RE = re.compile(r"[A-Za-z0-9]+")
+    return _TERM_RE
+
+
+def q_top_terms(sf_dir: str, k: int = 20):
+    """Corpus top-k terms by DOCUMENT frequency — the inverted-index
+    pattern: per-batch (term, df) partials (each term counted once per
+    doc and combined across the batch's docs BEFORE anything is
+    shuffled), ONE distributed full-cardinality groupby over the
+    narrow (term, df) pairs — the vocabulary is unbounded so this
+    combine must stay distributed — then per-block local top-k
+    partials and an exact driver merge (the ann.py partials pattern;
+    no global sort). Tokens are ASCII [A-Za-z0-9]+ runs lowercased
+    AFTER extraction, so Python str.lower and DuckDB lower() agree
+    (ASCII-only domain)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    tok = _term_re()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t:
+                c.update({w.lower() for w in tok.findall(t)})
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        d = batch.rename_columns(["term", "df"]).to_pandas()
+        d = d.sort_values(["df", "term"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    cand_ds = _docs(sf_dir, ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").sum("df") \
+        .map_batches(topk_partial, batch_format="pyarrow")
+    cand = pd.concat(list(cand_ds.iter_batches(batch_format="pandas")),
+                     ignore_index=True)
+    return cand.sort_values(["df", "term"], ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+
+
+SQL_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t)))) AS term
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT term, count(*) AS df
+FROM toks GROUP BY term
+ORDER BY df DESC, term LIMIT 20
+"""
+
+
+def q_chars_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99 of n_chars per lang)
+    with no sort and no shuffle: per-batch (lang, n_chars) histogram
+    partials, driver combine — the histogram cardinality is bounded by
+    langs × |value domain of n_chars|, NOT by corpus size, so the
+    driver object stays small at any scale — then percentile_disc from
+    the cumulative histogram in exact integer arithmetic (smallest v
+    with 100·cum ≥ p·n, which is DuckDB's percentile_disc; pinned by a
+    randomized-histogram property test)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("n_chars")))
+        return t.group_by(["lang", "n_chars"]) \
+            .aggregate([("n_chars", "count")]) \
+            .rename_columns(["lang", "n_chars", "cnt"])
+
+    partials = _docs(sf_dir, ["lang", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    frames = list(partials.iter_batches(batch_format="pandas"))
+    hist = pd.concat(frames, ignore_index=True) \
+        .groupby(["lang", "n_chars"], dropna=False)["cnt"].sum().reset_index()
+    out = []
+    for lang, g in hist.groupby("lang", sort=True, dropna=False):
+        g = g.sort_values("n_chars")
+        cum = g["cnt"].cumsum().to_numpy(dtype=np.int64)
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        n = int(cum[-1])
+        row = {"lang": lang}
+        for name, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+            idx = int(np.searchsorted(cum * 100, p * n, side="left"))
+            row[name] = int(vals[idx])
+        out.append(row)
+    res = pd.DataFrame(out, columns=["lang", "p50", "p90", "p99"])
+    return res.astype({"p50": "int64", "p90": "int64", "p99": "int64"})
+
+
+SQL_CHARS_QUANTILES = """
+SELECT lang,
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+       CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90,
+       CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p99
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Grouped top-k with no shuffle at all: per-batch per-group local
+    top-k partials (≤ k × n_langs rows per block — group cardinality
+    is small, so partials are provably tiny) → exact driver merge +
+    rank assignment. The grouped analog of q_top_orders; a window
+    row_number() in SQL."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.filter(pc.is_valid(batch.column("n_chars"))).to_pandas()
+        d = d.sort_values(["lang", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        return pa.Table.from_pandas(d.groupby("lang", dropna=False).head(k),
+                                    preserve_index=False)
+
+    cand_ds = _docs(sf_dir, ["lang", "doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    cand = pd.concat(list(cand_ds.iter_batches(batch_format="pandas")),
+                     ignore_index=True)
+    cand = cand.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+    cand = cand.groupby("lang", dropna=False).head(k).reset_index(drop=True)
+    cand["rk"] = cand.groupby("lang", dropna=False).cumcount() + 1
+    return cand[["lang", "doc_id", "n_chars", "rk"]].astype({"rk": "int64"})
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars, rk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents WHERE n_chars IS NOT NULL)
+WHERE rk <= 3 ORDER BY lang, rk
+"""
+
+
 def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
     """Brute-force cosine top-k: broadcast normalized query matrix,
     one matmul per batch, per-batch local top-k partials, exact final
@@ -1459,6 +1608,9 @@ QUERIES = {
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "top_terms": q_top_terms,
+    "chars_quantiles": q_chars_quantiles,
+    "top_docs_per_lang": q_top_docs_per_lang,
 }
 
 ORACLE_SQL = {
@@ -1490,4 +1642,7 @@ ORACLE_SQL = {
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_dup_pairs_lsh": SQL_EMBEDDING_DUP_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
+    "top_terms": SQL_TOP_TERMS,
+    "chars_quantiles": SQL_CHARS_QUANTILES,
+    "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
 }

@@ -59,6 +59,7 @@ def test_all_oracle_keys_have_queries():
     "order_coverage", "minhash_near_dups", "minhash_dedup_groups",
     "ship_window_counts", "balanced_sample",
     "lang_detect", "embedding_dup_pairs_lsh",
+    "top_terms", "chars_quantiles", "top_docs_per_lang",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -195,3 +196,63 @@ def test_bucketed_range_join_semantics(ray_session):
     # (rt=30 outside, rt=None never matches); null-key left row never matches
     assert got == [("a", 100), ("a", 200), ("a", 300)]
     assert out["lt"].dtype.kind == "i" and out["rv"].dtype.kind == "i"
+
+
+def test_chars_quantiles_rule_matches_duckdb_on_random_histograms(ray_session):
+    """Pins the integer percentile rule (smallest v with 100·cum ≥ p·n)
+    to DuckDB's percentile_disc on randomized skewed tables — including
+    n values where q·n is an exact integer (the float-rounding corner:
+    0.99·100 = 99.00000000000001 in IEEE double)."""
+    import os
+    import random
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.queries import SQL_CHARS_QUANTILES, q_chars_quantiles
+
+    for seed, n in ((0, 100), (1, 200), (2, 173), (3, 400)):
+        rng = random.Random(seed)
+        langs = [rng.choice(["aa", "bb", "cc"]) for _ in range(n)]
+        # heavy ties: values from a tiny domain so cum boundaries land
+        # exactly on the p·n thresholds often
+        chars = [rng.choice([10, 20, 20, 30, 1000]) for _ in range(n)]
+        with tempfile.TemporaryDirectory(dir="/tmp") as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(chars, pa.int64())}),
+                os.path.join(d, "documents.parquet"))
+            got = q_chars_quantiles(d)
+            con = duckdb.connect()
+            con.execute("CREATE VIEW documents AS SELECT * FROM "
+                        f"read_parquet('{d}/documents.parquet')")
+            want = con.execute(SQL_CHARS_QUANTILES).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=True), (seed, n)
+
+
+def test_top_terms_df_is_document_frequency(ray_session):
+    """A term repeated many times inside one doc counts once (df, not
+    tf); case folds; ties break lexicographically."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.queries import q_top_terms
+
+    docs = ["Apple apple APPLE banana", "apple cherry", "banana cherry",
+            None, ""]
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string())}),
+            os.path.join(d, "documents.parquet"))
+        got = q_top_terms(d, k=2)
+    assert list(got["term"]) == ["apple", "banana"]      # df 2,2 — lex tiebreak
+    assert list(got["df"]) == [2, 2]
+    assert got["df"].dtype.kind == "i"
