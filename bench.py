@@ -216,7 +216,8 @@ def run_bench() -> dict:
         for name in ["pricing_summary", "events_hourly", "dedup_exact",
                      "doc_token_stats", "user_sessions", "minhash_near_dups",
                      "ann_topk", "embedding_dup_pairs",
-                     "minhash_dedup_groups", "ship_window_counts"]}
+                     "minhash_dedup_groups", "ship_window_counts",
+                     "top_terms", "chars_quantiles"]}
     ray.shutdown()
     return result
 
