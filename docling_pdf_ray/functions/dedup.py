@@ -19,13 +19,29 @@ exactly afterwards.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 
 # ---------------------------------------------------------------- shingling
 
+# ASCII whitespace class shared VERBATIM with the DuckDB oracle regexes
+# (RE2). Python str.split() splits on *Unicode* whitespace while RE2's
+# \s is ASCII-only — a document containing U+00A0/U+3000 would tokenize
+# differently on the two engines, so both sides use this explicit class
+# (structural equivalence, not corpus-coincidental).
+WS_PATTERN = r"[ \t\n\r\x0b\x0c]+"
+_WS_RE = re.compile(WS_PATTERN)
+
+
+def split_ws(text: str) -> list[str]:
+    """ASCII-whitespace word split, empty tokens dropped — the shared
+    tokenizer for every dedup operator that has a SQL mirror."""
+    return [w for w in _WS_RE.split(text) if w]
+
+
 def word_shingles(text: str, k: int = 3) -> set[str]:
-    words = text.split()
+    words = split_ws(text)
     if len(words) < k:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
@@ -180,8 +196,9 @@ def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (term-frequency
     weighted). The per-word bit expansion is one numpy broadcast over
     the unique-word hash vector (not a Python loop per word per bit) —
-    byte-identical output to the scalar definition."""
-    words = text.split()
+    byte-identical output to the scalar definition. Tokenizes with
+    split_ws for consistency with the minhash operators."""
+    words = split_ws(text)
     if not words:
         return 0
     from collections import Counter

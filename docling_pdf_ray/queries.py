@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import _compat  # noqa: F401
+from .functions import dedup as _dedup
 from .functions import text as ftext
 
 # lazy ray.data import helper (the driver owns ray.init)
@@ -585,8 +586,9 @@ def q_ship_window_counts(sf_dir: str):
 
     li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_shipdate"]) \
-        .map_batches(lambda b: b.rename_columns(["o_orderkey", "l_shipdate"]),
-                     batch_format="pyarrow")
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "l_shipdate": b.column("l_shipdate")}), batch_format="pyarrow")
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_orderkey", "o_orderdate",
                                          "o_orderpriority"])
@@ -760,28 +762,41 @@ def q_balanced_sample(sf_dir: str):
     sample is identical across runs, batch orders and engines, and
     the decision is a pure row-local filter (no shuffle, no driver
     pass; the exact shape a 100-TB downsample needs). Emits the
-    sampled (doc_id, lang) rows."""
+    sampled (doc_id, lang) rows (unsorted — the gate's value hash is
+    row-order-insensitive, and a distributed sort costs a fixed ~2-4s
+    all-to-all for presentation nobody depends on).
+
+    Hash arithmetic is defined over the FULL int64 doc_id domain and
+    is overflow- and sign-exact on both engines: reduce doc_id to a
+    non-negative residue mod 2^32 first (so negative ids agree —
+    C-style % in SQL keeps the dividend's sign), then one Knuth
+    multiply that provably fits uint64 / HUGEINT, then mod 2^32 mod
+    100."""
     import ray
 
     rates_ref = ray.put(dict(SAMPLE_RATES))
+    m32 = np.uint64(1 << 32)
 
     def pick(batch: pa.Table) -> pa.Table:
         rates = ray.get(rates_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(100)
+        # numpy % with positive modulus is already non-negative
+        d = np.mod(ids, np.int64(1 << 32)).astype(np.uint64)
+        h = (d * np.uint64(_KNUTH)) % m32 % np.uint64(100)
         langs = batch.column("lang").to_pylist()
         thresh = np.fromiter((rates.get(l, 0) for l in langs),
                              dtype=np.uint64, count=len(langs))
         return batch.filter(pa.array(h < thresh))
 
     return _docs(sf_dir, ["doc_id", "lang"]) \
-        .map_batches(pick, batch_format="pyarrow").sort("doc_id")
+        .map_batches(pick, batch_format="pyarrow")
 
 
 SQL_BALANCED_SAMPLE = f"""
 SELECT doc_id, lang
 FROM documents
-WHERE (doc_id * {_KNUTH}) % 100 <
+WHERE CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296 AS HUGEINT)
+           * {_KNUTH} % 4294967296 % 100 AS BIGINT) <
       CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 50 WHEN 'es' THEN 50
                 WHEN 'fr' THEN 50 WHEN 'zh' THEN 100 ELSE 0 END
 ORDER BY doc_id
@@ -897,8 +912,11 @@ def q_top_orders(sf_dir: str, k: int = 10):
     partials = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                   columns=["o_orderkey", "o_totalprice"]) \
         .map_batches(topk_partial, batch_format="pyarrow")
-    cand = pd.concat(list(partials.iter_batches(batch_format="pandas")),
-                     ignore_index=True)
+    frames = list(partials.iter_batches(batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                             "totalprice_cents": pd.Series([], dtype="int64")})
+    cand = pd.concat(frames, ignore_index=True)
     return cand.sort_values(["totalprice_cents", "o_orderkey"],
                             ascending=[False, True]).head(k) \
         .reset_index(drop=True)
@@ -937,6 +955,7 @@ def _docs_with_planted_dups(sf_dir: str):
     natural near-dups (verified at survey time), so the dedup operators
     need planted positives to demonstrate recall. Planting happens
     in-stream (flat_map-style map_batches), not driver-side."""
+    from .functions import dedup as dd
 
     def plant(batch: pa.Table) -> pa.Table:
         # vectorized plant-row selection (1/PLANT_EVERY of rows); only
@@ -948,7 +967,7 @@ def _docs_with_planted_dups(sf_dir: str):
                         sub.column("text").to_pylist()):
             if t:
                 out_i.append(i + PLANT_OFFSET)
-                out_t.append(" ".join(t.split()[:-5]))
+                out_t.append(" ".join(dd.split_ws(t)[:-5]))
         if not out_i:
             return batch
         extra = pa.table({"doc_id": pa.array(out_i, pa.int64()),
@@ -1072,9 +1091,21 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
 
     def verify(batch: pa.Table) -> pa.Table:
         tx = ray.get(texts_ref)
+        # shingle each candidate doc ONCE per batch, not once per pair:
+        # a star-linked mass-dup bucket would otherwise re-shingle the
+        # anchor text O(pairs) times
+        sh: dict[int, set] = {}
+
+        def shingles(i: int) -> set:
+            if i not in sh:
+                sh[i] = dd.word_shingles(tx[i])
+            return sh[i]
+
         rows = []
         for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            num, den = dd.jaccard_counts(tx[a], tx[b])
+            sa, sb = shingles(a), shingles(b)
+            num = len(sa & sb)
+            den = len(sa) + len(sb) - num
             if num * fr.denominator >= fr.numerator * den:
                 rows.append((a, b, num, den))
         return pa.table({"doc_id_a": pa.array([r[0] for r in rows], pa.int64()),
@@ -1092,7 +1123,7 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
 SQL_MINHASH_NEAR_DUPS = f"""
 WITH base AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'), w -> w <> '') AS words
   FROM documents WHERE text IS NOT NULL
 ), aug AS (
   SELECT doc_id, words FROM base
@@ -1202,7 +1233,7 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3,
         ids, bands, fp_col = [], [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            if not (t or "").split():
+            if not dd.split_ws(t or ""):
                 continue        # blank docs carry no similarity signal
             fp = dd.simhash64(t or "")
             for bk in dd.simhash_bands(fp):
@@ -1364,16 +1395,9 @@ ORDER BY 1, 2
 
 # ================================================================ corpus stats
 
-_TERM_RE = None     # compiled once per process (module scope, not per batch)
+import re as _re  # noqa: E402  (scoped here: only the corpus-stats ops use it)
 
-
-def _term_re():
-    global _TERM_RE
-    if _TERM_RE is None:
-        import re
-
-        _TERM_RE = re.compile(r"[A-Za-z0-9]+")
-    return _TERM_RE
+_TERM_RE = _re.compile(r"[A-Za-z0-9]+")
 
 
 def q_top_terms(sf_dir: str, k: int = 20):
@@ -1391,7 +1415,7 @@ def q_top_terms(sf_dir: str, k: int = 20):
 
     import pandas as pd
 
-    tok = _term_re()
+    tok = _TERM_RE
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -1410,8 +1434,11 @@ def q_top_terms(sf_dir: str, k: int = 20):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("term").sum("df") \
         .map_batches(topk_partial, batch_format="pyarrow")
-    cand = pd.concat(list(cand_ds.iter_batches(batch_format="pandas")),
-                     ignore_index=True)
+    frames = list(cand_ds.iter_batches(batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                             "df": pd.Series([], dtype="int64")})
+    cand = pd.concat(frames, ignore_index=True)
     return cand.sort_values(["df", "term"], ascending=[False, True]).head(k) \
         .reset_index(drop=True)
 
@@ -1448,6 +1475,11 @@ def q_chars_quantiles(sf_dir: str):
     partials = _docs(sf_dir, ["lang", "n_chars"]) \
         .map_batches(partial, batch_format="pyarrow")
     frames = list(partials.iter_batches(batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "p50": pd.Series([], dtype="int64"),
+                             "p90": pd.Series([], dtype="int64"),
+                             "p99": pd.Series([], dtype="int64")})
     hist = pd.concat(frames, ignore_index=True) \
         .groupby(["lang", "n_chars"], dropna=False)["cnt"].sum().reset_index()
     out = []
@@ -1492,8 +1524,13 @@ def q_top_docs_per_lang(sf_dir: str, k: int = 3):
 
     cand_ds = _docs(sf_dir, ["lang", "doc_id", "n_chars"]) \
         .map_batches(partial, batch_format="pyarrow")
-    cand = pd.concat(list(cand_ds.iter_batches(batch_format="pandas")),
-                     ignore_index=True)
+    frames = list(cand_ds.iter_batches(batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "n_chars": pd.Series([], dtype="int64"),
+                             "rk": pd.Series([], dtype="int64")})
+    cand = pd.concat(frames, ignore_index=True)
     cand = cand.sort_values(["lang", "n_chars", "doc_id"],
                             ascending=[True, False, True])
     cand = cand.groupby("lang", dropna=False).head(k).reset_index(drop=True)

@@ -102,5 +102,9 @@ def test_malformed_real_format_payloads_fall_back_not_raise():
                     "meta": ["{}", "{}"]})
     out = MediaFeatureStage(strict=False)(bad)
     assert out.num_rows == 2                      # fake-decoded, no raise
-    with pytest.raises((ValueError, Exception)):
+    import wave
+
+    # the strict contract: codec parse errors (ValueError / wave.Error)
+    # or the honest no-codec stub (NotImplementedError) — nothing else
+    with pytest.raises((ValueError, NotImplementedError, wave.Error)):
         MediaFeatureStage(strict=True)(bad)

@@ -256,3 +256,56 @@ def test_top_terms_df_is_document_frequency(ray_session):
     assert list(got["term"]) == ["apple", "banana"]      # df 2,2 — lex tiebreak
     assert list(got["df"]) == [2, 2]
     assert got["df"].dtype.kind == "i"
+
+
+def test_balanced_sample_hash_agrees_with_sql_on_hostile_doc_ids(ray_session):
+    """Negative and huge doc_ids: the engine's uint64 wrap used to
+    diverge from SQL's signed BIGINT arithmetic (opposite keep/drop at
+    doc_id=-1; DuckDB overflow error at doc_id>3.47e9). Both sides now
+    reduce mod 2^32 first."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.queries import SQL_BALANCED_SAMPLE, q_balanced_sample
+
+    ids = [-1, -25, -(2**40), 0, 7, 4_000_000_000, 2**62, -(2**62)]
+    langs = ["en", "de", "es", "fr", "zh", "en", "de", "zh"]
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(langs, pa.string())}),
+            os.path.join(d, "documents.parquet"))
+        got = _to_pandas(q_balanced_sample(d))
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        want = con.execute(SQL_BALANCED_SAMPLE).fetchdf()
+    got = got.sort_values(["doc_id"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "lang"]],
+                                  want[["doc_id", "lang"]], check_dtype=True)
+
+
+def test_dedup_tokenizer_agrees_with_re2_on_unicode_whitespace():
+    """split_ws (the shared dedup tokenizer) must agree with DuckDB's
+    RE2 on NON-ASCII whitespace: Python str.split() breaks on
+    U+00A0/U+3000 while RE2 '\\s' does not — both sides now use the
+    same explicit ASCII class (structural, not corpus-coincidental)."""
+    from docling_pdf_ray.functions.dedup import WS_PATTERN, split_ws
+
+    cases = [
+        "alpha beta gamma",        # NBSP inside a "word"
+        "a　b c\td",                # ideographic space
+        "x y\nz",                  # line separator
+        " leading trailing ",
+        "tab\tand\x0bvt\x0cff",
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        want = con.execute(
+            "SELECT list_filter(regexp_split_to_array(?, ?), w -> w <> '')",
+            [s, WS_PATTERN]).fetchone()[0]
+        assert split_ws(s) == want, s
