@@ -309,3 +309,21 @@ def test_dedup_tokenizer_agrees_with_re2_on_unicode_whitespace():
             "SELECT list_filter(regexp_split_to_array(?, ?), w -> w <> '')",
             [s, WS_PATTERN]).fetchone()[0]
         assert split_ws(s) == want, s
+
+
+def test_driver_entry_contract(ray_session):
+    """entry() is the driver's smoke check: runs the flagship pipeline
+    at sf0.001, returns >0 rows with a stable schema, and never calls
+    ray.init itself (the session fixture owns Ray here, as the driver
+    does in production). Checked via count()/schema(), not to_pandas —
+    the nested list<struct> pages column is not pandas-convertible
+    under Ray's tensor-extension casting, and the driver does not
+    require it to be."""
+    import __ray_entry__
+
+    out = __ray_entry__.entry()
+    n, names = out.count(), out.schema().names
+    assert n > 0
+    assert "url" in names and "extraction_successful" in names
+    again = __ray_entry__.entry()
+    assert again.schema().names == names
