@@ -1033,18 +1033,7 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
     O(n) pairs where exact SQL enumerates O(n²)). The GROUPS-level
     oracle (q_minhash_dedup_groups) is robust to (ii) by construction:
     star pairs and clique pairs span identical connected components."""
-    from fractions import Fraction
-
-    import pandas as pd
-    import ray
-
     from .functions import dedup as dd
-
-    fr = Fraction(str(threshold))
-    empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
-                          "doc_id_b": pd.Series([], dtype="int64"),
-                          "jacc_num": pd.Series([], dtype="int64"),
-                          "jacc_den": pd.Series([], dtype="int64")})
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids, bands, hashes = [], [], []
@@ -1073,11 +1062,31 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
     cand_pd = docs.map_batches(sigs, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(hot_pairs, batch_format="pandas") \
         .to_pandas().drop_duplicates()          # small: candidates only
+    return _verify_jaccard_pairs(docs, cand_pd, threshold)
+
+
+_EMPTY_PAIRS_COLS = ("doc_id_a", "doc_id_b", "jacc_num", "jacc_den")
+
+
+def _verify_jaccard_pairs(docs, cand_pd, threshold: float):
+    """Shared distributed exact-Jaccard verify over a candidate-pair
+    frame (columns a, b): broadcast the candidate id-set, fetch ONLY
+    candidate texts via a distributed is_in filter (never a full
+    driver scan), then verify pairs in parallel with per-doc shingle
+    caching. The only driver-side objects are O(candidates)."""
+    from fractions import Fraction
+
+    import pandas as pd
+    import ray
+
+    from .functions import dedup as dd
+
+    fr = Fraction(str(threshold))
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in _EMPTY_PAIRS_COLS})
     if cand_pd.empty:
         return empty
 
-    # candidate texts via broadcast id-set + distributed filter: only
-    # rows IN the candidate set ever reach the driver
     need = pa.array(sorted(set(cand_pd["a"]).union(cand_pd["b"])), pa.int64())
     need_ref = ray.put(need)
 
@@ -1118,6 +1127,53 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
     if out.empty:
         return empty
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
+                          n_buckets: int = 64):
+    """EXACT-COMPLETE n-gram Jaccard pair detection — the no-sketch
+    complement to MinHash LSH: any pair with J ≥ t > 0 shares at least
+    one 3-word shingle, so an inverted-index blocking on the narrow
+    (shingle_hash, doc_id) pairs finds EVERY candidate (recall 1 by
+    construction, no probability), then the shared distributed verify
+    computes exact integer Jaccard. Tradeoffs vs minhash, documented:
+    the shuffle carries one row per (doc, distinct shingle) instead of
+    16 band rows per doc, and a mass-duplicated shingle group
+    enumerates O(n²) candidate pairs (no star-link shortcut is
+    possible without giving up completeness) — prefer minhash on
+    mass-dup corpora, this operator when missing a pair is not
+    acceptable. SQL oracle: the same exact-Jaccard DuckDB query as
+    minhash (that oracle is already exact-complete; here the ENGINE
+    is too, so equality holds structurally, with no LSH recall
+    caveat)."""
+
+    from .functions import dedup as dd
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for s in dd.word_shingles(t or ""):
+                ids.append(i)
+                hashes.append(dd._h64(s) - (1 << 63))    # int64 range
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "sh_hash": pa.array(hashes, pa.int64())})
+        return t.append_column(
+            "_bucket", pc.cast(pc.bit_wise_and(t.column("sh_hash"),
+                                               n_buckets - 1), pa.int32()))
+
+    def all_pairs(g) -> pa.Table:
+        # full enumeration within duplicated shingle hashes (NO
+        # star-link: completeness is this operator's contract)
+        pairs = _hot_bucket_pairs(g, ["sh_hash"], star_limit=1 << 62)
+        return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                         "b": pa.array([p[1] for p in pairs], pa.int64())})
+
+    docs = _docs_with_planted_dups(sf_dir)
+    cand_pd = docs.map_batches(shingle_rows, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(all_pairs, batch_format="pandas") \
+        .to_pandas().drop_duplicates()
+    return _verify_jaccard_pairs(docs, cand_pd, threshold)
 
 
 SQL_MINHASH_NEAR_DUPS = f"""
@@ -1639,6 +1695,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "lang_detect": q_lang_detect,
     "minhash_near_dups": q_minhash_near_dups,
+    "jaccard_pairs_exact": q_jaccard_pairs_exact,
     "minhash_dedup_groups": q_minhash_dedup_groups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1675,6 +1732,7 @@ ORACLE_SQL = {
     "user_sessions": SQL_USER_SESSIONS,
     "lang_detect": SQL_LANG_DETECT,
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+    "jaccard_pairs_exact": SQL_MINHASH_NEAR_DUPS,
     "minhash_dedup_groups": SQL_MINHASH_DEDUP_GROUPS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_dup_pairs_lsh": SQL_EMBEDDING_DUP_PAIRS,

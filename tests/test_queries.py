@@ -60,6 +60,7 @@ def test_all_oracle_keys_have_queries():
     "ship_window_counts", "balanced_sample",
     "lang_detect", "embedding_dup_pairs_lsh",
     "top_terms", "chars_quantiles", "top_docs_per_lang",
+    "jaccard_pairs_exact",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -327,3 +328,29 @@ def test_driver_entry_contract(ray_session):
     assert "url" in names and "extraction_successful" in names
     again = __ray_entry__.entry()
     assert again.schema().names == names
+
+
+def test_jaccard_pairs_exact_complete_on_tiny_corpus(ray_session):
+    """Completeness contract: every pair with J >= 0.7 is found, with
+    exact integer (num, den), including a pair that shares only a few
+    shingles — no sketch probability involved."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.queries import q_jaccard_pairs_exact
+
+    # doc 1 and 2: identical 6-word texts -> 4 shingles each, J = 1
+    # doc 3: disjoint text -> no pair
+    t = "a b c d e f"
+    docs = [t, t, "x y z w v u"]
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(docs, pa.string())}),
+            os.path.join(d, "documents.parquet"))
+        got = q_jaccard_pairs_exact(d)
+    assert got[["doc_id_a", "doc_id_b"]].values.tolist() == [[1, 2]]
+    assert got["jacc_num"].tolist() == [4] and got["jacc_den"].tolist() == [4]
