@@ -150,6 +150,58 @@ def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
     return f
 
 
+RVID_MAGIC = b"RVID"
+
+
+def decode_rvid(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode the self-contained raw-video format used for the REAL
+    frame-sample path: ``b"RVID"`` + little-endian uint32
+    (width, height, n_frames, fps) + n_frames × (h·w·3) uint8 rasters.
+    Returns ((n, h, w, 3) uint8 frames, fps). Pure numpy — the honest
+    in-container stand-in for an uncompressed video container; MP4 et
+    al. still ride the stub arm."""
+    if not payload.startswith(RVID_MAGIC):
+        raise ValueError("not an RVID payload")
+    hdr = np.frombuffer(payload, dtype="<u4", count=4, offset=4)
+    w, h, n, fps = (int(v) for v in hdr)
+    if w <= 0 or h <= 0 or n <= 0 or w * h > (1 << 24):
+        raise ValueError(f"unsupported RVID geometry {w}x{h}x{n}")
+    need = n * h * w * 3
+    raster = payload[20:20 + need]
+    if len(raster) < need:
+        raise ValueError("truncated RVID raster")
+    return (np.frombuffer(raster, dtype=np.uint8, count=need)
+            .reshape(n, h, w, 3), fps)
+
+
+def encode_rvid(frames: np.ndarray, fps: int) -> bytes:
+    """Inverse of :func:`decode_rvid` (test fixture / synth corpus)."""
+    n, h, w, _ = frames.shape
+    hdr = np.array([w, h, n, fps], dtype="<u4").tobytes()
+    return RVID_MAGIC + hdr + frames.astype(np.uint8).tobytes()
+
+
+def sample_frame_indices(n_frames: int, k: int) -> np.ndarray:
+    """Deterministic frame sampling: k indices evenly spaced over the
+    clip (midpoint rule — stable under re-runs and engine versions; no
+    RNG, matching the engine-wide determinism contract)."""
+    k = min(k, n_frames)
+    return ((np.arange(k) * 2 + 1) * n_frames // (2 * k)).clip(0, n_frames - 1)
+
+
+def video_features(frames: np.ndarray, k: int = 4,
+                   resize_to: int = 64) -> np.ndarray:
+    """Real frame-sampled video features: decode → sample k frames →
+    per-frame resize + pixel statistics → mean over sampled frames
+    (the decode/frame-sample/feature chain every video pipeline
+    needs, minus the compressed codec)."""
+    idx = sample_frame_indices(len(frames), k)
+    acc = np.zeros(FEATURE_DIM, dtype=np.float64)
+    for i in idx:
+        acc += image_features(resize_nearest(frames[i], resize_to, resize_to))
+    return (acc / len(idx)).astype(np.float32)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in for codecs this container lacks: pseudo
     width/height and an embedding derived from the payload digest."""
@@ -166,7 +218,9 @@ class MediaFeatureStage:
 
     Payloads in self-contained formats decode FOR REAL (P6 PPM images
     — decode → 64×64 nearest-neighbor resize → pixel statistics;
-    PCM16 WAV audio — decode → energy envelope). Other payloads hit
+    PCM16 WAV audio — decode → energy envelope; RVID raw video —
+    decode → deterministic even-spaced frame sample → per-frame
+    resize+stats → mean). Other payloads hit
     the stub arm: ``strict=True`` raises (honest: no JPEG/MP3 codec
     here), default produces the deterministic fake so the Ray-side
     plumbing is exercised end-to-end. A real deployment swaps the stub
@@ -195,6 +249,10 @@ class MediaFeatureStage:
             if kind == "audio" and payload.startswith(b"RIFF"):
                 x, rate = decode_wav(payload)
                 return len(x), rate, audio_features(x, rate)
+            if kind == "video" and payload.startswith(RVID_MAGIC):
+                frames, _fps = decode_rvid(payload)
+                _n, h, w = frames.shape[:3]
+                return w, h, video_features(frames, resize_to=self.RESIZE_TO)
         except Exception:
             if self.strict:
                 raise
@@ -237,9 +295,10 @@ def media_features(ds, concurrency=(1, 4), batch_size: int = 32,
 
 
 def synth_media_dataset(n: int = 64, seed: int = 5):
-    """Deterministic fake media table for tests/benches: REAL P6 and
-    WAV payloads for image/audio rows (the real decoders run on them),
-    opaque bytes for video rows (the stub arm runs)."""
+    """Deterministic fake media table for tests/benches: REAL P6 / WAV
+    / RVID payloads for image/audio/(half the) video rows — the real
+    decoders and the frame sampler run on them — and opaque bytes for
+    the other video rows (the compressed-codec stub arm runs)."""
     import random
 
     import ray.data as rd
@@ -258,7 +317,14 @@ def synth_media_dataset(n: int = 64, seed: int = 5):
             np_rng = np.random.RandomState(seed * 2000 + i)
             x = np_rng.standard_normal(rng.randint(800, 4000)).astype(np.float32) * 0.2
             payload = encode_wav(x, 8000)
-        else:
+        elif i % 6 == 2:                      # real raw-video rows
+            np_rng = np.random.RandomState(seed * 3000 + i)
+            frames = np_rng.randint(0, 256, size=(rng.randint(4, 12),
+                                                  rng.randint(6, 16),
+                                                  rng.randint(6, 16), 3),
+                                    dtype=np.uint8)
+            payload = encode_rvid(frames, 24)
+        else:                                 # compressed-codec stand-ins
             payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(256, 4096)))
         rows.append({"media_id": i, "kind": kind, "payload": payload,
                      "meta": f'{{"codec":"{kind}","idx":{i}}}'})

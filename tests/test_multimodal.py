@@ -108,3 +108,31 @@ def test_malformed_real_format_payloads_fall_back_not_raise():
     # or the honest no-codec stub (NotImplementedError) — nothing else
     with pytest.raises((ValueError, NotImplementedError, wave.Error)):
         MediaFeatureStage(strict=True)(bad)
+
+
+def test_rvid_roundtrip_frame_sampling_and_stage():
+    """Real video path: RVID decode roundtrip, deterministic
+    even-spaced frame sampling, and the stage reporting true geometry
+    under strict=True (stubs would raise)."""
+    from docling_pdf_ray.functions.multimodal import (MediaFeatureStage,
+                                                      decode_rvid,
+                                                      encode_rvid,
+                                                      sample_frame_indices)
+
+    frames = np.arange(6 * 4 * 5 * 3, dtype=np.uint8).reshape(6, 4, 5, 3)
+    payload = encode_rvid(frames, 24)
+    dec, fps = decode_rvid(payload)
+    assert fps == 24 and np.array_equal(dec, frames)
+
+    assert sample_frame_indices(6, 4).tolist() == [0, 2, 3, 5]
+    assert sample_frame_indices(2, 4).tolist() == [0, 1]     # k > n clamps
+    assert sample_frame_indices(100, 1).tolist() == [50]     # midpoint
+
+    batch = pa.table({"media_id": [0], "kind": ["video"],
+                      "payload": [payload], "meta": ["{}"]})
+    out = MediaFeatureStage(strict=True)(batch)
+    assert out.column("width").to_pylist() == [5]
+    assert out.column("height").to_pylist() == [4]
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_rvid(payload[:-10])
