@@ -217,7 +217,8 @@ def run_bench() -> dict:
                      "doc_token_stats", "user_sessions", "minhash_near_dups",
                      "ann_topk", "embedding_dup_pairs",
                      "minhash_dedup_groups", "ship_window_counts",
-                     "top_terms", "chars_quantiles"]}
+                     "top_terms", "chars_quantiles",
+                     "jaccard_pairs_exact"]}
     ray.shutdown()
     return result
 
