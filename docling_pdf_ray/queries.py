@@ -1604,6 +1604,73 @@ WHERE rk <= 3 ORDER BY lang, rk
 """
 
 
+def q_distinct_tokens(sf_dir: str):
+    """EXACT corpus-wide distinct-token count: per-batch distinct-term
+    partials → ONE distributed full-cardinality groupby (vocabulary is
+    unbounded — same discipline as top_terms) → metadata count. The
+    honest exact baseline whose shuffle the HLL sketch below removes."""
+    import pandas as pd
+
+    tok = _TERM_RE
+
+    def terms(batch: pa.Table) -> pa.Table:
+        s: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            if t:
+                s.update(w.lower() for w in tok.findall(t))
+        return pa.table({"term": pa.array(sorted(s), pa.string())})
+
+    n = _docs(sf_dir, ["text"]) \
+        .map_batches(terms, batch_format="pyarrow") \
+        .groupby("term").count().count()
+    return pd.DataFrame({"n_distinct_tokens": pd.Series([n], dtype="int64")})
+
+
+SQL_DISTINCT_TOKENS = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS t
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(count(DISTINCT lower(t)) AS BIGINT) AS n_distinct_tokens
+FROM toks
+"""
+
+
+def q_distinct_tokens_hll(sf_dir: str):
+    """The SKETCH scale path for the same statistic: HyperLogLog
+    (functions/sketch.py) via the mergeable-partial pattern — each
+    batch folds its distinct token hashes into a 4096-byte register
+    array, the driver merges blocks × 4 KB with an elementwise max
+    (associative: any merge tree gives the identical sketch), one
+    estimate at the end. NO shuffle at any scale; ~1.6 % std error.
+    Approximate by design — rows-only check; the error bound against
+    the exact query and merge associativity are pinned by tests."""
+    import pandas as pd
+
+    from .functions import dedup as dd
+    from .functions import sketch as sk
+
+    tok = _TERM_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s: set[str] = set()
+        for t in batch.column("text").to_pylist():
+            if t:
+                s.update(w.lower() for w in tok.findall(t))
+        reg = sk.hll_add_hashes(
+            sk.hll_new(),
+            np.fromiter((dd._h64(w) for w in s), dtype=np.uint64, count=len(s)))
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    reg = sk.hll_new()
+    partials = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for payload in b.column("reg").to_pylist():
+            reg = sk.hll_merge(reg, np.frombuffer(payload, dtype=np.uint8))
+    est = int(round(sk.hll_count(reg)))
+    return pd.DataFrame({"n_distinct_est": pd.Series([est], dtype="int64")})
+
+
 def q_ann_topk(sf_dir: str, k: int = 5, n_queries: int = 8):
     """Brute-force cosine top-k: broadcast normalized query matrix,
     one matmul per batch, per-batch local top-k partials, exact final
@@ -1705,6 +1772,8 @@ QUERIES = {
     "top_terms": q_top_terms,
     "chars_quantiles": q_chars_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "distinct_tokens": q_distinct_tokens,
+    "distinct_tokens_hll": q_distinct_tokens_hll,
 }
 
 ORACLE_SQL = {
@@ -1740,4 +1809,5 @@ ORACLE_SQL = {
     "top_terms": SQL_TOP_TERMS,
     "chars_quantiles": SQL_CHARS_QUANTILES,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "distinct_tokens": SQL_DISTINCT_TOKENS,
 }

@@ -60,7 +60,7 @@ def test_all_oracle_keys_have_queries():
     "ship_window_counts", "balanced_sample",
     "lang_detect", "embedding_dup_pairs_lsh",
     "top_terms", "chars_quantiles", "top_docs_per_lang",
-    "jaccard_pairs_exact",
+    "jaccard_pairs_exact", "distinct_tokens",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -354,3 +354,43 @@ def test_jaccard_pairs_exact_complete_on_tiny_corpus(ray_session):
         got = q_jaccard_pairs_exact(d)
     assert got[["doc_id_a", "doc_id_b"]].values.tolist() == [[1, 2]]
     assert got["jacc_num"].tolist() == [4] and got["jacc_den"].tolist() == [4]
+
+
+def test_hll_error_bound_and_merge_associativity():
+    """HyperLogLog at sketch-relevant cardinalities: estimate within
+    5% (4096 registers → ~1.6% std error) at 10k/100k/500k distinct
+    hashes, and the merge is exactly associative/commutative (the
+    property that makes ANY Ray merge tree give the identical
+    sketch)."""
+    import numpy as np
+
+    from docling_pdf_ray.functions import sketch as sk
+
+    rng = np.random.RandomState(7)
+    for n in (10_000, 100_000, 500_000):
+        hashes = rng.randint(0, 2**63, size=n, dtype=np.int64).astype(np.uint64) * np.uint64(2654435761)
+        hashes = np.unique(hashes)
+        est = sk.hll_count(sk.hll_add_hashes(sk.hll_new(), hashes))
+        assert abs(est - len(hashes)) / len(hashes) < 0.05, (n, est)
+
+    h = rng.randint(0, 2**63, size=30_000, dtype=np.int64).astype(np.uint64)
+    a, b, c = h[:10_000], h[10_000:17_000], h[17_000:]
+    def sk_of(x):
+        return sk.hll_add_hashes(sk.hll_new(), x)
+    whole = sk_of(h)
+    merged = sk.hll_merge(sk.hll_merge(sk_of(a), sk_of(b)), sk_of(c))
+    merged2 = sk.hll_merge(sk_of(c), sk.hll_merge(sk_of(b), sk_of(a)))
+    assert np.array_equal(whole, merged) and np.array_equal(merged, merged2)
+
+
+def test_hll_small_range_is_near_exact_and_query_agrees(ray_session):
+    """Linear-counting regime: at corpus cardinalities far below the
+    register count the sketch is exact-or-nearly; the two distinct
+    count queries agree on the gate corpus."""
+    import __ray_entry__
+
+    q = __ray_entry__.queries()
+    exact = q["distinct_tokens"](SF)["n_distinct_tokens"][0]
+    est = q["distinct_tokens_hll"](SF)["n_distinct_est"][0]
+    assert exact > 0
+    assert abs(int(est) - int(exact)) <= max(1, int(0.02 * exact))
