@@ -1150,12 +1150,22 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
     from .functions import dedup as dd
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
+        # per-batch capped shingle-hash cache (same pattern as
+        # dedup.minhash_signatures): near-dup corpora share most
+        # shingles across docs, so each distinct shingle is blake2b-
+        # hashed once per block, not once per occurrence
+        cache: dict[str, int] = {}
         ids, hashes = [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
+            if len(cache) > dd._SHINGLE_CACHE_CAP:
+                cache = {}
             for s in dd.word_shingles(t or ""):
+                h = cache.get(s)
+                if h is None:
+                    h = cache.setdefault(s, dd._h64(s) - (1 << 63))
                 ids.append(i)
-                hashes.append(dd._h64(s) - (1 << 63))    # int64 range
+                hashes.append(h)                         # int64 range
         t = pa.table({"doc_id": pa.array(ids, pa.int64()),
                       "sh_hash": pa.array(hashes, pa.int64())})
         return t.append_column(
@@ -1604,6 +1614,18 @@ WHERE rk <= 3 ORDER BY lang, rk
 """
 
 
+def _batch_distinct_terms(batch: pa.Table) -> set[str]:
+    """Distinct lowercased [A-Za-z0-9]+ terms of a batch — the ONE
+    tokenizer both distinct-count queries share (tokenizer drift
+    between an exact query and its sketch companion would silently
+    break their pinned agreement; see CLAUDE.md oracle-parity traps)."""
+    s: set[str] = set()
+    for t in batch.column("text").to_pylist():
+        if t:
+            s.update(w.lower() for w in _TERM_RE.findall(t))
+    return s
+
+
 def q_distinct_tokens(sf_dir: str):
     """EXACT corpus-wide distinct-token count: per-batch distinct-term
     partials → ONE distributed full-cardinality groupby (vocabulary is
@@ -1611,14 +1633,9 @@ def q_distinct_tokens(sf_dir: str):
     honest exact baseline whose shuffle the HLL sketch below removes."""
     import pandas as pd
 
-    tok = _TERM_RE
-
     def terms(batch: pa.Table) -> pa.Table:
-        s: set[str] = set()
-        for t in batch.column("text").to_pylist():
-            if t:
-                s.update(w.lower() for w in tok.findall(t))
-        return pa.table({"term": pa.array(sorted(s), pa.string())})
+        return pa.table({"term": pa.array(list(_batch_distinct_terms(batch)),
+                                          pa.string())})
 
     n = _docs(sf_dir, ["text"]) \
         .map_batches(terms, batch_format="pyarrow") \
@@ -1650,13 +1667,8 @@ def q_distinct_tokens_hll(sf_dir: str):
     from .functions import dedup as dd
     from .functions import sketch as sk
 
-    tok = _TERM_RE
-
     def partial(batch: pa.Table) -> pa.Table:
-        s: set[str] = set()
-        for t in batch.column("text").to_pylist():
-            if t:
-                s.update(w.lower() for w in tok.findall(t))
+        s = _batch_distinct_terms(batch)
         reg = sk.hll_add_hashes(
             sk.hll_new(),
             np.fromiter((dd._h64(w) for w in s), dtype=np.uint64, count=len(s)))
