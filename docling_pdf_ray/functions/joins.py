@@ -15,9 +15,11 @@ float64/object whenever a bucket is empty or NA-padded, and Ray then
 unions the poisoned block into the whole column — the explicit-schema
 conversion makes that class of bug structurally impossible.
 
-Skew note: a hot key inflates its bucket; salt hot keys into
-sub-buckets before calling (extension point). ``n_buckets`` controls
-shuffle granularity.
+Skew: ``bucketed_hash_join(..., salt={hot_value: n_subbuckets})``
+spreads a hot key's left rows over n dedicated sub-buckets and
+replicates its right rows into each — identical output (tested),
+bounded per-bucket fan-in. ``n_buckets`` controls shuffle
+granularity.
 """
 
 from __future__ import annotations
@@ -47,12 +49,16 @@ def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
     return pa.array(b, pa.int32())
 
 
-def _pad_and_union(left_ds, right_ds, key: str, n_buckets: int):
+def _pad_and_union(left_ds, right_ds, key: str, n_buckets: int,
+                   salt: dict | None = None):
     """Shared co-group scaffolding: validate disjoint columns, pad both
     sides to the union schema (absent columns null), tag the side,
     bucket by key, union. Returns (both_ds, l_only, r_only, fields)
     where fields is the ordered [(name, arrow_type)] union schema the
-    per-bucket merge output must conform to."""
+    per-bucket merge output must conform to. ``salt`` (hash join only)
+    maps hot key values to sub-bucket counts; sub-bucket ids are
+    allocated past ``n_buckets`` so they never collide with hash
+    buckets."""
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     shared = (set(l_schema.names) & set(r_schema.names)) - {key}
@@ -60,6 +66,13 @@ def _pad_and_union(left_ds, right_ds, key: str, n_buckets: int):
         raise ValueError(f"non-key columns must be disjoint; shared: {shared}")
     all_fields = list(zip(l_schema.names, l_schema.types)) + \
         [(n, t) for n, t in zip(r_schema.names, r_schema.types) if n != key]
+
+    salt_plan = None
+    if salt:
+        salt_plan, nxt = {}, n_buckets
+        for v, n_sub in salt.items():
+            salt_plan[v] = (nxt, max(1, int(n_sub)))
+            nxt += max(1, int(n_sub))
 
     def pad(side: str):
         def _f(batch: pa.Table) -> pa.Table:
@@ -73,7 +86,10 @@ def _pad_and_union(left_ds, right_ds, key: str, n_buckets: int):
                     arrays.append(pa.nulls(n, typ))
             out = pa.Table.from_arrays(arrays, names=names)
             out = out.append_column("_bucket", _bucket_of(batch.column(key), n_buckets))
-            return out.append_column("_side", pa.array([side] * n, pa.string()))
+            out = out.append_column("_side", pa.array([side] * n, pa.string()))
+            if salt_plan:
+                out = _apply_salt(out, key, side, salt_plan)
+            return out
 
         return _f
 
@@ -99,17 +115,57 @@ def _to_schema_table(df: pd.DataFrame, fields) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _apply_salt(t: pa.Table, key: str, side: str, plan: dict) -> pa.Table:
+    """Hot-key salting (the skew defense for partitioned joins): rows
+    whose key is in ``plan`` leave their hash bucket for a RANGE of
+    dedicated sub-buckets — left rows round-robin across the range
+    (any assignment yields the identical join result; the cycle is per
+    batch), right rows are REPLICATED once per sub-bucket so every
+    left sub-bucket sees the full right side of its key. Join output
+    is provably unchanged: each left row lives in exactly one
+    sub-bucket, and that sub-bucket holds exactly its key's right
+    rows."""
+    keycol = t.column(key)
+    hot = pa.array(list(plan), type=keycol.type)
+    mask_hot = pc.fill_null(pc.is_in(keycol, value_set=hot), False)
+    if pc.sum(pc.cast(mask_hot, pa.int64())).as_py() == 0:
+        return t
+    bidx = t.schema.get_field_index("_bucket")
+    pieces = [t.filter(pc.invert(mask_hot))]
+    for v, (start, n) in plan.items():
+        rows = t.filter(pc.equal(keycol, v))
+        if rows.num_rows == 0:
+            continue
+        if side == "l":
+            bk = pa.array((np.arange(rows.num_rows) % n) + start, pa.int32())
+            pieces.append(rows.set_column(bidx, "_bucket", bk))
+        else:
+            for s in range(n):
+                bk = pa.array(np.full(rows.num_rows, start + s, dtype=np.int32),
+                              pa.int32())
+                pieces.append(rows.set_column(bidx, "_bucket", bk))
+    return pa.concat_tables(pieces)
+
+
 def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
-                       how: str = "inner"):
+                       how: str = "inner", salt: dict | None = None):
     """left ⋈ right on ``key`` → Dataset of merged rows (left columns
     then right columns, SQL null semantics: null keys never match).
     Non-key column names must be disjoint across the sides. Supported
     ``how``: 'inner', 'left' (a right/full-outer needs per-bucket
     right-side emission this cogroup shape doesn't implement — rejected
-    loudly rather than silently degrading)."""
+    loudly rather than silently degrading).
+
+    ``salt``: optional skew defense — ``{hot_key_value: n_subbuckets}``
+    for keys known (or measured, e.g. via a cheap groupby count) to
+    dominate their bucket. Hot-key left rows spread over n dedicated
+    sub-buckets and the key's right rows replicate into each, so one
+    celebrity key no longer serializes on a single bucket task; output
+    is identical with or without salting (tested)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    both, l_only, r_only, fields = _pad_and_union(left_ds, right_ds, key, n_buckets)
+    both, l_only, r_only, fields = _pad_and_union(
+        left_ds, right_ds, key, n_buckets, salt=salt)
 
     def merge(g: pd.DataFrame) -> pa.Table:
         # SQL semantics: null keys match nothing (pandas merge would

@@ -394,3 +394,80 @@ def test_hll_small_range_is_near_exact_and_query_agrees(ray_session):
     est = q["distinct_tokens_hll"](SF)["n_distinct_est"][0]
     assert exact > 0
     assert abs(int(est) - int(exact)) <= max(1, int(0.02 * exact))
+
+
+def test_salted_hash_join_identical_output_on_skewed_tables(ray_session):
+    """Hot-key salting must not change the join result: a celebrity
+    key holding 60% of left rows, salted across 4 sub-buckets, yields
+    exactly the pandas merge — for inner and left joins, int and
+    string keys, including null keys and unmatched rows."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import bucketed_hash_join
+
+    rng = random.Random(3)
+    lk = [5 if rng.random() < 0.6 else rng.randrange(0, 10) for _ in range(80)]
+    lk[0] = None
+    rk = [5, 5, 5] + [rng.randrange(0, 12) for _ in range(12)]
+    left = pd.DataFrame({"k": pd.array(lk, dtype="Int64"), "lv": range(80)})
+    right = pd.DataFrame({"k": pd.array(rk, dtype="Int64"),
+                          "rv": range(1000, 1015)})
+
+    for how in ("inner", "left"):
+        got = bucketed_hash_join(
+            rd.from_arrow(pa.Table.from_pandas(left)),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            "k", n_buckets=5, how=how, salt={5: 4}).to_pandas()
+        plain = bucketed_hash_join(
+            rd.from_arrow(pa.Table.from_pandas(left)),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            "k", n_buckets=5, how=how).to_pandas()
+        key_cols = ["k", "lv", "rv"]
+        got = got[key_cols].sort_values(key_cols).reset_index(drop=True)
+        plain = plain[key_cols].sort_values(key_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, plain, check_dtype=False), how
+
+    # string keys through the salted path
+    sl = pd.DataFrame({"k": ["hot"] * 20 + ["a", "b"], "lv": range(22)})
+    sr = pd.DataFrame({"k": ["hot", "b", "z"], "rv": [1, 2, 3]})
+    got = bucketed_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(sl)),
+        rd.from_arrow(pa.Table.from_pandas(sr)),
+        "k", n_buckets=4, salt={"hot": 3}).to_pandas()
+    want = sl.merge(sr, on="k", how="inner")
+    key_cols = ["k", "lv", "rv"]
+    got = got[key_cols].sort_values(key_cols).reset_index(drop=True)
+    want = want[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_apply_salt_spreads_left_and_replicates_right():
+    """White-box: left hot rows actually occupy all n sub-buckets
+    (the skew defense regressing to a no-op would still pass the
+    output-equality test) and right hot rows replicate once per
+    sub-bucket."""
+    import pyarrow as pa
+
+    from docling_pdf_ray.functions.joins import _apply_salt
+
+    t = pa.table({"k": [5] * 8 + [1], "v": list(range(9)),
+                  "_bucket": pa.array([0] * 9, pa.int32()),
+                  "_side": ["l"] * 9})
+    out = _apply_salt(t, "k", "l", {5: (64, 4)})
+    hot = out.filter(pa.compute.equal(out.column("k"), 5))
+    buckets = sorted(set(hot.column("_bucket").to_pylist()))
+    assert len(buckets) == 4                     # all 4 sub-buckets occupied
+    assert min(buckets) >= 64                    # past the hash-bucket range
+    assert out.num_rows == 9                     # left: no replication
+
+    r = pa.table({"k": [5, 2], "v": [0, 1],
+                  "_bucket": pa.array([0, 0], pa.int32()),
+                  "_side": ["r", "r"]})
+    rout = _apply_salt(r, "k", "r", {5: (64, 4)})
+    assert rout.num_rows == 5                    # 1 cold + 4 replicas
+    hotb = rout.filter(pa.compute.equal(rout.column("k"), 5)) \
+        .column("_bucket").to_pylist()
+    assert len(set(hotb)) == 4
