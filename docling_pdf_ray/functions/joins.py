@@ -147,6 +147,44 @@ def _apply_salt(t: pa.Table, key: str, side: str, plan: dict) -> pa.Table:
     return pa.concat_tables(pieces)
 
 
+def detect_hot_keys(ds, key: str, min_rows: int, n_subbuckets: int = 8,
+                    top_k: int = 16) -> dict:
+    """Cheap skew pre-pass producing the ``salt`` argument for
+    :func:`bucketed_hash_join`: per-batch (key, count) partials — the
+    partial-aggregation pattern, so only (blocks × batch-distinct
+    keys) narrow rows reach the driver, never data rows — combined and
+    thresholded to the ``top_k`` keys with at least ``min_rows``
+    occurrences. Each hot key gets ``n_subbuckets``. Run it on
+    whichever side is expected to carry the skew (usually the fact
+    side).
+
+    Each batch keeps only its 64 most frequent keys, so the driver
+    combine is blocks × 64 rows even on high-cardinality keys. This
+    truncation cannot hide a genuinely hot key (one dominating whole
+    buckets is, by that fact, among the densest keys of the blocks it
+    occupies) but makes the detector a HEURISTIC: a key just at
+    min_rows spread thinly across many blocks can be missed —
+    acceptable, since such a key is not skewed enough to need salting."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch.column(key)})
+        g = t.group_by(key).aggregate([([], "count_all")]) \
+            .rename_columns([key, "n"])
+        if g.num_rows > 64:
+            order = pc.sort_indices(g, sort_keys=[("n", "descending")])[:64]
+            g = g.take(order)
+        return g
+
+    frames = list(ds.map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas"))
+    if not frames:
+        return {}
+    counts = pd.concat(frames, ignore_index=True) \
+        .groupby(key, dropna=True)["n"].sum()
+    hot = counts[counts >= min_rows].sort_values(ascending=False).head(top_k)
+    return {k: n_subbuckets for k in hot.index}
+
+
 def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
                        how: str = "inner", salt: dict | None = None):
     """left ⋈ right on ``key`` → Dataset of merged rows (left columns

@@ -471,3 +471,32 @@ def test_apply_salt_spreads_left_and_replicates_right():
     hotb = rout.filter(pa.compute.equal(rout.column("k"), 5)) \
         .column("_bucket").to_pylist()
     assert len(set(hotb)) == 4
+
+
+def test_detect_hot_keys_feeds_salted_join(ray_session):
+    """The skew workflow end-to-end: detect_hot_keys finds the
+    celebrity key (and only it), its output plugs into salt=, and the
+    salted join still equals the plain merge."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import (bucketed_hash_join,
+                                                 detect_hot_keys)
+
+    left = pd.DataFrame({"k": [7] * 500 + list(range(100)),
+                         "lv": range(600)})
+    right = pd.DataFrame({"k": [7, 3, 99], "rv": [10, 20, 30]})
+    lds = rd.from_arrow(pa.Table.from_pandas(left))
+
+    salt = detect_hot_keys(lds, "k", min_rows=200, n_subbuckets=4)
+    assert salt == {7: 4}
+
+    got = bucketed_hash_join(
+        lds, rd.from_arrow(pa.Table.from_pandas(right)),
+        "k", n_buckets=8, salt=salt).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
