@@ -163,7 +163,7 @@ def find_duplicate_urls(input_paths) -> dict[str, int]:
     ds = rd.read_parquet(input_paths, columns=["url", "warc_ts"])
     agg = ds.groupby("url").aggregate(Count(alias_name="n"),
                                       Max("warc_ts", alias_name="max_ts"))
-    dups = agg.filter(lambda r: r["n"] > 1)
+    dups = agg.filter(expr="n > 1")   # expr pushes down; no per-row Python
     out: dict[str, int] = {}
     import datetime as _dt
 
