@@ -227,9 +227,12 @@ def run_scaling() -> dict:
     import subprocess
 
     # the scaling corpus must be big enough that fixed pipeline latency
-    # (~3 s) is negligible at the HIGH parallelism level — default 64×
-    # replication ≈ 320k docs (≈400 CPU·s of extraction work)
-    repl = os.environ.get("GRAFT_BENCH_REPL_SCALING", "64")
+    # is negligible at the HIGH parallelism level. Measured (BASELINE
+    # runs F vs H): at 64× (320k docs) the 32-CPU level runs ~3.3 s and
+    # session noise dominates; at 128× (640k docs) every session lands
+    # within ±3 % and the 8→32 efficiency is reproducibly ≥0.8 — so
+    # 128× is the default methodology.
+    repl = os.environ.get("GRAFT_BENCH_REPL_SCALING", "128")
     # host noise is ±25% run-to-run: each level runs N_SESSIONS fresh
     # PROCESSES (each itself a 3-rep median) and the pair efficiency is
     # computed from the median SESSION — a single lucky/unlucky session
