@@ -398,6 +398,47 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_hourly_users(sf_dir: str):
+    """Windowed DISTINCT aggregate: unique active users per tumbling
+    hour. Shape: per-batch distinct (hour, user) pairs (the combiner —
+    duplicate events collapse before anything moves) → ONE distributed
+    groupby over the narrow pair stream (pair cardinality is
+    data-dependent, so the dedup stays distributed) → per-block
+    (hour, n) partials → driver combine (hour cardinality is bounded).
+    The HLL sketch (functions/sketch.py) is the drop-in replacement
+    when per-window exactness can be traded for a shuffle-free pass."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "hour_ts": pc.floor_temporal(batch.column("ts"), unit="hour"),
+            "user_id": batch.column("user_id")})
+        return t.group_by(["hour_ts", "user_id"]).aggregate([]) \
+            .select(["hour_ts", "user_id"])
+
+    deduped = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["ts", "user_id"]) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["hour_ts", "user_id"]).count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # the shuffle floor-truncates timestamp unit to [s]; restore the
+        # events table's native [us] so hour_ts round-trips dtype-exact
+        t = pa.table({"hour_ts": pc.cast(batch.column("hour_ts"),
+                                         pa.timestamp("us"))})
+        return t.group_by("hour_ts").aggregate([([], "count_all")]) \
+            .rename_columns(["hour_ts", "p_n"])
+
+    partials = deduped.map_batches(partial, batch_format="pyarrow")
+    return _driver_combine(partials, ["hour_ts"], {"n_users": ("p_n", "sum")})
+
+
+SQL_EVENTS_HOURLY_USERS = """
+SELECT date_trunc('hour', ts) AS hour_ts,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_user_sessions(sf_dir: str, n_buckets: int = 64):
     """Session windowing (30-min gap) per user. Scale shape: users are
     hash-BUCKETED (narrow (user_id, ts) shuffle into n_buckets groups,
@@ -1765,6 +1806,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "distinct_segments": q_distinct_segments,
     "events_hourly": q_events_hourly,
+    "events_hourly_users": q_events_hourly_users,
     "events_sliding": q_events_sliding,
     "order_asof_event": q_order_asof_event,
     "ship_window_counts": q_ship_window_counts,
@@ -1804,6 +1846,7 @@ ORACLE_SQL = {
     "top_orders": SQL_TOP_ORDERS,
     "distinct_segments": SQL_DISTINCT_SEGMENTS,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_hourly_users": SQL_EVENTS_HOURLY_USERS,
     "events_sliding": SQL_EVENTS_SLIDING,
     "order_asof_event": SQL_ORDER_ASOF_EVENT,
     "ship_window_counts": SQL_SHIP_WINDOW_COUNTS,

@@ -60,7 +60,7 @@ def test_all_oracle_keys_have_queries():
     "ship_window_counts", "balanced_sample",
     "lang_detect", "embedding_dup_pairs_lsh",
     "top_terms", "chars_quantiles", "top_docs_per_lang",
-    "jaccard_pairs_exact", "distinct_tokens",
+    "jaccard_pairs_exact", "distinct_tokens", "events_hourly_users",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
