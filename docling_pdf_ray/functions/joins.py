@@ -30,12 +30,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
-    """Vectorized bucket assignment; null keys ride bucket 0 (they
-    match nothing — see merge; a null bucket key would break the
-    shuffle groupby). Integer keys: numpy modulo. Other keys: cast to
-    string + pandas hash_array (SipHash with a fixed key — process-
-    and run-deterministic, so both sides always agree)."""
+def _bucket_of(col: pa.ChunkedArray, n_buckets: int,
+               spread_nulls: bool = False) -> pa.Array:
+    """Vectorized bucket assignment. Integer keys: numpy modulo. Other
+    keys: cast to string + pandas hash_array (SipHash with a fixed key
+    — process- and run-deterministic, so both sides always agree).
+
+    Null keys: by default they ride bucket 0 (callers that DEDUP by
+    the key rely on null co-location). The JOIN paths pass
+    ``spread_nulls=True``: null keys match nothing in SQL semantics,
+    so no co-location is needed and they round-robin across all
+    buckets instead — otherwise a corpus with 40% null keys would
+    funnel 40% of its rows through one merge task (the null-skew
+    problem salting cannot fix, since salt matches key VALUES)."""
     null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
     if pa.types.is_integer(col.type):
         vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -45,7 +52,12 @@ def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
         h = pd.util.hash_array(np.asarray(s.to_pylist(), dtype=object),
                                categorize=False)
         b = (h % np.uint64(n_buckets)).astype(np.int32)
-    b[null_mask] = 0
+    if spread_nulls:
+        n_null = int(null_mask.sum())
+        if n_null:
+            b[null_mask] = (np.arange(n_null) % n_buckets).astype(np.int32)
+    else:
+        b[null_mask] = 0
     return pa.array(b, pa.int32())
 
 
@@ -85,7 +97,9 @@ def _pad_and_union(left_ds, right_ds, key: str, n_buckets: int,
                 else:
                     arrays.append(pa.nulls(n, typ))
             out = pa.Table.from_arrays(arrays, names=names)
-            out = out.append_column("_bucket", _bucket_of(batch.column(key), n_buckets))
+            out = out.append_column(
+                "_bucket", _bucket_of(batch.column(key), n_buckets,
+                                      spread_nulls=True))
             out = out.append_column("_side", pa.array([side] * n, pa.string()))
             if salt_plan:
                 out = _apply_salt(out, key, side, salt_plan)
@@ -115,16 +129,24 @@ def _to_schema_table(df: pd.DataFrame, fields) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=names)
 
 
+_SALT_CYCLE = iter(range(0, 1 << 62))    # worker-process-global batch offset
+
+
 def _apply_salt(t: pa.Table, key: str, side: str, plan: dict) -> pa.Table:
     """Hot-key salting (the skew defense for partitioned joins): rows
     whose key is in ``plan`` leave their hash bucket for a RANGE of
-    dedicated sub-buckets — left rows round-robin across the range
-    (any assignment yields the identical join result; the cycle is per
-    batch), right rows are REPLICATED once per sub-bucket so every
-    left sub-bucket sees the full right side of its key. Join output
-    is provably unchanged: each left row lives in exactly one
-    sub-bucket, and that sub-bucket holds exactly its key's right
-    rows."""
+    dedicated sub-buckets — left rows round-robin across the range,
+    right rows are REPLICATED once per sub-bucket so every left
+    sub-bucket sees the full right side of its key. Join output is
+    provably unchanged: each left row lives in exactly one sub-bucket,
+    and that sub-bucket holds exactly its key's right rows.
+
+    The left cycle starts at a per-batch offset (worker-global
+    counter): a hot key spread thinly across many batches would
+    otherwise restart at sub-bucket 0 every batch and pile onto the
+    first few sub-buckets. Sub-bucket CHOICE is load-balancing only —
+    it cannot affect the result set — so the offset needs no
+    cross-run determinism."""
     keycol = t.column(key)
     hot = pa.array(list(plan), type=keycol.type)
     mask_hot = pc.fill_null(pc.is_in(keycol, value_set=hot), False)
@@ -137,7 +159,9 @@ def _apply_salt(t: pa.Table, key: str, side: str, plan: dict) -> pa.Table:
         if rows.num_rows == 0:
             continue
         if side == "l":
-            bk = pa.array((np.arange(rows.num_rows) % n) + start, pa.int32())
+            off = next(_SALT_CYCLE)
+            bk = pa.array(((np.arange(rows.num_rows) + off) % n) + start,
+                          pa.int32())
             pieces.append(rows.set_column(bidx, "_bucket", bk))
         else:
             for s in range(n):

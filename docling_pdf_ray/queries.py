@@ -409,6 +409,10 @@ def q_events_hourly_users(sf_dir: str):
     when per-window exactness can be traded for a shuffle-free pass."""
 
     def pairs(batch: pa.Table) -> pa.Table:
+        # null users ride along as the (hour, null) pair: they carry
+        # GROUP BY presence (an hour whose events all have null users
+        # still appears, n_users = 0 — SQL semantics) without being
+        # counted as users (see partial below)
         t = pa.table({
             "hour_ts": pc.floor_temporal(batch.column("ts"), unit="hour"),
             "user_id": batch.column("user_id")})
@@ -422,10 +426,14 @@ def q_events_hourly_users(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         # the shuffle floor-truncates timestamp unit to [s]; restore the
-        # events table's native [us] so hour_ts round-trips dtype-exact
-        t = pa.table({"hour_ts": pc.cast(batch.column("hour_ts"),
-                                         pa.timestamp("us"))})
-        return t.group_by("hour_ts").aggregate([([], "count_all")]) \
+        # events table's native [us] so hour_ts round-trips dtype-exact.
+        # count(DISTINCT user_id): each (hour, user) group contributes 1
+        # if the user is non-null, 0 for the null-user marker group —
+        # the hour row survives either way (GROUP BY semantics)
+        t = pa.table({
+            "hour_ts": pc.cast(batch.column("hour_ts"), pa.timestamp("us")),
+            "one": pc.cast(pc.is_valid(batch.column("user_id")), pa.int64())})
+        return t.group_by("hour_ts").aggregate([("one", "sum")]) \
             .rename_columns(["hour_ts", "p_n"])
 
     partials = deduped.map_batches(partial, batch_format="pyarrow")

@@ -171,7 +171,8 @@ def test_bucketed_hash_join_matches_pandas_merge_on_random_tables(ray_session):
         key = ["k", "lv", "rv"]
         got = got[key].sort_values(key).reset_index(drop=True)
         want = want[key].sort_values(key).reset_index(drop=True)
-        pd.testing.assert_frame_equal(got, want, check_dtype=False), seed
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      obj=f'seed-{seed}')
 
 
 def test_bucketed_range_join_semantics(ray_session):
@@ -428,7 +429,8 @@ def test_salted_hash_join_identical_output_on_skewed_tables(ray_session):
         key_cols = ["k", "lv", "rv"]
         got = got[key_cols].sort_values(key_cols).reset_index(drop=True)
         plain = plain[key_cols].sort_values(key_cols).reset_index(drop=True)
-        pd.testing.assert_frame_equal(got, plain, check_dtype=False), how
+        pd.testing.assert_frame_equal(got, plain, check_dtype=False,
+                                      obj=f'salted-{how}')
 
     # string keys through the salted path
     sl = pd.DataFrame({"k": ["hot"] * 20 + ["a", "b"], "lv": range(22)})
@@ -500,3 +502,67 @@ def test_detect_hot_keys_feeds_salted_join(ray_session):
         got[cols].sort_values(cols).reset_index(drop=True),
         want[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False)
+
+
+def test_events_hourly_users_excludes_null_users(ray_session):
+    """count(DISTINCT user_id) semantics: a NULL user is not a user —
+    the engine must agree with DuckDB when nulls are present (the gate
+    corpus has none; this pins the semantics anyway)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.queries import (SQL_EVENTS_HOURLY_USERS,
+                                         q_events_hourly_users)
+
+    ts = pd.to_datetime(["2026-01-01 10:05", "2026-01-01 10:20",
+                         "2026-01-01 10:40", "2026-01-01 11:10"])
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        pq.write_table(pa.table({
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, None, 1, None], pa.int64())}),
+            os.path.join(d, "events.parquet"))
+        got = q_events_hourly_users(d)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{d}/events.parquet')")
+        want = con.execute(SQL_EVENTS_HOURLY_USERS).fetchdf()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=True)
+    assert got["n_users"].tolist() == [1, 0]   # hour 11: group kept, 0 users
+
+
+def test_join_bucketing_spreads_null_keys():
+    """Null-key skew: with spread_nulls=True (the join paths), null
+    keys round-robin across buckets instead of funneling into bucket
+    0 — and the join result with many null keys still matches pandas
+    (nulls match nothing; left rows survive under how='left')."""
+    import pyarrow as pa
+
+    from docling_pdf_ray.functions.joins import _bucket_of
+
+    col = pa.chunked_array([pa.array([None] * 40 + [1, 2], pa.int64())])
+    spread = _bucket_of(col, 8, spread_nulls=True).to_pylist()[:40]
+    assert len(set(spread)) == 8               # all buckets used
+    legacy = _bucket_of(col, 8).to_pylist()[:40]
+    assert set(legacy) == {0}                  # dedup callers: co-located
+
+
+def test_left_join_with_null_keys_spread(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import bucketed_hash_join
+
+    left = pd.DataFrame({"k": pd.array([None] * 30 + [1, 2], dtype="Int64"),
+                         "lv": range(32)})
+    right = pd.DataFrame({"k": pd.array([1], dtype="Int64"), "rv": [10]})
+    out = bucketed_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        "k", n_buckets=8, how="left").to_pandas()
+    assert len(out) == 32                       # every left row survives once
+    assert out[out["k"].isna()]["rv"].isna().all()
+    assert out[out["k"] == 1]["rv"].tolist() == [10]
