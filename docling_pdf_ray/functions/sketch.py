@@ -48,6 +48,75 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
 
 
+# ---------------------------------------------------------------- Bloom filter
+
+# Classic Bloom filter (Bloom, CACM 1970) with Kirsch-Mitzenmacher
+# double hashing (g_i = h1 + i·h2 — two hash halves give k independent
+# probes, "Less hashing, same performance", ESA 2006). Mergeable by
+# bitwise OR: per-batch partial bitmaps OR into the final filter, so
+# the build is one map_batches pass + a tiny driver reduce. Use as a
+# broadcast SEMI-JOIN PRE-FILTER: drop big-side rows whose key cannot
+# be in the small side BEFORE any shuffle; survivors still need the
+# exact membership check (false positives are possible, negatives are
+# not).
+
+BLOOM_K = 7                      # probes; ~optimal for 10 bits/key
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (Steele/Lea/Flood, OOPSLA 2014),
+    vectorized: avalanche sequential integer keys into uniform 64-bit
+    hashes so the double-hashing probes are independent. uint64
+    arithmetic wraps mod 2^64 by construction."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def bloom_bits_for(n_keys: int, bits_per_key: int = 10) -> int:
+    """Bitmap size (bits, rounded to a byte multiple) for ~1% FPR at
+    10 bits/key."""
+    return max(64, ((n_keys * bits_per_key + 7) // 8) * 8)
+
+
+def bloom_new(n_bits: int) -> np.ndarray:
+    return np.zeros(n_bits // 8, dtype=np.uint8)
+
+
+def _bloom_positions(hashes: np.ndarray, n_bits: int) -> np.ndarray:
+    """(len(hashes), K) bit positions via double hashing, vectorized."""
+    h = hashes.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)          # odd ⇒ full cycle
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_add_hashes(bm: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    if len(hashes) == 0:
+        return bm
+    pos = _bloom_positions(hashes, len(bm) * 8).ravel()
+    np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bm
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.bitwise_or(a, b)
+
+
+def bloom_might_contain(bm: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership test: True where ALL k probed bits are
+    set (maybe present); False is definite absence."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(hashes, len(bm) * 8)
+    bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
 def hll_count(reg: np.ndarray) -> float:
     """The HLL07 estimator with its small-range (linear counting) and
     large-range corrections."""

@@ -1675,6 +1675,87 @@ def _batch_distinct_terms(batch: pa.Table) -> set[str]:
     return s
 
 
+def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0):
+    """Bloom-pre-filtered SEMI JOIN (the 100-TB shuffle reducer):
+    line items of high-value orders, counted per order.
+
+    Shape: (1) the build side streams once — per-batch partial Bloom
+    bitmaps over qualifying order keys, OR-merged on the driver (the
+    mergeable-partial pattern; bitmap size is keys-dependent, never
+    corpus-dependent); (2) the bitmap broadcasts via ray.put and the
+    probe side drops every row whose key CANNOT match before anything
+    else touches it — at 1% FPR a selective join sheds ~99% of probe
+    traffic pre-shuffle; (3) survivors take the exact membership check
+    (false positives removed — output is EXACT, hence SQL-checkable;
+    at 100 TB, replace the exact broadcast set with a co-shuffle of
+    the ~1% survivors), then per-batch count partials → distributed
+    groupby (surviving-key cardinality is data-dependent)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions import sketch as sk
+
+    build = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(pc.greater(batch.column("o_totalprice"),
+                                       min_total)).column("o_orderkey") \
+            .to_numpy(zero_copy_only=False)
+        bm = sk.bloom_add_hashes(sk.bloom_new(_BLOOM_BITS),
+                                 sk.mix64(keys.astype(np.uint64)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary()),
+                         "n": pa.array([len(keys)], pa.int64())})
+
+    bm = sk.bloom_new(_BLOOM_BITS)
+    n_keys = 0
+    for b in build.map_batches(bloom_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for payload, n in zip(b.column("bm").to_pylist(),
+                              b.column("n").to_pylist()):
+            bm = sk.bloom_merge(bm, np.frombuffer(payload, dtype=np.uint8))
+            n_keys += n
+    # exact verification set (test-scale stand-in for the survivor
+    # co-shuffle): pruned re-read of just the qualifying keys
+    t = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"])
+    exact = pc.unique(t.filter(pc.greater(t.column("o_totalprice"),
+                                          min_total)).column("o_orderkey"))
+    state = ray.put((bm, exact))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        _bm, _exact = ray.get(state)
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        maybe = sk.bloom_might_contain(_bm, sk.mix64(keys.astype(np.uint64)))
+        surv = batch.filter(pa.array(maybe))                 # bloom prune
+        surv = surv.filter(pc.is_in(surv.column("l_orderkey"),
+                                    value_set=_exact))       # exact verify
+        t = pa.table({"o_orderkey": surv.column("l_orderkey")})
+        return t.group_by("o_orderkey").aggregate([([], "count_all")]) \
+            .rename_columns(["o_orderkey", "pn"])
+
+    out = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey"]) \
+        .map_batches(probe, batch_format="pyarrow") \
+        .groupby("o_orderkey").sum("pn").to_pandas()
+    out.columns = ["o_orderkey", "n_items"]
+    return out.sort_values("o_orderkey").reset_index(drop=True) \
+        .astype({"o_orderkey": "int64", "n_items": "int64"})
+
+
+_BLOOM_BITS = 1 << 17            # 16 KiB bitmap ≈ 10 bits/key at ~13k keys
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_orderkey AS o_orderkey, count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 400000)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_distinct_tokens(sf_dir: str):
     """EXACT corpus-wide distinct-token count: per-batch distinct-term
     partials → ONE distributed full-cardinality groupby (vocabulary is
@@ -1836,6 +1917,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "distinct_tokens": q_distinct_tokens,
     "distinct_tokens_hll": q_distinct_tokens_hll,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 ORACLE_SQL = {
@@ -1873,4 +1955,5 @@ ORACLE_SQL = {
     "chars_quantiles": SQL_CHARS_QUANTILES,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "distinct_tokens": SQL_DISTINCT_TOKENS,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
 }

@@ -61,6 +61,7 @@ def test_all_oracle_keys_have_queries():
     "lang_detect", "embedding_dup_pairs_lsh",
     "top_terms", "chars_quantiles", "top_docs_per_lang",
     "jaccard_pairs_exact", "distinct_tokens", "events_hourly_users",
+    "bloom_semi_join",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -566,3 +567,28 @@ def test_left_join_with_null_keys_spread(ray_session):
     assert len(out) == 32                       # every left row survives once
     assert out[out["k"].isna()]["rv"].isna().all()
     assert out[out["k"] == 1]["rv"].tolist() == [10]
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; false-positive rate near the design
+    point (~1% at 10 bits/key); OR-merge equals single-shot build."""
+    import numpy as np
+
+    from docling_pdf_ray.functions import sketch as sk
+
+    rng = np.random.RandomState(11)
+    keys = rng.choice(np.arange(10_000_000, dtype=np.int64), size=12_000,
+                      replace=False)
+    members, probes = keys[:10_000], keys[10_000:]   # probes are NON-members
+    bits = sk.bloom_bits_for(len(members))
+    bm = sk.bloom_add_hashes(sk.bloom_new(bits),
+                             sk.mix64(members.astype(np.uint64)))
+    assert sk.bloom_might_contain(bm, sk.mix64(members.astype(np.uint64))).all()
+    fpr = sk.bloom_might_contain(bm, sk.mix64(probes.astype(np.uint64))).mean()
+    assert fpr < 0.03, fpr
+
+    a = sk.bloom_add_hashes(sk.bloom_new(bits),
+                            sk.mix64(members[:5000].astype(np.uint64)))
+    b = sk.bloom_add_hashes(sk.bloom_new(bits),
+                            sk.mix64(members[5000:].astype(np.uint64)))
+    assert np.array_equal(sk.bloom_merge(a, b), bm)
