@@ -1744,7 +1744,11 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0):
         .astype({"o_orderkey": "int64", "n_items": "int64"})
 
 
-_BLOOM_BITS = 1 << 17            # 16 KiB bitmap ≈ 10 bits/key at ~13k keys
+# 16 KiB bitmap ≈ 10 bits/key at ~13k keys (the gate-scale key count);
+# a bigger corpus degrades GRACEFULLY: more false positives shed less
+# probe traffic but the exact verify keeps the output correct — size
+# with sketch.bloom_bits_for(n_keys) when the build-side count is known
+_BLOOM_BITS = 1 << 17
 
 
 SQL_BLOOM_SEMI_JOIN = """
