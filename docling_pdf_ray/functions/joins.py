@@ -55,7 +55,13 @@ def _bucket_of(col: pa.ChunkedArray, n_buckets: int,
     if spread_nulls:
         n_null = int(null_mask.sum())
         if n_null:
-            b[null_mask] = (np.arange(n_null) % n_buckets).astype(np.int32)
+            # per-batch offset (same counter as salting): restarting at
+            # bucket 0 each batch would pile thin per-batch null counts
+            # onto the lowest buckets; assignment is load-balancing
+            # only — nulls match nothing, so any bucket is correct
+            off = next(_SALT_CYCLE)
+            b[null_mask] = ((np.arange(n_null) + off) % n_buckets) \
+                .astype(np.int32)
     else:
         b[null_mask] = 0
     return pa.array(b, pa.int32())

@@ -76,9 +76,12 @@ def mix64(x: np.ndarray) -> np.ndarray:
 
 
 def bloom_bits_for(n_keys: int, bits_per_key: int = 10) -> int:
-    """Bitmap size (bits, rounded to a byte multiple) for ~1% FPR at
-    10 bits/key."""
-    return max(64, ((n_keys * bits_per_key + 7) // 8) * 8)
+    """Bitmap size (bits) for ~1% FPR at 10 bits/key, rounded UP to a
+    power of two: the double-hash step relies on gcd(h2, n_bits) = 1
+    for full-cycle probes, which an odd h2 guarantees only against a
+    power-of-two modulus."""
+    need = max(64, n_keys * bits_per_key)
+    return 1 << (need - 1).bit_length()
 
 
 def bloom_new(n_bits: int) -> np.ndarray:

@@ -1691,7 +1691,6 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0):
     the ~1% survivors), then per-batch count partials → distributed
     groupby (surviving-key cardinality is data-dependent)."""
     import pandas as pd
-    import pyarrow.parquet as pq
     import ray
 
     from .functions import sketch as sk
@@ -1705,23 +1704,26 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0):
             .to_numpy(zero_copy_only=False)
         bm = sk.bloom_add_hashes(sk.bloom_new(_BLOOM_BITS),
                                  sk.mix64(keys.astype(np.uint64)))
+        # the same pass also emits the qualifying keys themselves:
+        # the driver's exact set is assembled from these O(keys)
+        # partials, never from a second read of the build side
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary()),
-                         "n": pa.array([len(keys)], pa.int64())})
+                         "keys": pa.array([keys.tolist()],
+                                          pa.list_(pa.int64()))})
 
     bm = sk.bloom_new(_BLOOM_BITS)
-    n_keys = 0
+    key_chunks = []
     for b in build.map_batches(bloom_partial, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
-        for payload, n in zip(b.column("bm").to_pylist(),
-                              b.column("n").to_pylist()):
+        for payload, ks in zip(b.column("bm").to_pylist(),
+                               b.column("keys").to_pylist()):
             bm = sk.bloom_merge(bm, np.frombuffer(payload, dtype=np.uint8))
-            n_keys += n
+            key_chunks.append(np.asarray(ks, dtype=np.int64))
+    all_keys = (np.unique(np.concatenate(key_chunks))
+                if key_chunks else np.array([], dtype=np.int64))
     # exact verification set (test-scale stand-in for the survivor
-    # co-shuffle): pruned re-read of just the qualifying keys
-    t = pq.read_table(f"{sf_dir}/orders.parquet",
-                      columns=["o_orderkey", "o_totalprice"])
-    exact = pc.unique(t.filter(pc.greater(t.column("o_totalprice"),
-                                          min_total)).column("o_orderkey"))
+    # co-shuffle; O(qualifying keys) driver memory, not O(orders))
+    exact = pa.array(all_keys, pa.int64())
     state = ray.put((bm, exact))
 
     def probe(batch: pa.Table) -> pa.Table:
