@@ -81,6 +81,39 @@ def rolling_fingerprint(text: str, window: int = 8, mod: int = 1 << 61) -> int:
     return best
 
 
+# ---------------------------------------------------------------- PII scrub
+
+# ASCII-only patterns shared VERBATIM with the DuckDB oracle (RE2):
+# the standard pre-training corpus scrub targets. \b and {m,n} behave
+# identically in Python re and RE2 over ASCII.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}",
+}
+_PII_RES = {k: re.compile(p) for k, p in PII_PATTERNS.items()}
+
+
+def pii_counts(texts: list[str | None]) -> dict[str, np.ndarray]:
+    """Per-text match counts for each PII class; None → 0."""
+    out = {}
+    for k, rx in _PII_RES.items():
+        out[k] = np.fromiter(
+            (len(rx.findall(t)) if t else 0 for t in texts),
+            dtype=np.int64, count=len(texts))
+    return out
+
+
+def redact_pii(text: str | None, token: str = "[REDACTED]") -> str | None:
+    """Replace every PII match with the token (fixed class order:
+    email, ipv4, phone — deterministic output)."""
+    if text is None:
+        return None
+    for k in ("email", "ipv4", "phone"):
+        text = _PII_RES[k].sub(token, text)
+    return text
+
+
 # ---------------------------------------------------------------- language ID
 
 # n-gram-free heuristic: stopword hit-rate per language + CJK ratio.

@@ -1675,6 +1675,40 @@ def _batch_distinct_terms(batch: pa.Table) -> set[str]:
     return s
 
 
+def q_pii_counts(sf_dir: str):
+    """PII scrub audit (corpus-prep staple): per-lang totals of
+    email / IPv4 / phone matches, patterns shared VERBATIM with the
+    RE2 oracle (ASCII classes — the tokenizer-parity discipline).
+    Per-batch partials → driver combine (lang cardinality bounded);
+    the redaction itself (functions/text.py:redact_pii) is the same
+    compiled patterns applied as a map."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = ftext.pii_counts(batch.column("text").to_pylist())
+        t = pa.table({"lang": batch.column("lang"),
+                      "email": pa.array(counts["email"], pa.int64()),
+                      "ipv4": pa.array(counts["ipv4"], pa.int64()),
+                      "phone": pa.array(counts["phone"], pa.int64())})
+        return t.group_by("lang").aggregate(
+            [("email", "sum"), ("ipv4", "sum"), ("phone", "sum")]) \
+            .rename_columns(["lang", "p_e", "p_i", "p_p"])
+
+    partials = _docs(sf_dir, ["text", "lang"]).map_batches(
+        partial, batch_format="pyarrow")
+    return _driver_combine(partials, ["lang"], {
+        "n_emails": ("p_e", "sum"), "n_ipv4": ("p_i", "sum"),
+        "n_phones": ("p_p", "sum")})
+
+
+SQL_PII_COUNTS = f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '{ftext.PII_PATTERNS["email"]}'))) AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(text, '{ftext.PII_PATTERNS["ipv4"]}'))) AS BIGINT) AS n_ipv4,
+       CAST(sum(len(regexp_extract_all(text, '{ftext.PII_PATTERNS["phone"]}'))) AS BIGINT) AS n_phones
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0):
     """Bloom-pre-filtered SEMI JOIN (the 100-TB shuffle reducer):
     line items of high-value orders, counted per order.
@@ -1924,6 +1958,7 @@ QUERIES = {
     "distinct_tokens": q_distinct_tokens,
     "distinct_tokens_hll": q_distinct_tokens_hll,
     "bloom_semi_join": q_bloom_semi_join,
+    "pii_counts": q_pii_counts,
 }
 
 ORACLE_SQL = {
@@ -1962,4 +1997,5 @@ ORACLE_SQL = {
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "distinct_tokens": SQL_DISTINCT_TOKENS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "pii_counts": SQL_PII_COUNTS,
 }

@@ -61,7 +61,7 @@ def test_all_oracle_keys_have_queries():
     "lang_detect", "embedding_dup_pairs_lsh",
     "top_terms", "chars_quantiles", "top_docs_per_lang",
     "jaccard_pairs_exact", "distinct_tokens", "events_hourly_users",
-    "bloom_semi_join",
+    "bloom_semi_join", "pii_counts",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -592,3 +592,40 @@ def test_bloom_filter_properties():
     b = sk.bloom_add_hashes(sk.bloom_new(bits),
                             sk.mix64(members[5000:].astype(np.uint64)))
     assert np.array_equal(sk.bloom_merge(a, b), bm)
+
+
+def test_pii_counts_on_planted_corpus(ray_session):
+    """The PII patterns must agree with RE2 on REAL matches (the gate
+    corpus has none): emails with +/., IPv4, international phones,
+    null text — plus the redaction map."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.functions.text import redact_pii
+    from docling_pdf_ray.queries import SQL_PII_COUNTS, q_pii_counts
+
+    texts = ["mail me at a.b+c@ex-ample.co.uk now",
+             "server at 10.0.255.1 and 1.2.3.4",
+             "call +1 555 0100 1234 or +44 20-7946-0958",
+             None, "no pii here", "x@y.io 8.8.8.8 x@y.io"]
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string())}),
+            os.path.join(d, "documents.parquet"))
+        got = q_pii_counts(d)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        want = con.execute(SQL_PII_COUNTS).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].reset_index(drop=True),
+        want[sorted(want.columns)].reset_index(drop=True), check_dtype=True)
+    assert got[["n_emails", "n_ipv4", "n_phones"]].values.tolist() == [[3, 3, 2]]
+    assert redact_pii("mail a@b.co from 1.2.3.4") == \
+        "mail [REDACTED] from [REDACTED]"
+    assert redact_pii(None) is None
