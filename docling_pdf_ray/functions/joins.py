@@ -120,10 +120,30 @@ def _pad_and_union(left_ds, right_ds, key: str, n_buckets: int,
     return both, l_only, r_only, all_fields
 
 
+# Arrow integer type → pandas NULLABLE dtype: the union block handed
+# to each per-bucket merge has null-padded integer columns (the other
+# side's payload), and a default Arrow→pandas conversion would upcast
+# them to float64 — silently corrupting values above 2^53 (e.g.
+# snowflake-style ids). Nullable Int* keeps them exact end-to-end;
+# pandas merge/merge_asof/concat all preserve the dtype (pandas ≥ 2).
+_PD_NULLABLE_INT = {pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+                    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+                    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+                    pa.uint32(): pd.UInt32Dtype(),
+                    pa.uint64(): pd.UInt64Dtype()}
+
+
+def _pandas_exact(t: pa.Table) -> pd.DataFrame:
+    """Arrow → pandas with integer columns as nullable Int* (see
+    ``_PD_NULLABLE_INT``); everything else converts as usual."""
+    return t.to_pandas(types_mapper=_PD_NULLABLE_INT.get)
+
+
 def _to_schema_table(df: pd.DataFrame, fields) -> pa.Table:
     """pandas → Arrow under the EXACT union schema. NaN/NaT/pd.NA become
-    nulls; float64 columns that pandas upcast from int64 round-trip back
-    losslessly (from_pandas treats NaN as null before the cast)."""
+    nulls. Integer columns must arrive as int64 or nullable Int* (see
+    ``_pandas_exact``) — a float64 intermediate would be lossy above
+    2^53."""
     n = len(df)
     arrays, names = [], []
     for name, typ in fields:
@@ -235,9 +255,10 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
     both, l_only, r_only, fields = _pad_and_union(
         left_ds, right_ds, key, n_buckets, salt=salt)
 
-    def merge(g: pd.DataFrame) -> pa.Table:
+    def merge(gt: pa.Table) -> pa.Table:
         # SQL semantics: null keys match nothing (pandas merge would
         # pair NaN==NaN) — null-key left rows survive only under 'left'
+        g = _pandas_exact(gt)
         l = g[g["_side"] == "l"][[key] + l_only]
         r = g[g["_side"] == "r"][[key] + r_only]
         r = r[r[key].notna()]
@@ -255,7 +276,7 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
             return _to_schema_table(merged, fields)
         return _to_schema_table(l.merge(r, on=key, how=how), fields)
 
-    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
@@ -271,7 +292,8 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
     matters."""
     both, l_only, r_only, fields = _pad_and_union(left_ds, right_ds, key, n_buckets)
 
-    def asof(g: pd.DataFrame) -> pa.Table:
+    def asof(gt: pa.Table) -> pa.Table:
+        g = _pandas_exact(gt)
         l_all = g[g["_side"] == "l"][[key] + l_only]
         r = g[g["_side"] == "r"][[key] + r_only]
         l_null = l_all[l_all[key].isna()]
@@ -291,7 +313,7 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
                 merged = pd.concat([merged, l_null], ignore_index=True)
         return _to_schema_table(merged, fields)
 
-    return both.groupby("_bucket").map_groups(asof, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(asof, batch_format="pyarrow")
 
 
 def bucketed_range_join(left_ds, right_ds, key: str, ts_left: str,
@@ -312,7 +334,8 @@ def bucketed_range_join(left_ds, right_ds, key: str, ts_left: str,
     upstream otherwise."""
     both, l_only, r_only, fields = _pad_and_union(left_ds, right_ds, key, n_buckets)
 
-    def rjoin(g: pd.DataFrame) -> pa.Table:
+    def rjoin(gt: pa.Table) -> pa.Table:
+        g = _pandas_exact(gt)
         l = g[g["_side"] == "l"][[key] + l_only]
         r = g[g["_side"] == "r"][[key] + r_only]
         l = l[l[key].notna() & l[ts_left].notna()]
@@ -325,4 +348,4 @@ def bucketed_range_join(left_ds, right_ds, key: str, ts_left: str,
                (merged[ts_right] <= merged[ts_left] + upper)
         return _to_schema_table(merged[mask], fields)
 
-    return both.groupby("_bucket").map_groups(rjoin, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(rjoin, batch_format="pyarrow")

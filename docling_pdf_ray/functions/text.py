@@ -84,14 +84,17 @@ def rolling_fingerprint(text: str, window: int = 8, mod: int = 1 << 61) -> int:
 # ---------------------------------------------------------------- PII scrub
 
 # ASCII-only patterns shared VERBATIM with the DuckDB oracle (RE2):
-# the standard pre-training corpus scrub targets. \b and {m,n} behave
-# identically in Python re and RE2 over ASCII.
+# the standard pre-training corpus scrub targets. The character classes
+# are explicit ASCII, but \b in Python re is Unicode-aware while RE2's
+# is ASCII-only (e.g. '版本1.2.3.4' has a RE2 word boundary between 本
+# and 1 but not a Python one) — so compile with re.ASCII to pin Python
+# to RE2's semantics. {m,n} repetition is identical in both engines.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
     "phone": r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}",
 }
-_PII_RES = {k: re.compile(p) for k, p in PII_PATTERNS.items()}
+_PII_RES = {k: re.compile(p, re.ASCII) for k, p in PII_PATTERNS.items()}
 
 
 def pii_counts(texts: list[str | None]) -> dict[str, np.ndarray]:

@@ -1541,7 +1541,11 @@ def q_top_terms(sf_dir: str, k: int = 20):
                          "df": pa.array(list(c.values()), pa.int64())})
 
     def topk_partial(batch: pa.Table) -> pa.Table:
-        d = batch.rename_columns(["term", "df"]).to_pandas()
+        # select the aggregate by NAME ('sum(df)'): a positional rename
+        # would silently swap term/df if Ray changed its groupby output
+        # column order
+        d = pa.table({"term": batch.column("term"),
+                      "df": batch.column("sum(df)")}).to_pandas()
         d = d.sort_values(["df", "term"], ascending=[False, True]).head(k)
         return pa.Table.from_pandas(d, preserve_index=False)
 
@@ -1775,7 +1779,9 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0):
                              columns=["l_orderkey"]) \
         .map_batches(probe, batch_format="pyarrow") \
         .groupby("o_orderkey").sum("pn").to_pandas()
-    out.columns = ["o_orderkey", "n_items"]
+    # rename the aggregate by NAME, never positionally (a Ray column-
+    # order change would otherwise swap key/count semantics silently)
+    out = out.rename(columns={"sum(pn)": "n_items"})[["o_orderkey", "n_items"]]
     return out.sort_values("o_orderkey").reset_index(drop=True) \
         .astype({"o_orderkey": "int64", "n_items": "int64"})
 

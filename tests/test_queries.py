@@ -201,6 +201,48 @@ def test_bucketed_range_join_semantics(ray_session):
     assert out["lt"].dtype.kind == "i" and out["rv"].dtype.kind == "i"
 
 
+def test_join_int64_above_2_53_survives_na_padding(ray_session):
+    """Regression (advice r2): a left/asof join whose NA-padding used to
+    upcast int64 payloads to float64 corrupted values above 2^53
+    (snowflake-style ids). _protect_ints keeps them exact via pandas
+    nullable Int64."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import (bucketed_asof_join,
+                                                 bucketed_hash_join)
+
+    big = (1 << 53) + 1          # not representable in float64
+    big2 = (1 << 60) + 7
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array([big, big + 2, big + 4], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rv": pa.array([big2], pa.int64())}))
+    out = bucketed_hash_join(left, right, "k", n_buckets=4,
+                             how="left").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["lv"].tolist() == [big, big + 2, big + 4]
+    assert out["rv"][0] == big2 and pd.isna(out["rv"][1])
+
+    aleft = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lt": pa.array([10, 3, 10], pa.int64()),
+        "lv": pa.array([big, big + 1, big + 2], pa.int64())}))
+    aright = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rt": pa.array([5], pa.int64()),
+        "rv": pa.array([big2], pa.int64())}))
+    aout = bucketed_asof_join(aleft, aright, key="k", ts_left="lt",
+                              ts_right="rt", n_buckets=4).to_pandas()
+    aout = aout.sort_values(["k", "lt"]).reset_index(drop=True)
+    assert aout["lv"].tolist() == [big + 1, big, big + 2]
+    assert aout["rv"][1] == big2
+    assert pd.isna(aout["rv"][0]) and pd.isna(aout["rv"][2])
+
+
 def test_chars_quantiles_rule_matches_duckdb_on_random_histograms(ray_session):
     """Pins the integer percentile rule (smallest v with 100·cum ≥ p·n)
     to DuckDB's percentile_disc on randomized skewed tables — including
@@ -607,15 +649,20 @@ def test_pii_counts_on_planted_corpus(ray_session):
     from docling_pdf_ray.functions.text import redact_pii
     from docling_pdf_ray.queries import SQL_PII_COUNTS, q_pii_counts
 
+    # Rows 6-7 pin the \b semantics: Python's \b is Unicode-aware (本
+    # and á are word chars → no boundary before '1'), RE2's is ASCII
+    # (boundary present). _PII_RES compiles with re.ASCII so both
+    # engines count these IPs; without it the DuckDB compare fails.
     texts = ["mail me at a.b+c@ex-ample.co.uk now",
              "server at 10.0.255.1 and 1.2.3.4",
              "call +1 555 0100 1234 or +44 20-7946-0958",
-             None, "no pii here", "x@y.io 8.8.8.8 x@y.io"]
+             None, "no pii here", "x@y.io 8.8.8.8 x@y.io",
+             "版本1.2.3.4 im log", "á1.2.3.4 und 5.6.7.8é"]
     with tempfile.TemporaryDirectory(dir="/tmp") as d:
         pq.write_table(pa.table({
-            "doc_id": pa.array(range(6), pa.int64()),
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
             "text": pa.array(texts, pa.string()),
-            "lang": pa.array(["en"] * 6, pa.string())}),
+            "lang": pa.array(["en"] * len(texts), pa.string())}),
             os.path.join(d, "documents.parquet"))
         got = q_pii_counts(d)
         con = duckdb.connect()
@@ -625,7 +672,8 @@ def test_pii_counts_on_planted_corpus(ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)].reset_index(drop=True),
         want[sorted(want.columns)].reset_index(drop=True), check_dtype=True)
-    assert got[["n_emails", "n_ipv4", "n_phones"]].values.tolist() == [[3, 3, 2]]
+    assert got[["n_emails", "n_ipv4", "n_phones"]].values.tolist() == [[3, 6, 2]]
+    assert redact_pii("版本1.2.3.4 ok") == "版本[REDACTED] ok"
     assert redact_pii("mail a@b.co from 1.2.3.4") == \
         "mail [REDACTED] from [REDACTED]"
     assert redact_pii(None) is None
