@@ -1171,7 +1171,14 @@ def _verify_jaccard_pairs(docs, cand_pd, threshold: float):
                          "jacc_num": pa.array([r[2] for r in rows], pa.int64()),
                          "jacc_den": pa.array([r[3] for r in rows], pa.int64())})
 
-    out = _rd().from_arrow(pa.Table.from_pandas(cand_pd)) \
+    # from_arrow would make ONE block → ONE verify task (measured r3:
+    # 4.7 s serial on 1.2M sf0.1 candidates); split into ~25k-pair
+    # blocks so the verify fans out across the cluster. Per-task doc
+    # re-shingling is bounded by the task's own candidate set and
+    # amortized by the per-batch cache below.
+    chunk = 25_000
+    out = _rd().from_pandas(
+        [cand_pd.iloc[i:i + chunk] for i in range(0, len(cand_pd), chunk)]) \
         .map_batches(verify, batch_format="pyarrow").to_pandas()
     if out.empty:
         return empty
@@ -1199,39 +1206,104 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
     from .functions import dedup as dd
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        # per-batch capped shingle-hash cache (same pattern as
-        # dedup.minhash_signatures): near-dup corpora share most
-        # shingles across docs, so each distinct shingle is blake2b-
-        # hashed once per block, not once per occurrence
-        cache: dict[str, int] = {}
-        ids, hashes = [], []
-        for i, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            if len(cache) > dd._SHINGLE_CACHE_CAP:
-                cache = {}
-            for s in dd.word_shingles(t or ""):
-                h = cache.get(s)
-                if h is None:
-                    h = cache.setdefault(s, dd._h64(s) - (1 << 63))
-                ids.append(i)
-                hashes.append(h)                         # int64 range
-        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
-                      "sh_hash": pa.array(hashes, pa.int64())})
+        # Vectorized explosion (r3, replaces the per-row append loop —
+        # the r2 verdict's hottest-path finding): per-doc shingle sets
+        # are interned into a batch-level index (each distinct shingle
+        # string touched once), the distinct shingles are hashed in ONE
+        # vectorized pd.util.hash_array call (SipHash with pandas'
+        # fixed key — process- and run-deterministic, the same
+        # discipline as joins._bucket_of), and the (doc_id, sh_hash)
+        # rows materialize via np.repeat + fancy indexing. Correctness
+        # contract is unchanged: equal shingles always hash equal (so
+        # recall stays 1 by construction) and a 64-bit collision can
+        # only ADD a candidate pair, which the exact verify removes.
+        import pandas as pd
+
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        index: dict[str, int] = {}
+        idx_chunks: list[np.ndarray] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            sh = dd.word_shingles(t or "")
+            if not sh:
+                continue
+            idx_chunks.append(np.fromiter(
+                (index.setdefault(s, len(index)) for s in sh),
+                dtype=np.int64, count=len(sh)))
+            counts[j] = len(sh)
+        if not index:
+            t = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "sh_hash": pa.array([], pa.int64()),
+                          "doc_n": pa.array([], pa.int64())})
+        else:
+            distinct = np.empty(len(index), dtype=object)
+            for s, di in index.items():
+                distinct[di] = s
+            h = pd.util.hash_array(distinct, categorize=False).view(np.int64)
+            t = pa.table({
+                "doc_id": pa.array(np.repeat(doc_ids, counts), pa.int64()),
+                "sh_hash": pa.array(h[np.concatenate(idx_chunks)], pa.int64()),
+                # per-doc distinct-shingle count rides along on every
+                # row (8 bytes) so the pairing stage can bound the
+                # union size without a second corpus pass or join
+                "doc_n": pa.array(np.repeat(counts[counts > 0],
+                                            counts[counts > 0]), pa.int64())})
         return t.append_column(
             "_bucket", pc.cast(pc.bit_wise_and(t.column("sh_hash"),
                                                n_buckets - 1), pa.int32()))
 
-    def all_pairs(g) -> pa.Table:
-        # full enumeration within duplicated shingle hashes (NO
-        # star-link: completeness is this operator's contract)
-        pairs = _hot_bucket_pairs(g, ["sh_hash"], star_limit=1 << 62)
-        return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
-                         "b": pa.array([p[1] for p in pairs], pa.int64())})
+    def pair_counts(g) -> pa.Table:
+        # Vectorized full enumeration within duplicated shingle hashes
+        # (NO star-link: completeness is this operator's contract) via
+        # a pandas self-merge — the documented O(n²)-per-mass-dup-key
+        # cost now runs in C, and each pair carries its SHARED-HASH
+        # COUNT within this bucket plus both docs' shingle counts.
+        hot = g[g.duplicated("sh_hash", keep=False)]
+        if hot.empty:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("a", "b", "cnt", "n_a", "n_b")})
+        m = hot.merge(hot, on="sh_hash", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        agg = m.groupby(["doc_id_a", "doc_id_b"], sort=False).agg(
+            cnt=("sh_hash", "size"), n_a=("doc_n_a", "first"),
+            n_b=("doc_n_b", "first")).reset_index()
+        return pa.table({"a": pa.array(agg["doc_id_a"], pa.int64()),
+                         "b": pa.array(agg["doc_id_b"], pa.int64()),
+                         "cnt": pa.array(agg["cnt"], pa.int64()),
+                         "n_a": pa.array(agg["n_a"], pa.int64()),
+                         "n_b": pa.array(agg["n_b"], pa.int64())})
 
     docs = _docs_with_planted_dups(sf_dir)
-    cand_pd = docs.map_batches(shingle_rows, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(all_pairs, batch_format="pandas") \
-        .to_pandas().drop_duplicates()
+    parts = docs.map_batches(shingle_rows, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(pair_counts, batch_format="pandas") \
+        .to_pandas()
+    # Cross-bucket combine + COUNT-BASED PREFILTER (r3): a pair sharing
+    # k distinct shingle hashes appears exactly k times across buckets
+    # (each distinct hash lands in exactly one bucket), so
+    # num_hat = sum(cnt) ≥ true |sa∩sb| (64-bit collisions can only
+    # inflate it) and den_hat = n_a+n_b-num_hat ≤ true |sa∪sb| — hence
+    # num_hat/den_hat ≥ true Jaccard and filtering on it keeps EVERY
+    # true pair (recall 1 preserved). Only the ~O(near-dup) survivors
+    # reach the exact text re-verify, instead of every pair sharing any
+    # one shingle (measured sf0.1: 1.21M candidates → ~460). The
+    # combine is a driver-side groupby over one row per (pair, bucket)
+    # — same O(candidate-pairs) driver footprint the previous
+    # drop_duplicates already paid; at cluster scale it becomes a
+    # distributed groupby on (a, b) with the identical sum/first
+    # aggregation.
+    from fractions import Fraction
+    fr = Fraction(str(threshold))
+    if parts.empty:
+        cand_pd = parts[["a", "b"]]
+    else:
+        s = parts.groupby(["a", "b"], sort=False).agg(
+            cnt=("cnt", "sum"), n_a=("n_a", "first"),
+            n_b=("n_b", "first")).reset_index()
+        num_hat = s["cnt"]
+        den_hat = s["n_a"] + s["n_b"] - num_hat
+        keep = num_hat * fr.denominator >= fr.numerator * den_hat
+        cand_pd = s.loc[keep, ["a", "b"]]
     return _verify_jaccard_pairs(docs, cand_pd, threshold)
 
 
