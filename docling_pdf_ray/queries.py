@@ -1785,25 +1785,31 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
-def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0):
+def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0,
+                      n_buckets: int = 64):
     """Bloom-pre-filtered SEMI JOIN (the 100-TB shuffle reducer):
     line items of high-value orders, counted per order.
 
     Shape: (1) the build side streams once — per-batch partial Bloom
     bitmaps over qualifying order keys, OR-merged on the driver (the
-    mergeable-partial pattern; bitmap size is keys-dependent, never
-    corpus-dependent); (2) the bitmap broadcasts via ray.put and the
-    probe side drops every row whose key CANNOT match before anything
-    else touches it — at 1% FPR a selective join sheds ~99% of probe
-    traffic pre-shuffle; (3) survivors take the exact membership check
-    (false positives removed — output is EXACT, hence SQL-checkable;
-    at 100 TB, replace the exact broadcast set with a co-shuffle of
-    the ~1% survivors), then per-batch count partials → distributed
-    groupby (surviving-key cardinality is data-dependent)."""
-    import pandas as pd
+    mergeable-partial pattern; the ONLY driver-side object is the
+    fixed-size bitmap — the qualifying keys themselves never leave the
+    cluster); (2) the bitmap broadcasts via ray.put and the probe side
+    drops every row whose key CANNOT match before anything else
+    touches it — at 1% FPR a selective join sheds ~99% of probe
+    traffic pre-shuffle, then pre-aggregates survivors per batch;
+    (3) the exact check is a SURVIVOR CO-SHUFFLE (r3, replacing the
+    r2 broadcast-exact-set stand-in): build keys and probe partials
+    hash-bucket on the SAME key, one groupby co-locates them, and each
+    bucket drops false positives and sums its partials locally — since
+    a key's every partial lands in its one bucket, the per-bucket sum
+    is final and nothing but the result rows reach the driver. Driver
+    memory is O(bitmap) + O(result), independent of build-side
+    cardinality."""
     import ray
 
     from .functions import sketch as sk
+    from .functions.joins import _bucket_of
 
     build = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_orderkey", "o_totalprice"])
@@ -1814,46 +1820,59 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0):
             .to_numpy(zero_copy_only=False)
         bm = sk.bloom_add_hashes(sk.bloom_new(_BLOOM_BITS),
                                  sk.mix64(keys.astype(np.uint64)))
-        # the same pass also emits the qualifying keys themselves:
-        # the driver's exact set is assembled from these O(keys)
-        # partials, never from a second read of the build side
-        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary()),
-                         "keys": pa.array([keys.tolist()],
-                                          pa.list_(pa.int64()))})
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
     bm = sk.bloom_new(_BLOOM_BITS)
-    key_chunks = []
     for b in build.map_batches(bloom_partial, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
-        for payload, ks in zip(b.column("bm").to_pylist(),
-                               b.column("keys").to_pylist()):
+        for payload in b.column("bm").to_pylist():
             bm = sk.bloom_merge(bm, np.frombuffer(payload, dtype=np.uint8))
-            key_chunks.append(np.asarray(ks, dtype=np.int64))
-    all_keys = (np.unique(np.concatenate(key_chunks))
-                if key_chunks else np.array([], dtype=np.int64))
-    # exact verification set (test-scale stand-in for the survivor
-    # co-shuffle; O(qualifying keys) driver memory, not O(orders))
-    exact = pa.array(all_keys, pa.int64())
-    state = ray.put((bm, exact))
+    bm_ref = ray.put(bm)
+
+    def build_keys(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(pc.greater(batch.column("o_totalprice"),
+                                       min_total)).column("o_orderkey")
+        t = pa.table({"o_orderkey": keys,
+                      "pn": pa.nulls(len(keys), pa.int64()),
+                      "_side": pa.array(np.zeros(len(keys), np.int8))})
+        return t.append_column(
+            "_bucket", _bucket_of(t.column("o_orderkey"), n_buckets))
 
     def probe(batch: pa.Table) -> pa.Table:
-        _bm, _exact = ray.get(state)
+        _bm = ray.get(bm_ref)
         keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
         maybe = sk.bloom_might_contain(_bm, sk.mix64(keys.astype(np.uint64)))
         surv = batch.filter(pa.array(maybe))                 # bloom prune
-        surv = surv.filter(pc.is_in(surv.column("l_orderkey"),
-                                    value_set=_exact))       # exact verify
-        t = pa.table({"o_orderkey": surv.column("l_orderkey")})
-        return t.group_by("o_orderkey").aggregate([([], "count_all")]) \
-            .rename_columns(["o_orderkey", "pn"])
+        agg = pa.table({"o_orderkey": surv.column("l_orderkey")}) \
+            .group_by("o_orderkey").aggregate([([], "count_all")])
+        # select the aggregate by NAME (advice r2: positional renames
+        # would silently swap semantics on an Arrow column-order change)
+        t = pa.table({"o_orderkey": agg.column("o_orderkey"),
+                      "pn": agg.column("count_all")})
+        t = t.append_column("_side", pa.array(np.ones(t.num_rows, np.int8)))
+        return t.append_column(
+            "_bucket", _bucket_of(t.column("o_orderkey"), n_buckets))
 
-    out = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
-                             columns=["l_orderkey"]) \
-        .map_batches(probe, batch_format="pyarrow") \
-        .groupby("o_orderkey").sum("pn").to_pandas()
-    # rename the aggregate by NAME, never positionally (a Ray column-
-    # order change would otherwise swap key/count semantics silently)
-    out = out.rename(columns={"sum(pn)": "n_items"})[["o_orderkey", "n_items"]]
+    probe_ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                                  columns=["l_orderkey"]) \
+        .map_batches(probe, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("_side")
+        bkeys = pc.unique(g.filter(pc.equal(side, 0)).column("o_orderkey"))
+        pr = g.filter(pc.equal(side, 1))
+        pr = pr.filter(pc.is_in(pr.column("o_orderkey"),
+                                value_set=bkeys))            # exact verify
+        agg = pa.table({"o_orderkey": pr.column("o_orderkey"),
+                        "pn": pr.column("pn")}) \
+            .group_by("o_orderkey").aggregate([("pn", "sum")])
+        return pa.table({"o_orderkey": agg.column("o_orderkey"),
+                         "n_items": agg.column("pn_sum")})
+
+    out = build.map_batches(build_keys, batch_format="pyarrow") \
+        .union(probe_ds) \
+        .groupby("_bucket").map_groups(merge, batch_format="pyarrow") \
+        .to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True) \
         .astype({"o_orderkey": "int64", "n_items": "int64"})
 

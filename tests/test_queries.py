@@ -636,6 +636,41 @@ def test_bloom_filter_properties():
     assert np.array_equal(sk.bloom_merge(a, b), bm)
 
 
+def test_bloom_semi_join_driver_is_survivor_bounded(ray_session, monkeypatch):
+    """The r3 co-shuffle contract: the ONLY driver-side broadcast is
+    the fixed-size Bloom bitmap — the qualifying build keys must never
+    be ray.put as an exact-verify set (that was the r2 test-scale
+    stand-in). Asserted by intercepting every ray.put the query makes
+    and checking each payload is exactly the bitmap ndarray."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from docling_pdf_ray import queries as Q
+
+    puts = []
+    real_put = ray.put
+
+    def spy_put(obj, **kw):
+        puts.append(obj)
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    out = Q.q_bloom_semi_join("/root/testdata/sf0.001")
+    assert len(out) > 0
+    # Ray Data internals also ray.put (ReadTask closures etc.); the
+    # query's OWN puts are ndarrays/arrow values — among those, only
+    # the fixed-size uint8 bitmap is allowed. An int64 ndarray or an
+    # Arrow array put would be an exact key set leaking to the driver.
+    own = [o for o in puts
+           if isinstance(o, (np.ndarray, pa.Array, pa.ChunkedArray, tuple))]
+    assert own, "expected the bitmap broadcast to be captured"
+    for obj in own:
+        assert isinstance(obj, np.ndarray) and obj.dtype == np.uint8, \
+            f"non-bitmap broadcast: {type(obj)}"
+        assert obj.nbytes == Q._BLOOM_BITS // 8      # bitmap, not a key set
+
+
 def test_pii_counts_on_planted_corpus(ray_session):
     """The PII patterns must agree with RE2 on REAL matches (the gate
     corpus has none): emails with +/., IPv4, international phones,
