@@ -163,31 +163,52 @@ def ivf_topk(ds, queries_ref, k: int = 5, n_centroids: int = 32,
     state_ref = ray.put((np.asarray(qids, dtype=np.int64), qn, cent, cell_to_q))
 
     def _partial(batch: pa.Table) -> pa.Table:
+        # Vectorized (r3, replaces the per-vector Python loop): sort
+        # the batch by assigned cell, then for each populated cell with
+        # probing queries do ONE matmul of (probing queries × cell
+        # vectors) and a per-query numpy top-k over that slice. The
+        # only Python iteration left is over (cell, probing query) —
+        # O(Q × n_probe) per block, independent of batch size.
         _qids, _qn, _cent, _c2q = ray.get(state_ref)
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _to_matrix(batch.column("embedding"))
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         cells = (mn @ _cent.T).argmax(axis=1)
-        per_q: dict[int, list[tuple[float, int]]] = {}
-        for j in range(len(vids)):
-            for qi in _c2q.get(int(cells[j]), ()):
-                if vids[j] == _qids[qi]:
-                    continue
-                per_q.setdefault(qi, []).append(
-                    (round(float(_qn[qi] @ mn[j]), 6), int(vids[j])))
-        # per-block top-k truncation (score desc, vec_id asc): the
-        # partial is at most Q×k rows per block — without it the
-        # driver merge would materialize O(corpus) candidate rows
+        order = np.argsort(cells, kind="stable")
+        uniq, starts = np.unique(cells[order], return_index=True)
+        bounds = np.append(starts, len(order))
         out_q, out_v, out_s = [], [], []
-        for qi, cand in per_q.items():
-            cand.sort(key=lambda t: (-t[0], t[1]))
-            for s, v in cand[:k]:
-                out_q.append(int(_qids[qi]))
-                out_v.append(v)
-                out_s.append(s)
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64()),
-                         "cos_r": pa.array(out_s, pa.float64())})
+        for ci, c in enumerate(uniq):
+            qis = _c2q.get(int(c))
+            if not qis:
+                continue
+            sl = order[bounds[ci]:bounds[ci + 1]]
+            sub_v, sub_m = vids[sl], mn[sl]
+            scores = np.round(_qn[np.asarray(qis)] @ sub_m.T, 6)
+            for row, qi in enumerate(qis):
+                # per-block top-k truncation (score desc, vec_id asc):
+                # the partial stays ≤ Q×k rows per block — without it
+                # the driver merge would materialize O(corpus) rows
+                mask = sub_v != _qids[qi]            # exclude self
+                sv, vv = scores[row][mask], sub_v[mask]
+                if len(sv) > k:
+                    cutoff = sv[np.argpartition(-sv, k - 1)[k - 1]]
+                    keep = sv >= cutoff              # include cutoff ties
+                    sv, vv = sv[keep], vv[keep]
+                top = np.lexsort((vv, -sv))[:k]
+                out_q.append(np.full(len(top), _qids[qi], np.int64))
+                out_v.append(vv[top])
+                out_s.append(sv[top])
+        if out_q:
+            q_arr, v_arr, s_arr = (np.concatenate(out_q),
+                                   np.concatenate(out_v),
+                                   np.concatenate(out_s))
+        else:
+            q_arr = v_arr = np.array([], np.int64)
+            s_arr = np.array([], np.float64)
+        return pa.table({"query_id": pa.array(q_arr, pa.int64()),
+                         "vec_id": pa.array(v_arr, pa.int64()),
+                         "cos_r": pa.array(s_arr, pa.float64())})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     frames = list(partials.iter_batches(batch_format="pandas"))
@@ -225,24 +246,47 @@ def lsh_topk(ds, queries_ref, k: int = 5, n_planes: int = 8,
     qindex = {int(q): i for i, q in enumerate(qids)}
 
     def _partial(batch: pa.Table) -> pa.Table:
+        # Vectorized (r3, replaces the per-vector Python loop): sort
+        # the batch by bucket, then for each populated bucket with
+        # probing queries do ONE matmul of (probing queries × bucket
+        # vectors) and emit the scored pairs via repeat/tile — the only
+        # Python iteration left is over populated (bucket, query-list)
+        # groups.
         _qids, _qmat = ray.get(queries_ref)
         qn = _qmat / np.maximum(np.linalg.norm(_qmat, axis=1, keepdims=True), 1e-12)
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         m = _to_matrix(batch.column("embedding"))
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         buckets = hyperplane_signs(m, n_planes=n_planes, seed=seed)
-        out_q, out_v, out_s = [], [], []
-        for j, b in enumerate(buckets):
-            for qid in bucket_to_q.get(int(b), ()):
-                if vids[j] == qid:
-                    continue
-                qi = qindex[qid]
-                out_q.append(qid)
-                out_v.append(int(vids[j]))
-                out_s.append(round(float(qn[qi] @ mn[j]), 6))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64()),
-                         "cos_r": pa.array(out_s, pa.float64())})
+        order = np.argsort(buckets, kind="stable")
+        uniq, starts = np.unique(buckets[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        chunks_q, chunks_v, chunks_s = [], [], []
+        for bi, b in enumerate(uniq):
+            qlist = bucket_to_q.get(int(b))
+            if not qlist:
+                continue
+            sl = order[bounds[bi]:bounds[bi + 1]]
+            sub_v = vids[sl]
+            qarr = np.asarray(qlist, dtype=np.int64)
+            qrows = np.asarray([qindex[q] for q in qlist])
+            scores = np.round(qn[qrows] @ mn[sl].T, 6)   # (Q_b, N_b)
+            qcol = np.repeat(qarr, len(sl))
+            vcol = np.tile(sub_v, len(qarr))
+            mask = vcol != qcol                          # exclude self
+            chunks_q.append(qcol[mask])
+            chunks_v.append(vcol[mask])
+            chunks_s.append(scores.ravel()[mask])
+        if chunks_q:
+            q_arr, v_arr, s_arr = (np.concatenate(chunks_q),
+                                   np.concatenate(chunks_v),
+                                   np.concatenate(chunks_s))
+        else:
+            q_arr = v_arr = np.array([], np.int64)
+            s_arr = np.array([], np.float64)
+        return pa.table({"query_id": pa.array(q_arr, pa.int64()),
+                         "vec_id": pa.array(v_arr, pa.int64()),
+                         "cos_r": pa.array(s_arr, pa.float64())})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     frames = list(partials.iter_batches(batch_format="pandas"))
