@@ -1347,20 +1347,22 @@ ORDER BY 1, 2
 """
 
 
-def q_minhash_dedup_groups(sf_dir: str, threshold: float = 0.7):
-    """Near-dup DEDUP DECISION on top of pair detection: the verified
-    minhash pair graph is closed into connected components (union-find
-    over the pair set — small by contract, the same O(near-dups)
-    driver object the pair query already produces) and every member of
-    a multi-doc component is mapped to its component representative
-    (min doc_id). Output = only docs that belong to a dup group
+def dedup_groups_from_pairs(pairs):
+    """Near-dup DEDUP DECISION from an ALREADY-COMPUTED pair frame
+    (columns doc_id_a, doc_id_b): union-find closes the pair graph
+    into connected components (the pair set is O(near-dups) by
+    contract — the same driver object pair detection already
+    produces), and every member of a multi-doc component maps to its
+    representative (min doc_id). Output = only docs in a dup group
     (doc_id, rep_id) — the drop/canonicalize list a corpus build
     applies; untouched docs are absent (O(dups), not O(corpus)).
-    SQL oracle: recursive min-label propagation over the same pair
-    graph."""
+
+    This is the composition entry point (r3): a corpus build that has
+    just run pair detection passes its result here and pays for
+    detection ONCE; only the independent driver-contract callable
+    below re-runs it."""
     import pandas as pd
 
-    pairs = q_minhash_near_dups(sf_dir, threshold=threshold)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1378,6 +1380,17 @@ def q_minhash_dedup_groups(sf_dir: str, threshold: float = 0.7):
     return pd.DataFrame({
         "doc_id": pd.Series(members, dtype="int64"),
         "rep_id": pd.Series([find(m) for m in members], dtype="int64")})
+
+
+def q_minhash_dedup_groups(sf_dir: str, threshold: float = 0.7):
+    """Driver-contract wrapper: detection + grouping. Queries must be
+    independent callables (the gate runs each alone), so THIS entry
+    re-runs pair detection; composed pipelines should call
+    :func:`dedup_groups_from_pairs` on an existing pair frame instead.
+    SQL oracle: recursive min-label propagation over the same pair
+    graph."""
+    return dedup_groups_from_pairs(
+        q_minhash_near_dups(sf_dir, threshold=threshold))
 
 
 SQL_MINHASH_DEDUP_GROUPS = f"""

@@ -636,6 +636,30 @@ def test_bloom_filter_properties():
     assert np.array_equal(sk.bloom_merge(a, b), bm)
 
 
+def test_dedup_groups_from_pairs_shared_entry():
+    """The composition entry point must close pair graphs into
+    min-labeled components WITHOUT re-running detection: chain,
+    triangle, and an isolated pair, plus transitivity across shared
+    members."""
+    import pandas as pd
+
+    from docling_pdf_ray.queries import dedup_groups_from_pairs
+
+    pairs = pd.DataFrame({
+        # chain 5-3, 3-9 (one component rep 3); triangle 10-11-12
+        # expressed as two edges; isolated pair 20-21
+        "doc_id_a": pd.Series([5, 3, 10, 11, 20], dtype="int64"),
+        "doc_id_b": pd.Series([3, 9, 11, 12, 21], dtype="int64")})
+    out = dedup_groups_from_pairs(pairs)
+    got = dict(zip(out["doc_id"], out["rep_id"]))
+    assert got == {3: 3, 5: 3, 9: 3, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert list(out["doc_id"]) == sorted(out["doc_id"])
+    empty = dedup_groups_from_pairs(
+        pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                      "doc_id_b": pd.Series([], dtype="int64")}))
+    assert empty.empty and list(empty.columns) == ["doc_id", "rep_id"]
+
+
 def test_bloom_semi_join_driver_is_survivor_bounded(ray_session, monkeypatch):
     """The r3 co-shuffle contract: the ONLY driver-side broadcast is
     the fixed-size Bloom bitmap — the qualifying build keys must never
