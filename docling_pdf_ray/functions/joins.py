@@ -240,41 +240,53 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
     """left ⋈ right on ``key`` → Dataset of merged rows (left columns
     then right columns, SQL null semantics: null keys never match).
     Non-key column names must be disjoint across the sides. Supported
-    ``how``: 'inner', 'left' (a right/full-outer needs per-bucket
-    right-side emission this cogroup shape doesn't implement — rejected
-    loudly rather than silently degrading).
+    ``how``: 'inner', 'left', 'right', 'full' (r3: the outer variants
+    emit each bucket's unmatched other-side rows null-padded — every
+    key lives in exactly one hash bucket, so per-bucket anti-emission
+    is globally exact).
 
     ``salt``: optional skew defense — ``{hot_key_value: n_subbuckets}``
     for keys known (or measured, e.g. via a cheap groupby count) to
     dominate their bucket. Hot-key left rows spread over n dedicated
     sub-buckets and the key's right rows replicate into each, so one
     celebrity key no longer serializes on a single bucket task; output
-    is identical with or without salting (tested)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    is identical with or without salting (tested). Salting REPLICATES
+    right rows, so it composes with 'inner'/'left' only — with
+    'right'/'full' an unmatched replicated right row would be emitted
+    once per sub-bucket; rejected loudly."""
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be 'inner'|'left'|'right'|'full', got {how!r}")
+    if salt and how in ("right", "full"):
+        raise ValueError(
+            "salt replicates right rows per sub-bucket and would "
+            "duplicate unmatched right emission; use how='inner'/'left' "
+            "with salt, or pre-aggregate the hot keys instead")
     both, l_only, r_only, fields = _pad_and_union(
         left_ds, right_ds, key, n_buckets, salt=salt)
+    pd_how = {"inner": "inner", "left": "left",
+              "right": "right", "full": "outer"}[how]
 
     def merge(gt: pa.Table) -> pa.Table:
         # SQL semantics: null keys match nothing (pandas merge would
-        # pair NaN==NaN) — null-key left rows survive only under 'left'
+        # pair NaN==NaN) — so null-key rows are split off before the
+        # merge and re-appended null-padded where the join side keeps
+        # unmatched rows ('left'/'full' keep left nulls, 'right'/'full'
+        # keep right nulls)
         g = _pandas_exact(gt)
         l = g[g["_side"] == "l"][[key] + l_only]
         r = g[g["_side"] == "r"][[key] + r_only]
+        l_null = l[l[key].isna()]
+        r_null = r[r[key].isna()]
+        l = l[l[key].notna()]
         r = r[r[key].notna()]
-        if how == "inner":
-            l = l[l[key].notna()]
-        if l.empty or (r.empty and how == "inner"):
-            return _to_schema_table(pd.DataFrame(columns=[key] + l_only + r_only),
-                                    fields)
-        if how == "left":
-            l_null = l[l[key].isna()]
-            l = l[l[key].notna()]
-            merged = l.merge(r, on=key, how="left") if not l.empty else l
-            if not l_null.empty:
-                merged = pd.concat([merged, l_null], ignore_index=True)
-            return _to_schema_table(merged, fields)
-        return _to_schema_table(l.merge(r, on=key, how=how), fields)
+        merged = l.merge(r, on=key, how=pd_how)
+        extras = [df for df, keep in
+                  ((l_null, how in ("left", "full")),
+                   (r_null, how in ("right", "full"))) if keep and not df.empty]
+        if extras:
+            merged = pd.concat([merged, *extras], ignore_index=True)
+        return _to_schema_table(merged, fields)
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 

@@ -584,6 +584,67 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_customer_order_full(sf_dir: str):
+    """FULL OUTER partitioned hash join (r3): BUILDING-segment
+    customers ⟗ all orders on custkey — both unmatched sides survive
+    null-padded (customers with no orders AND orders of non-BUILDING
+    customers), exercised end-to-end through the bucketed co-shuffle.
+    The joined Dataset streams into per-batch category partials
+    (both / left_only / right_only with an orderkey checksum) and a
+    tiny driver combine — the join output itself is never
+    materialized."""
+    from .functions.joins import bucketed_hash_join
+
+    def pick_building(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("c_mktsegment"),
+                                     "BUILDING"))
+
+    left = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(pick_building, batch_format="pyarrow")
+
+    def as_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch.column("o_custkey"),
+                         "o_orderkey": batch.column("o_orderkey")})
+
+    right = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey"]) \
+        .map_batches(as_key, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(left, right, "c_custkey", how="full")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg, ok = batch.column("c_mktsegment"), batch.column("o_orderkey")
+        side = pc.if_else(pc.is_null(seg), "right_only",
+                          pc.if_else(pc.is_null(ok), "left_only", "both"))
+        t = pa.table({"side": side,
+                      "ok": pc.fill_null(ok, 0)})
+        agg = t.group_by("side").aggregate([([], "count_all"), ("ok", "sum")])
+        return pa.table({"side": agg.column("side"),
+                         "p_n": agg.column("count_all"),
+                         "p_s": agg.column("ok_sum")})
+
+    return _driver_combine(joined.map_batches(partial, batch_format="pyarrow"),
+                           ["side"], {"n_rows": ("p_n", "sum"),
+                                      "key_sum": ("p_s", "sum")}) \
+        .astype({"n_rows": "int64", "key_sum": "int64"})
+
+
+SQL_CUSTOMER_ORDER_FULL = """
+WITH l AS (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+     r AS (SELECT o_custkey, o_orderkey FROM orders),
+     j AS (SELECT c_mktsegment, o_orderkey
+           FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey)
+SELECT CASE WHEN c_mktsegment IS NULL THEN 'right_only'
+            WHEN o_orderkey IS NULL THEN 'left_only'
+            ELSE 'both' END AS side,
+       count(*) AS n_rows,
+       CAST(sum(coalesce(o_orderkey, 0)) AS BIGINT) AS key_sum
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_order_asof_event(sf_dir: str):
     """AS-OF join: for each EVENT, the customer's latest order date at
     or before the event timestamp (user_id = o_custkey). Co-bucketed
@@ -2051,6 +2112,7 @@ QUERIES = {
     "ship_window_counts": q_ship_window_counts,
     "order_coverage": q_order_coverage,
     "region_order_counts": q_region_order_counts,
+    "customer_order_full": q_customer_order_full,
     "quality_gate_counts": q_quality_gate_counts,
     "user_sessions": q_user_sessions,
     "lang_detect": q_lang_detect,
@@ -2093,6 +2155,7 @@ ORACLE_SQL = {
     "ship_window_counts": SQL_SHIP_WINDOW_COUNTS,
     "order_coverage": SQL_ORDER_COVERAGE,
     "region_order_counts": SQL_REGION_ORDER_COUNTS,
+    "customer_order_full": SQL_CUSTOMER_ORDER_FULL,
     "quality_gate_counts": SQL_QUALITY_GATE_COUNTS,
     "user_sessions": SQL_USER_SESSIONS,
     "lang_detect": SQL_LANG_DETECT,

@@ -61,7 +61,7 @@ def test_all_oracle_keys_have_queries():
     "lang_detect", "embedding_dup_pairs_lsh",
     "top_terms", "chars_quantiles", "top_docs_per_lang",
     "jaccard_pairs_exact", "distinct_tokens", "events_hourly_users",
-    "bloom_semi_join", "pii_counts",
+    "bloom_semi_join", "pii_counts", "customer_order_full",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -124,6 +124,53 @@ def test_bucketed_hash_join_string_key_and_outer(ray_session):
         bucketed_hash_join(
             rd.from_arrow(pa.table({"k": [1], "x": [1]})),
             rd.from_arrow(pa.table({"k": [1], "x": [2]})), "k")
+
+
+def test_bucketed_hash_join_right_and_full(ray_session):
+    """r3 outer variants: unmatched-right emission, full-outer union,
+    SQL null-key semantics (null keys never match but SURVIVE as
+    unmatched rows on the kept side), DuckDB agreement, and the
+    salt-incompatibility guard."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import bucketed_hash_join
+
+    lt = pa.table({"k": pa.array([1, 2, None, 2], pa.int64()),
+                   "lv": pa.array([1, 2, 3, 4], pa.int64())})
+    rt = pa.table({"k": pa.array([2, 3, None], pa.int64()),
+                   "rv": pa.array([20, 30, 40], pa.int64())})
+
+    for how, sql_how in [("right", "RIGHT"), ("full", "FULL OUTER")]:
+        got = bucketed_hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                                 "k", n_buckets=4, how=how).to_pandas()
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rt.to_pandas())
+        want = con.execute(
+            f"SELECT coalesce(l.k, r.k) AS k, lv, rv FROM l "
+            f"{sql_how} JOIN r ON l.k = r.k").df()
+        # coalesce() collapses the two key columns like the engine's
+        # single-key output... EXCEPT null-key rows, where both engines
+        # agree the key stays null
+        norm = lambda df: df.sort_values(["k", "lv", "rv"], na_position="first") \
+            .reset_index(drop=True).astype("float64")
+        pd.testing.assert_frame_equal(norm(got), norm(want), check_exact=True)
+
+    full = bucketed_hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                              "k", n_buckets=4, how="full").to_pandas()
+    # 2 matches (lv 2,4 × rv 20) + left-only lv1 + null-key lv3
+    # + right-only rv30 + null-key rv40
+    assert len(full) == 6
+    assert full[full["lv"].isna()]["rv"].dropna().tolist() == [30, 40] or \
+        sorted(full[full["lv"].isna()]["rv"].dropna().tolist()) == [30, 40]
+
+    with _pytest.raises(ValueError, match="salt"):
+        bucketed_hash_join(rd.from_arrow(lt), rd.from_arrow(rt), "k",
+                           how="full", salt={2: 4})
 
 
 def test_bucketed_asof_join_semantics(ray_session):
