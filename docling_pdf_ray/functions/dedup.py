@@ -197,7 +197,13 @@ def simhash64(text: str) -> int:
     weighted). The per-word bit expansion is one numpy broadcast over
     the unique-word hash vector (not a Python loop per word per bit) —
     byte-identical output to the scalar definition. Tokenizes with
-    split_ws for consistency with the minhash operators."""
+    split_ws for consistency with the minhash operators.
+
+    Word hash is the first 8 bytes (big-endian) of md5 — r3: chosen
+    over blake2b ONLY because DuckDB can compute the identical value
+    (``('0x' || substr(md5(w),1,16))::UBIGINT``), which makes the
+    whole fingerprint — and therefore the simhash pair query —
+    SQL-checkable. Hash quality is equivalent for sketching."""
     words = split_ws(text)
     if not words:
         return 0
@@ -205,7 +211,7 @@ def simhash64(text: str) -> int:
 
     c = Counter(words)
     hs = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
          for w in c), dtype=np.uint64, count=len(c))
     cnt = np.fromiter(c.values(), dtype=np.int64, count=len(c))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)) \

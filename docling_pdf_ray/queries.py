@@ -1483,9 +1483,19 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3,
     per-bucket hot-key pairing with hamming verify inline (the
     fingerprint rides the triple, so no second text pass is needed).
     Oversized buckets star-link to the min doc_id — same recall
-    guarantee as minhash, never silently dropped. Approximate by
-    construction (fingerprint collisions): rows-only check; recall on
-    planted dups is pinned by tests."""
+    guarantee as minhash, never silently dropped.
+
+    SQL oracle (r3, closing the last sketch no_oracle): the word hash
+    is an md5 prefix DuckDB computes identically, so
+    SQL_SIMHASH_NEAR_DUPS rebuilds the EXACT fingerprints (per-bit
+    ±tf vote) and enumerates the exact hamming≤3 pair set. Equality
+    with this engine is STRUCTURAL — pigeonhole (hamming<4 ⇒ a shared
+    16-bit band) makes the band blocking complete, and the inline
+    verify is the same bit_count(xor) — with ONE stated caveat shared
+    with minhash: a band bucket beyond STAR_LINK_BUCKET star-links
+    instead of full-pairing (the mass-dup guard, pinned by its own
+    test), so equality additionally requires no bucket that large on
+    the gate corpus (holds: planted groups have 2 members)."""
     import pandas as pd
 
     from .functions import dedup as dd
@@ -1529,6 +1539,44 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3,
                              "hamming": pd.Series([], dtype="int64")})
     return pairs.drop_duplicates(["doc_id_a", "doc_id_b"]) \
         .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+SQL_SIMHASH_NEAR_DUPS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'), w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), aug AS (
+  SELECT doc_id, words FROM base
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET},
+         list_slice(words, 1, greatest(len(words) - 5, 0))
+  FROM base WHERE doc_id % {PLANT_EVERY} = 0 AND len(words) > 0
+), wc AS (
+  -- term-frequency per (doc, word): the simhash vote weights
+  SELECT doc_id, w, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(words) AS w FROM aug) GROUP BY 1, 2
+), wh AS (
+  -- md5-prefix word hash, bit-identical to the engine's
+  SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM wc
+), acc AS (
+  -- per-bit ±tf vote
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM wh CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::UBIGINT << bit)
+                       ELSE 0::UBIGINT END) AS UBIGINT) AS fp
+  FROM acc GROUP BY 1
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+ORDER BY 1, 2
+"""
 
 
 EMB_PLANT_OFFSET = 100_000
@@ -2162,6 +2210,7 @@ ORACLE_SQL = {
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "jaccard_pairs_exact": SQL_MINHASH_NEAR_DUPS,
     "minhash_dedup_groups": SQL_MINHASH_DEDUP_GROUPS,
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_dup_pairs_lsh": SQL_EMBEDDING_DUP_PAIRS,
     "ann_topk": SQL_ANN_TOPK,

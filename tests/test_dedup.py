@@ -240,7 +240,9 @@ def test_simhash_near_dups_regression_sf0001(ray_session):
     out = q_simhash_near_dups("/root/testdata/sf0.001")
     assert list(out.columns) == ["doc_id_a", "doc_id_b", "hamming"]
     assert [str(t) for t in out.dtypes] == ["int64", "int64", "int64"]
-    assert len(out) == 29
+    # 31 pairs with the r3 md5-prefix word hash (independently
+    # confirmed by SQL_SIMHASH_NEAR_DUPS in test_query_matches_duckdb)
+    assert len(out) == 31
     assert (out["hamming"] <= 3).all()
     assert (out["doc_id_a"] < out["doc_id_b"]).all()
 
