@@ -4,10 +4,10 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 Decode support is honest about the environment:
 
 * REAL decoders for self-contained formats needing only numpy/stdlib —
-  PPM (P6) images (`decode_ppm`, with a real nearest-neighbor
-  `resize_nearest` and real pixel-statistics features) and WAV PCM16
-  audio (`decode_wav`, stdlib ``wave``, with real RMS/duration
-  features).
+  PPM (P6) and 24-bit BMP images (`decode_ppm` / `decode_bmp`, with a
+  real nearest-neighbor `resize_nearest` and real pixel-statistics
+  features) and WAV PCM16 audio (`decode_wav`, stdlib ``wave``, with
+  real RMS/duration features).
 * STUBS for compressed codecs (JPEG/PNG/MP3/MP4 — PIL/ffmpeg are NOT
   in this container): either raise ``NotImplementedError``
   (``strict=True``) or produce a deterministic fake decode keyed on
@@ -100,6 +100,59 @@ def image_features(img: np.ndarray) -> np.ndarray:
     hist, _ = np.histogram(lum, bins=FEATURE_DIM - 6, range=(0.0, 255.0))
     f[6:] = hist / max(1, lum.size)
     return f
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP (BI_RGB, BITMAPINFOHEADER or
+    larger DIB) into an (H, W, 3) uint8 RGB array — pure numpy/struct,
+    no external image library (r3: second REAL image codec, a format
+    web crawls actually contain). Handles 4-byte row padding, both
+    bottom-up (positive height) and top-down (negative height) rasters.
+    Raises ValueError on anything else (compressed, paletted, ≠24bpp)."""
+    import struct
+
+    if not payload.startswith(b"BM") or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:                       # BITMAPCOREHEADER not supported
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported, got {bpp}bpp "
+                         f"compression={compression}")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0 or w * h > (1 << 26):
+        raise ValueError(f"unsupported BMP geometry {w}x{h_raw}")
+    stride = (w * 3 + 3) & ~3               # rows pad to 4-byte multiples
+    need = stride * h
+    if len(payload) < data_off + need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=need,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]                     # bottom-up → natural order
+    return img[..., ::-1].copy()            # BGR → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_bmp` (test fixture / synth corpus):
+    bottom-up 24-bit BI_RGB with padded rows."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)   # RGB→BGR, flip
+    data = raster.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(data), 2835, 2835, 0, 0))
+    return header + data
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -241,8 +294,9 @@ class MediaFeatureStage:
         # the task in the default mode — it falls through to the stub
         # arm like any other undecodable payload (strict mode raises)
         try:
-            if kind == "image" and payload.startswith(b"P6"):
-                img = decode_ppm(payload)
+            if kind == "image" and payload.startswith((b"P6", b"BM")):
+                img = decode_ppm(payload) if payload.startswith(b"P6") \
+                    else decode_bmp(payload)
                 h, w = img.shape[:2]
                 small = resize_nearest(img, self.RESIZE_TO, self.RESIZE_TO)
                 return w, h, image_features(small)
@@ -312,7 +366,9 @@ def synth_media_dataset(n: int = 64, seed: int = 5):
             img = np_rng.randint(0, 256, size=(rng.randint(8, 48),
                                                rng.randint(8, 48), 3),
                                  dtype=np.uint8)
-            payload = encode_ppm(img)
+            # alternate the two real image codecs so both decode arms
+            # run through the actor pool
+            payload = encode_ppm(img) if i % 6 == 0 else encode_bmp(img)
         elif kind == "audio":
             np_rng = np.random.RandomState(seed * 2000 + i)
             x = np_rng.standard_normal(rng.randint(800, 4000)).astype(np.float32) * 0.2

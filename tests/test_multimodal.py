@@ -66,6 +66,51 @@ def test_ppm_decode_roundtrip_and_resize():
         decode_ppm(b"P6\n4 4\n255\n\x00\x00")
 
 
+def test_bmp_decode_roundtrip_padding_and_feature_parity():
+    """r3 BMP codec: encode/decode identity on widths exercising all
+    row-padding remainders, top-down (negative height) rasters, the
+    malformed-payload guards, and feature parity — the SAME image via
+    PPM and BMP payloads must produce identical stage features."""
+    import struct
+
+    from docling_pdf_ray.functions.multimodal import (MediaFeatureStage,
+                                                      decode_bmp, encode_bmp,
+                                                      encode_ppm)
+
+    rng = np.random.RandomState(7)
+    for w in (1, 2, 3, 4, 7):                 # stride remainders 0..3
+        img = rng.randint(0, 256, size=(5, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), w
+
+    # top-down variant: negative height, rows in natural order
+    img = rng.randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    bu = encode_bmp(img)
+    stride = (6 * 3 + 3) & ~3
+    raster = np.zeros((4, stride), dtype=np.uint8)
+    raster[:, :18] = img[:, :, ::-1].reshape(4, 18)     # natural order, BGR
+    td = bu[:22] + struct.pack("<i", -4) + bu[26:54] + raster.tobytes()
+    assert np.array_equal(decode_bmp(td), img)
+
+    with pytest.raises(ValueError, match="BMP"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="24bpp"):
+        bad = bytearray(encode_bmp(img))
+        bad[28] = 8                                      # claim 8bpp
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(img)[:-4])
+
+    stage = MediaFeatureStage(strict=True)
+    batch = pa.table({"media_id": [0, 1], "kind": ["image", "image"],
+                      "payload": [encode_ppm(img), encode_bmp(img)],
+                      "meta": ["{}", "{}"]})
+    out = stage(batch)
+    assert out.column("width").to_pylist() == [6, 6]
+    assert out.column("height").to_pylist() == [4, 4]
+    f = out.column("feature").to_pylist()
+    assert f[0] == f[1]                                  # codec-independent
+
+
 def test_wav_decode_roundtrip():
     from docling_pdf_ray.functions.multimodal import decode_wav, encode_wav
 
