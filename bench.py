@@ -218,7 +218,8 @@ def run_bench() -> dict:
                      "ann_topk", "embedding_dup_pairs",
                      "minhash_dedup_groups", "ship_window_counts",
                      "top_terms", "chars_quantiles",
-                     "jaccard_pairs_exact"]}
+                     "jaccard_pairs_exact", "bloom_semi_join",
+                     "simhash_near_dups", "customer_order_full"]}
     ray.shutdown()
     return result
 

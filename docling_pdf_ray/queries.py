@@ -1263,8 +1263,11 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
     minhash (that oracle is already exact-complete; here the ENGINE
     is too, so equality holds structurally, with no LSH recall
     caveat)."""
+    from fractions import Fraction
 
     from .functions import dedup as dd
+
+    fr = Fraction(str(threshold))       # exact integer threshold tests
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         # Vectorized explosion (r3, replaces the per-row append loop —
@@ -1329,6 +1332,15 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
         agg = m.groupby(["doc_id_a", "doc_id_b"], sort=False).agg(
             cnt=("sh_hash", "size"), n_a=("doc_n_a", "first"),
             n_b=("doc_n_b", "first")).reset_index()
+        # size-ratio prefilter (exact, zero recall loss): J ≥ t needs
+        # num ≥ t·(n_a+n_b-num) for some num ≤ min(n_a,n_b), and
+        # num/(S-num) is increasing in num — so a pair whose smaller
+        # shingle set is too small relative to the union can NEVER
+        # qualify. Drops size-incompatible pairs (docs sharing a few
+        # common phrases) inside the bucket, before the driver combine.
+        lo = np.minimum(agg["n_a"], agg["n_b"])
+        agg = agg[lo * fr.denominator
+                  >= fr.numerator * (agg["n_a"] + agg["n_b"] - lo)]
         return pa.table({"a": pa.array(agg["doc_id_a"], pa.int64()),
                          "b": pa.array(agg["doc_id_b"], pa.int64()),
                          "cnt": pa.array(agg["cnt"], pa.int64()),
@@ -1353,8 +1365,6 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
     # drop_duplicates already paid; at cluster scale it becomes a
     # distributed groupby on (a, b) with the identical sum/first
     # aggregation.
-    from fractions import Fraction
-    fr = Fraction(str(threshold))
     if parts.empty:
         cand_pd = parts[["a", "b"]]
     else:
