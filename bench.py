@@ -219,7 +219,8 @@ def run_bench() -> dict:
                      "minhash_dedup_groups", "ship_window_counts",
                      "top_terms", "chars_quantiles",
                      "jaccard_pairs_exact", "bloom_semi_join",
-                     "simhash_near_dups", "customer_order_full"]}
+                     "simhash_near_dups", "customer_order_full",
+                     "repetition_stats"]}
     ray.shutdown()
     return result
 

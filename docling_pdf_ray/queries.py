@@ -797,6 +797,110 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filter (Rae et al. 2021,
+    §A1.1 "repetitious text" rules) over the word stream: per doc,
+    the duplicate-bigram fraction (share of 2-gram occurrences whose
+    2-gram appears more than once in the doc) and the top-bigram
+    fraction (share taken by the single most frequent 2-gram),
+    flag-counted per lang. The quality dimension quality_gate_counts
+    does NOT cover: that gate sees character composition, this one
+    sees self-repetition (SEO spam / template churn in webtext).
+
+    Thresholds compare in exact integer arithmetic so both engines
+    agree bit-for-bit: dup_frac > 0.15 ⟺ 20·dup > 3·n; top_frac >
+    0.05 ⟺ 20·top > n (Gopher ships 0.20/0.18 for real webtext; the
+    synthetic corpus's repetition tops out at ~0.27/0.17, so the
+    gates are tightened into its dynamic range to stay non-trivial).
+
+    Scale shape: a doc's words never leave its block — bigram counts,
+    per-doc stats and the flag decisions are all batch-local (pandas
+    hash groupbys over vectorized splits); only the 5-row-per-lang
+    partials move, zero shuffle at any corpus size. Splitting is the
+    exact single-space split mirrored by DuckDB string_split(text,' ')
+    (no regex, no \\s ASCII/Unicode trap)."""
+    import pandas as pd
+
+    EMPTY = pa.table({"lang": pa.array([], pa.string()),
+                      "p_docs": pa.array([], pa.int64()),
+                      "p_dupflag": pa.array([], pa.int64()),
+                      "p_topflag": pa.array([], pa.int64()),
+                      "p_dup": pa.array([], pa.int64()),
+                      "p_total": pa.array([], pa.int64())})
+
+    def rep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        words = pc.split_pattern(t.column("text").combine_chunks(),
+                                 pattern=" ")
+        flat = pc.list_flatten(words).to_pandas()
+        parent = pc.list_parent_indices(words).to_numpy()
+        if len(flat) < 2:
+            return EMPTY
+        # consecutive-word bigrams: positions i, i+1 in the same doc
+        same = parent[:-1] == parent[1:]
+        bg = (flat.iloc[:-1].reset_index(drop=True) + " "
+              + flat.iloc[1:].reset_index(drop=True))[same]
+        docs = parent[:-1][same]
+        if len(bg) == 0:
+            return EMPTY
+        cnt = pd.DataFrame({"d": docs, "bg": bg.to_numpy()}) \
+            .groupby(["d", "bg"], sort=False).size()
+        per_doc = cnt.groupby(level=0)
+        stats = pd.DataFrame({"nb": per_doc.sum(), "top": per_doc.max()})
+        stats["dup"] = cnt[cnt > 1].groupby(level=0).sum() \
+            .reindex(stats.index, fill_value=0)
+        langs = t.column("lang").to_pandas()
+        stats["lang"] = langs.iloc[stats.index.to_numpy()].to_numpy()
+        stats["dupflag"] = (stats["dup"] * 20 > 3 * stats["nb"]).astype(np.int64)
+        stats["topflag"] = (stats["top"] * 20 > stats["nb"]).astype(np.int64)
+        agg = stats.groupby("lang", dropna=False).agg(
+            p_docs=("nb", "size"), p_dupflag=("dupflag", "sum"),
+            p_topflag=("topflag", "sum"), p_dup=("dup", "sum"),
+            p_total=("nb", "sum")).reset_index()
+        return pa.table({"lang": pa.array(agg["lang"], pa.string()),
+                         "p_docs": pa.array(agg["p_docs"], pa.int64()),
+                         "p_dupflag": pa.array(agg["p_dupflag"], pa.int64()),
+                         "p_topflag": pa.array(agg["p_topflag"], pa.int64()),
+                         "p_dup": pa.array(agg["p_dup"], pa.int64()),
+                         "p_total": pa.array(agg["p_total"], pa.int64())})
+
+    partials = _docs(sf_dir, ["text", "lang"]).map_batches(
+        rep, batch_format="pyarrow")
+    return _driver_combine(partials, ["lang"], {
+        "n_docs": ("p_docs", "sum"), "n_dup_flagged": ("p_dupflag", "sum"),
+        "n_top_flagged": ("p_topflag", "sum"),
+        "dup_bigrams": ("p_dup", "sum"), "total_bigrams": ("p_total", "sum")})
+
+
+SQL_REPETITION_STATS = """
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), z AS (
+  SELECT doc_id, lang,
+         unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+  FROM w WHERE len(ws) >= 2
+), c AS (
+  SELECT doc_id, lang, z[1] || ' ' || z[2] AS bg, count(*) AS cnt
+  FROM z GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(sum(cnt) AS BIGINT) AS nb,
+         CAST(max(cnt) AS BIGINT) AS top,
+         CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup
+  FROM c GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN dup * 20 > 3 * nb THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_flagged,
+       CAST(sum(CASE WHEN top * 20 > nb THEN 1 ELSE 0 END) AS BIGINT) AS n_top_flagged,
+       CAST(sum(dup) AS BIGINT) AS dup_bigrams,
+       CAST(sum(nb) AS BIGINT) AS total_bigrams
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 def q_lang_detect(sf_dir: str):
     """Language-ID heuristic audit: confusion counts (lang ×
     predicted). SQL-checked: the heuristic (CJK codepoint ratio, then
@@ -2131,6 +2235,25 @@ def q_ann_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 8):
     return ivf_topk(ds, ref, k=k, n_centroids=32, n_probe=8)
 
 
+def q_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 8):
+    """K-means corpus clustering (semantic sharding / mixture
+    balancing): Lloyd iterations as streaming broadcast+partial
+    passes (functions/cluster.py), then a per-cluster audit row
+    (size + majority planted label). The registry's one ITERATIVE
+    operator — rows-only by the driver contract's stated allowance
+    (a float-mean fixpoint has no SQL mirror; DuckDB cannot express
+    the loop, and centroid means are float-summation-order
+    dependent). Pinned instead by tests/test_cluster.py: inertia
+    monotonicity, assignment stability across parallelism, exact
+    partition of the corpus (sizes sum to N), determinism."""
+    from .functions import cluster as cl
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    cents, _ = cl.kmeans_fit(ds, k=k, iters=iters)
+    return cl.label_stats(ds, cents)
+
+
 SQL_ANN_TOPK = """
 SELECT query_id, rank, vec_id, cos_r FROM (
   SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
@@ -2172,6 +2295,7 @@ QUERIES = {
     "region_order_counts": q_region_order_counts,
     "customer_order_full": q_customer_order_full,
     "quality_gate_counts": q_quality_gate_counts,
+    "repetition_stats": q_repetition_stats,
     "user_sessions": q_user_sessions,
     "lang_detect": q_lang_detect,
     "minhash_near_dups": q_minhash_near_dups,
@@ -2182,6 +2306,7 @@ QUERIES = {
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "kmeans_clusters": q_kmeans_clusters,
     "top_terms": q_top_terms,
     "chars_quantiles": q_chars_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
@@ -2215,6 +2340,7 @@ ORACLE_SQL = {
     "region_order_counts": SQL_REGION_ORDER_COUNTS,
     "customer_order_full": SQL_CUSTOMER_ORDER_FULL,
     "quality_gate_counts": SQL_QUALITY_GATE_COUNTS,
+    "repetition_stats": SQL_REPETITION_STATS,
     "user_sessions": SQL_USER_SESSIONS,
     "lang_detect": SQL_LANG_DETECT,
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
