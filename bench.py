@@ -220,7 +220,7 @@ def run_bench() -> dict:
                      "top_terms", "chars_quantiles",
                      "jaccard_pairs_exact", "bloom_semi_join",
                      "simhash_near_dups", "customer_order_full",
-                     "repetition_stats"]}
+                     "repetition_stats", "tfidf_top_terms"]}
     ray.shutdown()
     return result
 

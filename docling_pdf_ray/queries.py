@@ -1882,6 +1882,103 @@ ORDER BY df DESC, term LIMIT 20
 """
 
 
+def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 64):
+    """Per-document top-k DISTINGUISHING terms by tf/df ratio — the
+    full distributed TF-IDF dataflow (the classic two-exchange
+    inverted-index pipeline, e.g. Dean & Ghemawat 2004's canonical
+    example), which no other registry entry exercises end-to-end:
+
+      1. per-batch (doc_id, term, tf) explosion — one row per (doc,
+         DISTINCT term), the only thing that ever shuffles;
+      2. exchange ONE: co-shuffle by hash(term) — every row of a term
+         lands in its one bucket, so the bucket computes the term's
+         exact global df locally (vectorized transform) and attaches
+         it; vocabulary is unbounded ⇒ this must stay distributed
+         (the repo's stated discipline), a broadcast df map would be
+         O(vocabulary) driver state;
+      3. exchange TWO: co-shuffle by hash(doc_id) — per-bucket
+         vectorized sort + cumcount gives each doc its top-k (never
+         per-doc map_groups: 10⁵ tiny groups would pay per-group
+         dispatch, the user_sessions lesson).
+
+    Ranking float discipline: the rank orders by tf/df as IEEE double
+    — the IDENTICAL division DuckDB's ``tf::DOUBLE / df`` performs,
+    so the orders agree exactly (ties between equal doubles break by
+    term ASC on both sides); tf and df themselves stay exact int64 in
+    the output, no float column is emitted."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from .functions.joins import _bucket_of
+
+    tok = _TERM_RE
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if not t:
+                continue
+            c = Counter(w.lower() for w in tok.findall(t))
+            doc_ids.extend([d] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        t = pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                      "term": pa.array(terms, pa.string()),
+                      "tf": pa.array(tfs, pa.int64())})
+        return t.append_column("_bucket",
+                               _bucket_of(t.column("term"), n_buckets))
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"]).copy()
+        g["df"] = g.groupby("term")["term"].transform("size").astype(np.int64)
+        return g
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_dbucket", _bucket_of(batch.column("doc_id"), n_buckets))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_dbucket"]).copy()
+        g["_ratio"] = g["tf"].to_numpy(dtype=np.float64) \
+            / g["df"].to_numpy(dtype=np.float64)
+        g = g.sort_values(["doc_id", "_ratio", "term"],
+                          ascending=[True, False, True])
+        g["rank"] = (g.groupby("doc_id").cumcount() + 1).astype(np.int64)
+        g = g[g["rank"] <= k].drop(columns=["_ratio"])
+        return g[["doc_id", "rank", "term", "tf", "df"]]
+
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(attach_df, batch_format="pandas") \
+        .map_batches(rebucket, batch_format="pyarrow") \
+        .groupby("_dbucket").map_groups(topk, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t))) AS term
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf::DOUBLE / df.df DESC, tf.term) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def q_chars_quantiles(sf_dir: str):
     """EXACT distributed quantiles (p50/p90/p99 of n_chars per lang)
     with no sort and no shuffle: per-batch (lang, n_chars) histogram
@@ -2308,6 +2405,7 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "kmeans_clusters": q_kmeans_clusters,
     "top_terms": q_top_terms,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "chars_quantiles": q_chars_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
     "distinct_tokens": q_distinct_tokens,
@@ -2351,6 +2449,7 @@ ORACLE_SQL = {
     "embedding_dup_pairs_lsh": SQL_EMBEDDING_DUP_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "top_terms": SQL_TOP_TERMS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "chars_quantiles": SQL_CHARS_QUANTILES,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "distinct_tokens": SQL_DISTINCT_TOKENS,

@@ -62,7 +62,7 @@ def test_all_oracle_keys_have_queries():
     "top_terms", "chars_quantiles", "top_docs_per_lang",
     "jaccard_pairs_exact", "distinct_tokens", "events_hourly_users",
     "bloom_semi_join", "pii_counts", "customer_order_full",
-    "simhash_near_dups", "repetition_stats",
+    "simhash_near_dups", "repetition_stats", "tfidf_top_terms",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
