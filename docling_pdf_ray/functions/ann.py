@@ -186,9 +186,9 @@ def ivf_topk(ds, queries_ref, k: int = 5, n_centroids: int = 32,
             sub_v, sub_m = vids[sl], mn[sl]
             scores = np.round(_qn[np.asarray(qis)] @ sub_m.T, 6)
             for row, qi in enumerate(qis):
-                # per-block top-k truncation (score desc, vec_id asc):
-                # the partial stays ≤ Q×k rows per block — without it
-                # the driver merge would materialize O(corpus) rows
+                # per-(cell, query) truncation keeps the Python work
+                # O(k log k) per slice; the cross-cell merge below
+                # restores the ≤ Q×k per-block bound
                 mask = sub_v != _qids[qi]            # exclude self
                 sv, vv = scores[row][mask], sub_v[mask]
                 if len(sv) > k:
@@ -203,6 +203,22 @@ def ivf_topk(ds, queries_ref, k: int = 5, n_centroids: int = 32,
             q_arr, v_arr, s_arr = (np.concatenate(out_q),
                                    np.concatenate(out_v),
                                    np.concatenate(out_s))
+            # cross-cell per-QUERY merge: a query probing n_probe cells
+            # of this block would otherwise emit up to n_probe×k rows —
+            # re-truncate under the same (score desc, vec_id asc) total
+            # order so the partial is ≤ Q×k rows per block (top-k of a
+            # total order per block always contains the global top-k's
+            # block members, so the driver merge stays exact)
+            kq, kv, ks = [], [], []
+            for q in np.unique(q_arr):
+                m_ = q_arr == q
+                sv, vv = s_arr[m_], v_arr[m_]
+                top = np.lexsort((vv, -sv))[:k]
+                kq.append(np.full(len(top), q, np.int64))
+                kv.append(vv[top])
+                ks.append(sv[top])
+            q_arr, v_arr, s_arr = (np.concatenate(kq), np.concatenate(kv),
+                                   np.concatenate(ks))
         else:
             q_arr = v_arr = np.array([], np.int64)
             s_arr = np.array([], np.float64)

@@ -35,7 +35,9 @@ import pyarrow as pa
 
 
 def batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    return np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+    from .ann import _to_matrix     # one embedding-decode path repo-wide
+
+    return _to_matrix(batch.column(col))
 
 
 def assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -134,8 +136,13 @@ def label_stats(ds, cents: np.ndarray):
         a = assign(batch_matrix(batch), c)
         t = pa.table({"cluster": pa.array(a, pa.int64()),
                       "label": batch.column("label").cast(pa.int64())})
-        return t.group_by(["cluster", "label"]).aggregate([([], "count_all")]) \
-            .rename_columns(["cluster", "label", "p_n"])
+        g = t.group_by(["cluster", "label"]).aggregate([([], "count_all")])
+        # select every column by NAME (the r2-advice discipline): a
+        # pyarrow release reordering keys vs aggregates must error
+        # here, not silently swap cluster ids and counts
+        return pa.table({"cluster": g.column("cluster"),
+                         "label": g.column("label"),
+                         "p_n": g.column("count_all")})
 
     parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
     cl = parts.groupby(["cluster", "label"], sort=True)["p_n"].sum() \

@@ -129,6 +129,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP geometry {w}x{h_raw}")
     stride = (w * 3 + 3) & ~3               # rows pad to 4-byte multiples
     need = stride * h
+    if data_off < 14 + dib_size:            # raster cannot overlap headers
+        raise ValueError(f"invalid BMP pixel-data offset {data_off}")
     if len(payload) < data_off + need:
         raise ValueError("truncated BMP raster")
     rows = np.frombuffer(payload, dtype=np.uint8, count=need,

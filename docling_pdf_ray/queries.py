@@ -2144,13 +2144,23 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0,
     from .functions import sketch as sk
     from .functions.joins import _bucket_of
 
+    def qualify(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(pc.greater(batch.column("o_totalprice"),
+                                       min_total)).column("o_orderkey")
+        return pa.table({"o_orderkey": keys})
+
+    # filter + project ONCE, keep the narrow qualifying-key blocks in
+    # the object store: both the bitmap pass and the co-shuffle pass
+    # read them, instead of decoding the build parquet twice (r3
+    # review). At scale this pins O(qualifying keys × 8 B) — the
+    # distributed analog of what the old driver-side set held in one
+    # process heap.
     build = _rd().read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_orderkey", "o_totalprice"])
+                               columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(qualify, batch_format="pyarrow").materialize()
 
     def bloom_partial(batch: pa.Table) -> pa.Table:
-        keys = batch.filter(pc.greater(batch.column("o_totalprice"),
-                                       min_total)).column("o_orderkey") \
-            .to_numpy(zero_copy_only=False)
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
         bm = sk.bloom_add_hashes(sk.bloom_new(_BLOOM_BITS),
                                  sk.mix64(keys.astype(np.uint64)))
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
@@ -2163,8 +2173,7 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0,
     bm_ref = ray.put(bm)
 
     def build_keys(batch: pa.Table) -> pa.Table:
-        keys = batch.filter(pc.greater(batch.column("o_totalprice"),
-                                       min_total)).column("o_orderkey")
+        keys = batch.column("o_orderkey")
         t = pa.table({"o_orderkey": keys,
                       "pn": pa.nulls(len(keys), pa.int64()),
                       "_side": pa.array(np.zeros(len(keys), np.int8))})

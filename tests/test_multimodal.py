@@ -99,6 +99,10 @@ def test_bmp_decode_roundtrip_padding_and_feature_parity():
         decode_bmp(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(encode_bmp(img)[:-4])
+    with pytest.raises(ValueError, match="offset"):
+        bad = bytearray(encode_bmp(img))
+        bad[10:14] = (0).to_bytes(4, "little")  # raster inside header
+        decode_bmp(bytes(bad))
 
     stage = MediaFeatureStage(strict=True)
     batch = pa.table({"media_id": [0, 1], "kind": ["image", "image"],
