@@ -47,6 +47,56 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
     return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
 
 
+def shingle_pairs_vec(texts, k: int = 3):
+    """Fully-vectorized per-row distinct k-word shingling over an Arrow
+    string array: returns ``(row_idx, shingles)`` numpy arrays with one
+    entry per (row, DISTINCT shingle), matching :func:`word_shingles`
+    semantics exactly (ASCII-WS split via ``WS_PATTERN``, empty tokens
+    dropped, ``1..k-1`` words → one whole-join shingle, 0 words → no
+    rows). No per-row Python in the >= k-word common case; only the
+    rare short docs take a per-doc join.
+
+    ``texts`` must be a flat ``pa.StringArray`` (callers
+    ``combine_chunks()`` first); nulls yield no rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    words = pc.split_pattern_regex(texts, pattern=WS_PATTERN)
+    flat = pc.list_flatten(words).to_pandas().to_numpy()
+    parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+    keep = flat != ""
+    flat, parent = flat[keep], parent[keep]
+    wc = np.bincount(parent, minlength=n)
+
+    if len(flat) >= k:
+        m = len(flat) - k + 1
+        # window starting at i stays in one doc iff parent[i]==parent[i+k-1]
+        # (parents are nondecreasing)
+        same = parent[:m] == parent[k - 1:]
+        sh = flat[:m].astype(object)
+        for j in range(1, k):
+            sh = sh + " "
+            sh = sh + flat[j:j + m]
+        rows, shingles = parent[:m][same], sh[same]
+        if len(rows):
+            dd = pd.DataFrame({"r": rows, "s": shingles}).drop_duplicates()
+            rows, shingles = dd["r"].to_numpy(), dd["s"].to_numpy()
+    else:
+        rows = np.array([], dtype=np.int64)
+        shingles = np.array([], dtype=object)
+
+    short = np.flatnonzero((wc > 0) & (wc < k))
+    if len(short):
+        starts = np.searchsorted(parent, short, side="left")
+        ends = np.searchsorted(parent, short, side="right")
+        joins = np.array([" ".join(flat[s:e]) for s, e in zip(starts, ends)],
+                         dtype=object)
+        rows = np.concatenate([rows, short])
+        shingles = np.concatenate([shingles, joins])
+    return rows, shingles
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -2375,6 +2375,319 @@ ORDER BY query_id, rank
 """
 
 
+# ============================================= corpus hygiene (r3 additions)
+
+DECON_EVERY = 97     # doc_id % 97 == 0 is the stand-in held-out eval set
+DECON_K = 3          # k-word shingles (real pipelines use 8-13 on webtext;
+                     # 3 keeps the synthetic 31-word-vocab corpus non-trivial)
+
+
+def q_decontaminate(sf_dir: str, k: int = DECON_K):
+    """Benchmark DECONTAMINATION — the training-data staple of
+    stripping eval-set overlap from the corpus before training (GPT-3,
+    Brown et al. 2020 §C, uses 13-gram overlap; The Pile, Gao et al.
+    2021, similar). The "benchmark" here is the deterministic
+    ``doc_id % 97 == 0`` slice standing in for a held-out eval set; a
+    corpus doc is contaminated iff it shares ≥ 1 distinct k-word
+    shingle with any benchmark doc. Output: one row per contaminated
+    doc with its hit and shingle counts (exact integers).
+
+    Scale shape — the canonical BROADCAST case: the benchmark side is
+    tiny relative to the corpus by definition of the problem (eval
+    sets are KB-MB vs TB corpora), so pass 1 collects the benchmark's
+    distinct shingles into driver state bounded by EVAL-SET size (not
+    corpus size — the corpus-side partials emit nothing for non-bench
+    rows) and ``ray.put``s it ONCE; pass 2 is a zero-shuffle
+    ``map_batches`` doing vectorized membership per batch (interned
+    distinct shingles via ``dedup.shingle_pairs_vec`` — no per-row
+    Python). Nothing wide moves: no groupby, no sort, no join shuffle.
+    """
+    import ray
+    import pandas as pd
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % DECON_EVERY == 0))
+        t = t.filter(pc.is_valid(t.column("text")))
+        if t.num_rows == 0:
+            return pa.table({"shingle": pa.array([], pa.string())})
+        _, sh = _dedup.shingle_pairs_vec(t.column("text").combine_chunks(), k)
+        return pa.table({"shingle": pa.array(pd.unique(sh), pa.string())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench: set = set()
+    for b in docs.map_batches(bench_shingles, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        bench.update(b.column("shingle").to_pylist())
+    ref = ray.put(bench)
+
+    EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_hits": pa.array([], pa.int64()),
+                      "n_shingles": pa.array([], pa.int64())})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % DECON_EVERY != 0))
+        t = t.filter(pc.is_valid(t.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        rows, sh = _dedup.shingle_pairs_vec(t.column("text").combine_chunks(), k)
+        if len(rows) == 0:
+            return EMPTY
+        hit = pd.Series(sh).isin(bset).to_numpy()
+        n_sh = np.bincount(rows, minlength=t.num_rows)
+        n_hit = np.bincount(rows[hit], minlength=t.num_rows)
+        sel = n_hit > 0
+        out_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[sel]
+        return pa.table({"doc_id": pa.array(out_ids.astype(np.int64)),
+                         "n_hits": pa.array(n_hit[sel].astype(np.int64)),
+                         "n_shingles": pa.array(n_sh[sel].astype(np.int64))})
+
+    frames = list(docs.map_batches(scan, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas"))
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return EMPTY.to_pandas()
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+_DECON_JOIN = " || ' ' || ".join(
+    "words[i]" if j == 0 else f"words[i+{j}]" for j in range(DECON_K))
+
+SQL_DECONTAMINATE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'), w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(words) = 0 THEN []
+              WHEN len(words) < {DECON_K} THEN [array_to_string(words, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(words) - {DECON_K - 1}),
+                     i -> {_DECON_JOIN}))
+         END AS sh
+  FROM base
+), expl AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM shingled
+), bench AS (
+  SELECT DISTINCT shingle FROM expl WHERE doc_id % {DECON_EVERY} = 0
+), corp AS (
+  SELECT doc_id, shingle FROM expl WHERE doc_id % {DECON_EVERY} <> 0
+), per AS (
+  SELECT c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(count(b.shingle) AS BIGINT) AS n_hits
+  FROM corp c LEFT JOIN bench b USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_hits, n_shingles FROM per WHERE n_hits > 0 ORDER BY doc_id
+"""
+
+
+# (n_chars, -doc_id) packed into ONE int64 so a distributed max() is an
+# order-independent argmax: v = n_chars·2^41 + (2^40 − doc_id).
+# Requires n_chars < 2^22 and doc_id < 2^40 (asserted per batch).
+_BEST_SHIFT = 1 << 41
+_BEST_BASE = 1 << 40
+
+
+def q_title_dedup_best(sf_dir: str):
+    """Keep-BEST-per-key dedup decision — the URL/title-dedup staple
+    (among docs sharing a key, keep the highest-quality one; e.g.
+    CCNet keeps the longest doc per URL). Key = the doc's first two
+    words ("title prefix", standing in for a canonical URL/title);
+    quality = ``n_chars``, ties to the smallest ``doc_id``. Output:
+    one row per DUPLICATE group (≥ 2 docs) with the kept doc.
+
+    The argmax is made order-independent by packing (n_chars, −doc_id)
+    into one int64 (see ``_BEST_SHIFT``), so the distributed ``max()``
+    needs no sort, no window function and no row shuffling beyond the
+    narrow (title, v, cnt) partials. Scale shape: per-batch partial
+    argmax per title (pandas hash groupby over a vectorized
+    first-two-words extraction), then ONE distributed full-cardinality
+    groupby — the title domain is unbounded, so this combine must stay
+    distributed (the repo's stated discipline) — then a vectorized
+    decode. Both engines decode in exact integer arithmetic."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        EMPTY = pa.table({"title": pa.array([], pa.string()),
+                          "v": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return EMPTY
+        words = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                       pattern=_dedup.WS_PATTERN)
+        flat = pc.list_flatten(words).to_pandas().to_numpy()
+        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        wc = np.bincount(parent, minlength=t.num_rows)
+        uniq, first = np.unique(parent, return_index=True)
+        sel = wc[uniq] >= 2          # docs with a 2-word title prefix
+        uniq, first = uniq[sel], first[sel]
+        if len(uniq) == 0:
+            return EMPTY
+        title = flat[first].astype(object) + " " + flat[first + 1]
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[uniq]
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)[uniq]
+        assert nch.max() < (1 << 22) and ids.max() < _BEST_BASE, \
+            "argmax int64 packing out of range"
+        v = nch.astype(np.int64) * _BEST_SHIFT + (_BEST_BASE - ids.astype(np.int64))
+        g = pd.DataFrame({"title": title, "v": v}) \
+            .groupby("title", sort=False)["v"].agg(["max", "size"]).reset_index()
+        return pa.table({"title": pa.array(g["title"], pa.string()),
+                         "v": pa.array(g["max"], pa.int64()),
+                         "cnt": pa.array(g["size"], pa.int64())})
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = _docs(sf_dir, ["doc_id", "text", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("title").aggregate(Max("v", alias_name="v"),
+                                    Sum("cnt", alias_name="n_docs"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # select by NAME (alias_name above) — positional renames would
+        # silently swap semantics if Ray changed groupby column order
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        sel = n >= 2
+        v = v[sel].astype(np.int64)
+        return pa.table({
+            "title": batch.column("title").filter(pa.array(sel)),
+            "kept_doc_id": pa.array(_BEST_BASE - (v % _BEST_SHIFT), pa.int64()),
+            "kept_chars": pa.array(v // _BEST_SHIFT, pa.int64()),
+            "n_docs": pa.array(n[sel].astype(np.int64)),
+        })
+
+    frames = list(agg.map_batches(finish, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas"))
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame({"title": pd.Series([], dtype="object"),
+                             "kept_doc_id": pd.Series([], dtype="int64"),
+                             "kept_chars": pd.Series([], dtype="int64"),
+                             "n_docs": pd.Series([], dtype="int64")})
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values("title").reset_index(drop=True)
+
+
+SQL_TITLE_DEDUP_BEST = f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+), k AS (
+  SELECT ws[1] || ' ' || ws[2] AS title, doc_id, n_chars
+  FROM w WHERE len(ws) >= 2
+), g AS (
+  SELECT title,
+         max(CAST(n_chars AS BIGINT) * {_BEST_SHIFT} + ({_BEST_BASE} - doc_id)) AS v,
+         count(*) AS n_docs
+  FROM k GROUP BY title
+)
+SELECT title,
+       CAST({_BEST_BASE} - (v % {_BEST_SHIFT}) AS BIGINT) AS kept_doc_id,
+       CAST(v // {_BEST_SHIFT} AS BIGINT) AS kept_chars,
+       n_docs
+FROM g WHERE n_docs >= 2 ORDER BY title
+"""
+
+
+VOCAB_V = 16  # top-V df vocabulary (tiny because the synthetic corpus
+              # has ~31 distinct terms; V is a parameter at real scale)
+
+
+def q_vocab_oov_stats(sf_dir: str, v: int = VOCAB_V):
+    """Out-of-vocabulary rate per lang against the corpus's own top-V
+    document-frequency vocabulary — the CCNet-style vocabulary-coverage
+    quality signal (Wenzek et al. 2020 score text by LM/vocab fit;
+    fastText-style filters threshold on known-token share). Two-pass:
+
+      1. VOCAB: the ``top_terms`` inverted-index dataflow (per-batch
+         distinct-per-doc df partials → ONE distributed
+         full-cardinality groupby → per-block top-V partials → an
+         O(V × blocks) driver merge) under the total order
+         (df DESC, term ASC) so the rank-V boundary is deterministic
+         on both engines; the O(V) vocab is ``ray.put`` ONCE.
+      2. SCORE: zero-shuffle ``map_batches`` — tokens come from
+         splitting the ascii-lowered text on the complement class
+         ``[^a-z0-9]+`` (identical token stream to
+         ``regexp_extract_all(text,'[A-Za-z0-9]+') → lower``, fully
+         vectorized in Arrow), membership is one vectorized ``isin``,
+         and per-lang (docs, tokens, oov) partials driver-combine
+         (lang cardinality is bounded).
+
+    All outputs are exact integers — no float trap."""
+    import ray
+    import pandas as pd
+
+    vocab = frozenset(q_top_terms(sf_dir, k=v)["term"])
+    ref = ray.put(vocab)
+
+    EMPTY = pa.table({"lang": pa.array([], pa.string()),
+                      "p_docs": pa.array([], pa.int64()),
+                      "p_tokens": pa.array([], pa.int64()),
+                      "p_oov": pa.array([], pa.int64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        vset = ray.get(ref)
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        lowered = pc.ascii_lower(t.column("text").combine_chunks())
+        words = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy()
+        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        if len(flat) == 0:
+            return EMPTY
+        langs, lcode = np.unique(
+            t.column("lang").to_pandas().to_numpy(), return_inverse=True)
+        tok_lang = lcode[parent]
+        oov = ~pd.Series(flat).isin(vset).to_numpy()
+        wc = np.bincount(parent, minlength=t.num_rows)
+        p_docs = np.bincount(lcode[wc > 0], minlength=len(langs))
+        p_tok = np.bincount(tok_lang, minlength=len(langs))
+        p_oov = np.bincount(tok_lang[oov], minlength=len(langs))
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "p_docs": pa.array(p_docs.astype(np.int64)),
+                         "p_tokens": pa.array(p_tok.astype(np.int64)),
+                         "p_oov": pa.array(p_oov.astype(np.int64))})
+
+    partials = _docs(sf_dir, ["text", "lang"]).map_batches(
+        score, batch_format="pyarrow")
+    return _driver_combine(partials, ["lang"], {
+        "n_docs": ("p_docs", "sum"), "total_tokens": ("p_tokens", "sum"),
+        "oov_tokens": ("p_oov", "sum")})
+
+
+SQL_VOCAB_OOV_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                               t -> lower(t))) AS term
+  FROM documents WHERE text IS NOT NULL
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), vocab AS (
+  SELECT term FROM df ORDER BY df DESC, term LIMIT {VOCAB_V}
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS oov_tokens
+FROM toks LEFT JOIN vocab v USING (term)
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -2421,6 +2734,9 @@ QUERIES = {
     "distinct_tokens_hll": q_distinct_tokens_hll,
     "bloom_semi_join": q_bloom_semi_join,
     "pii_counts": q_pii_counts,
+    "decontaminate": q_decontaminate,
+    "title_dedup_best": q_title_dedup_best,
+    "vocab_oov_stats": q_vocab_oov_stats,
 }
 
 ORACLE_SQL = {
@@ -2464,4 +2780,7 @@ ORACLE_SQL = {
     "distinct_tokens": SQL_DISTINCT_TOKENS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "pii_counts": SQL_PII_COUNTS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "title_dedup_best": SQL_TITLE_DEDUP_BEST,
+    "vocab_oov_stats": SQL_VOCAB_OOV_STATS,
 }

@@ -308,3 +308,43 @@ def test_minhash_signatures_batch_identical_to_per_doc():
             assert sig is None
         else:
             assert np.array_equal(sig, dd.minhash_signature(t))
+
+
+def test_shingle_pairs_vec_matches_word_shingles():
+    """The vectorized batch shingler must reproduce word_shingles()
+    per-row DISTINCT semantics on hostile inputs: nulls, empties,
+    whitespace-only, 1..k-1-word docs, repeated shingles, unicode
+    whitespace (which the ASCII WS_PATTERN must NOT split on)."""
+    import pyarrow as pa
+
+    texts = ["a b c d e", "x", "", None, "   ", "\t\n p \x0b q \r",
+             "a b c a b c a b c", "one two", "nb sp word tail more",
+             "w " * 200]
+    for k in (2, 3, 5):
+        rows, sh = dd.shingle_pairs_vec(pa.array(texts, pa.string()), k)
+        got = {}
+        for r, s in zip(rows, sh):
+            got.setdefault(int(r), []).append(s)
+        for i, t in enumerate(texts):
+            want = dd.word_shingles(t, k) if t is not None else set()
+            assert sorted(got.get(i, [])) == sorted(want), (k, i)
+            # distinct per row: no duplicates emitted
+            assert len(got.get(i, [])) == len(want)
+
+
+def test_best_per_key_packing_is_order_independent_argmax():
+    """The (n_chars, -doc_id) int64 packing used by title_dedup_best:
+    max() over ANY order must pick (max n_chars, then min doc_id)."""
+    import itertools
+
+    SHIFT, BASE = 1 << 41, 1 << 40
+    groups = [
+        [(100, 5), (100, 3), (90, 1)],      # tie on n_chars → min doc_id
+        [(0, 0), (0, 1)],                    # zeros
+        [(2**22 - 1, 2**40 - 1), (1, 0)],    # boundary values
+    ]
+    for g in groups:
+        want = max(g, key=lambda p: (p[0], -p[1]))
+        for perm in itertools.permutations(g):
+            v = max(n * SHIFT + (BASE - d) for n, d in perm)
+            assert (v // SHIFT, BASE - (v % SHIFT)) == want

@@ -63,6 +63,7 @@ def test_all_oracle_keys_have_queries():
     "jaccard_pairs_exact", "distinct_tokens", "events_hourly_users",
     "bloom_semi_join", "pii_counts", "customer_order_full",
     "simhash_near_dups", "repetition_stats", "tfidf_top_terms",
+    "decontaminate", "title_dedup_best", "vocab_oov_stats",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
