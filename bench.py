@@ -220,7 +220,9 @@ def run_bench() -> dict:
                      "top_terms", "chars_quantiles",
                      "jaccard_pairs_exact", "bloom_semi_join",
                      "simhash_near_dups", "customer_order_full",
-                     "repetition_stats", "tfidf_top_terms"]}
+                     "repetition_stats", "tfidf_top_terms",
+                     "decontaminate", "title_dedup_best",
+                     "vocab_oov_stats"]}
     ray.shutdown()
     return result
 
