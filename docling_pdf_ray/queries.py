@@ -2688,6 +2688,118 @@ GROUP BY lang ORDER BY lang
 """
 
 
+ANN_FILTER_LABELS = (0, 2, 4, 6, 8)   # metadata predicate for filtered ANN
+
+
+def q_ann_topk_filtered(sf_dir: str, k: int = 5, n_queries: int = 8):
+    """FILTERED vector search — brute-force cosine top-k restricted to
+    corpus vectors satisfying a metadata predicate (``label IN
+    (0,2,4,6,8)``), the standard vector-DB capability (pre-filtered
+    ANN: the predicate shrinks the candidate set BEFORE scoring, it is
+    not a post-filter that can starve top-k). Queries come from the
+    UNFILTERED set (a query needn't satisfy its own filter).
+
+    Scale shape: the predicate is pushed into the parquet read as a
+    pyarrow dataset filter (row groups that can't match never leave
+    storage — prune-at-the-read), then the existing broadcast-matmul
+    top-k partials run unchanged on the surviving rows: same
+    O(Q×(k+1)) per-block candidates, same tiny driver merge."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.ann import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), n_queries))
+    qids = qt.column("vec_id").to_pylist()
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ref = ray.put((qids, qmat))
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"],
+                            filter=pads.field("label").isin(ANN_FILTER_LABELS))
+    return brute_force_topk(ds, ref, k=k)
+
+
+SQL_ANN_TOPK_FILTERED = f"""
+SELECT query_id, rank, vec_id, cos_r FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_r,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                    b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id != a.vec_id AND b.label IN {ANN_FILTER_LABELS}
+  WHERE a.vec_id < 8)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+FIXED_SAMPLE_N = 20   # exactly-n-per-lang sample size
+
+
+def q_stratified_fixed_sample(sf_dir: str, n: int = FIXED_SAMPLE_N):
+    """Fixed-SIZE deterministic stratified sample: exactly min(n,
+    group size) docs per lang — the reservoir-sampling job done
+    without RNG state: rank every doc by its multiplicative hash
+    (a fixed pseudo-random permutation, the same ``_KNUTH`` machinery
+    as ``balanced_sample``) and keep each lang's n smallest
+    (h, doc_id). Identical across runs, batch orders, parallelism
+    levels and engines.
+
+    Scale shape: per-batch per-lang bottom-n partials (≤ n × langs
+    rows per block — ZERO shuffle at any corpus size) → an
+    O(n × langs × blocks) driver merge; the SQL mirror is the
+    row_number window. All columns exact integers."""
+    import pandas as pd
+
+    m32 = np.int64(1 << 32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d = np.mod(ids, m32).astype(np.uint64)
+        h = ((d * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
+        df = pd.DataFrame({"lang": batch.column("lang").to_pandas(),
+                           "doc_id": ids.astype(np.int64), "h": h})
+        top = df.sort_values(["h", "doc_id"]).groupby("lang", sort=False).head(n)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    partials = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        partial, batch_format="pyarrow")
+    cand = pd.concat(list(partials.iter_batches(batch_format="pandas")),
+                     ignore_index=True)
+    if cand.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "sample_rank": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "h": pd.Series([], dtype="int64")})
+    final = cand.sort_values(["h", "doc_id"]).groupby("lang", sort=False).head(n)
+    final = final.sort_values(["lang", "h", "doc_id"]).reset_index(drop=True)
+    final["sample_rank"] = final.groupby("lang", sort=False).cumcount() + 1
+    final["sample_rank"] = final["sample_rank"].astype(np.int64)
+    return final[["lang", "sample_rank", "doc_id", "h"]]
+
+
+SQL_STRATIFIED_FIXED_SAMPLE = f"""
+WITH hashed AS (
+  SELECT lang, doc_id,
+         CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296 AS HUGEINT)
+              * {_KNUTH} % 4294967296 AS BIGINT) AS h
+  FROM documents
+)
+SELECT lang,
+       row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS sample_rank,
+       doc_id, h
+FROM hashed
+QUALIFY sample_rank <= {FIXED_SAMPLE_N}
+ORDER BY lang, sample_rank
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -2737,6 +2849,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "title_dedup_best": q_title_dedup_best,
     "vocab_oov_stats": q_vocab_oov_stats,
+    "ann_topk_filtered": q_ann_topk_filtered,
+    "stratified_fixed_sample": q_stratified_fixed_sample,
 }
 
 ORACLE_SQL = {
@@ -2783,4 +2897,6 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "title_dedup_best": SQL_TITLE_DEDUP_BEST,
     "vocab_oov_stats": SQL_VOCAB_OOV_STATS,
+    "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
+    "stratified_fixed_sample": SQL_STRATIFIED_FIXED_SAMPLE,
 }
