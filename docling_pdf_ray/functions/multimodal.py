@@ -4,7 +4,8 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 Decode support is honest about the environment:
 
 * REAL decoders for self-contained formats needing only numpy/stdlib —
-  PPM (P6) and 24-bit BMP images (`decode_ppm` / `decode_bmp`, with a
+  PPM (P6), grayscale PGM (P5) and 24-bit BMP images (`decode_ppm` /
+  `decode_pgm` / `decode_bmp`, with a
   real nearest-neighbor `resize_nearest` and real pixel-statistics
   features) and WAV PCM16 audio (`decode_wav`, stdlib ``wave``, with
   real RMS/duration features).
@@ -41,14 +42,13 @@ FEATURE_DIM = 32
 
 # ---------------------------------------------------------------- real codecs
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Decode a binary PPM (P6, maxval ≤ 255) into an (H, W, 3) uint8
-    array — pure numpy, no external image library. Raises ValueError
-    on anything that is not a well-formed P6."""
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a P6 PPM payload")
-    # header = magic, width, height, maxval as whitespace/comment-
-    # separated tokens, then a single whitespace byte, then raster
+def _parse_pnm_header(payload: bytes, magic: bytes) -> tuple[int, int, int]:
+    """Shared binary-PNM header parse (P6 PPM / P5 PGM): magic, then
+    width/height/maxval as whitespace/comment-separated tokens, then a
+    single whitespace byte before the raster. Returns (w, h, raster
+    offset); raises ValueError on malformed headers."""
+    if not payload.startswith(magic):
+        raise ValueError(f"not a {magic!r} PNM payload")
     tokens, pos = [], 2
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos:pos + 1].isspace():
@@ -61,17 +61,49 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
         if start == pos:
-            raise ValueError("truncated PPM header")
+            raise ValueError("truncated PNM header")
         tokens.append(payload[start:pos])
     pos += 1                                             # the one raster separator
     w, h, maxval = (int(t) for t in tokens)
     if maxval > 255 or w <= 0 or h <= 0:
-        raise ValueError(f"unsupported PPM geometry {w}x{h} maxval={maxval}")
+        raise ValueError(f"unsupported PNM geometry {w}x{h} maxval={maxval}")
+    return w, h, pos
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval ≤ 255) into an (H, W, 3) uint8
+    array — pure numpy, no external image library. Raises ValueError
+    on anything that is not a well-formed P6."""
+    w, h, pos = _parse_pnm_header(payload, b"P6")
     need = w * h * 3
     raster = payload[pos:pos + need]
     if len(raster) < need:
         raise ValueError("truncated PPM raster")
     return np.frombuffer(raster, dtype=np.uint8, count=need).reshape(h, w, 3)
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Decode a binary PGM (P5, grayscale, maxval ≤ 255) into an
+    (H, W, 3) uint8 array (channel-replicated so the downstream
+    resize/feature chain is format-agnostic)."""
+    w, h, pos = _parse_pnm_header(payload, b"P5")
+    need = w * h
+    raster = payload[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PGM raster")
+    gray = np.frombuffer(raster, dtype=np.uint8, count=need).reshape(h, w)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Grayscale encode (test fixture): takes (H, W) or (H, W, 3)
+    (luminance of the latter, BT.601 integer rounding)."""
+    if img.ndim == 3:
+        flat = img.astype(np.float32)
+        img = (flat @ np.array([0.299, 0.587, 0.114], dtype=np.float32)) \
+            .round().clip(0, 255).astype(np.uint8)
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -271,7 +303,8 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 class MediaFeatureStage:
     """Actor-pool stage: decode + feature-extract media payloads.
 
-    Payloads in self-contained formats decode FOR REAL (P6 PPM images
+    Payloads in self-contained formats decode FOR REAL (P6 PPM / P5
+    PGM / BMP images
     — decode → 64×64 nearest-neighbor resize → pixel statistics;
     PCM16 WAV audio — decode → energy envelope; RVID raw video —
     decode → deterministic even-spaced frame sample → per-frame
@@ -296,9 +329,13 @@ class MediaFeatureStage:
         # the task in the default mode — it falls through to the stub
         # arm like any other undecodable payload (strict mode raises)
         try:
-            if kind == "image" and payload.startswith((b"P6", b"BM")):
-                img = decode_ppm(payload) if payload.startswith(b"P6") \
-                    else decode_bmp(payload)
+            if kind == "image" and payload.startswith((b"P6", b"P5", b"BM")):
+                if payload.startswith(b"P6"):
+                    img = decode_ppm(payload)
+                elif payload.startswith(b"P5"):
+                    img = decode_pgm(payload)
+                else:
+                    img = decode_bmp(payload)
                 h, w = img.shape[:2]
                 small = resize_nearest(img, self.RESIZE_TO, self.RESIZE_TO)
                 return w, h, image_features(small)

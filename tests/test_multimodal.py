@@ -185,3 +185,39 @@ def test_rvid_roundtrip_frame_sampling_and_stage():
 
     with pytest.raises(ValueError, match="truncated"):
         decode_rvid(payload[:-10])
+
+
+def test_pgm_decode_roundtrip_and_feature_parity():
+    """P5 PGM codec: encode/decode identity on grayscale rasters
+    (channel-replicated output), header comment handling, malformed
+    guards, and stage parity — a gray image fed as PGM and as the
+    equivalent channel-replicated PPM must produce identical features."""
+    from docling_pdf_ray.functions.multimodal import (MediaFeatureStage,
+                                                      decode_pgm, encode_pgm,
+                                                      encode_ppm)
+
+    gray = np.arange(5 * 7, dtype=np.uint8).reshape(5, 7)
+    img = np.repeat(gray[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_pgm(encode_pgm(gray)), img)
+    # encoding an already-replicated RGB image lands on the same bytes
+    assert encode_pgm(img) == encode_pgm(gray)
+    with_comment = b"P5\n# c\n7 5\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_pgm(with_comment), img)
+    with pytest.raises(ValueError, match="P5"):
+        decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pgm(b"P5\n4 4\n255\n\x00")
+
+    stage = MediaFeatureStage(strict=True)
+    import pyarrow as pa
+
+    def feats(payload):
+        batch = pa.table({"media_id": pa.array([0], pa.int64()),
+                          "kind": pa.array(["image"], pa.string()),
+                          "payload": pa.array([payload], pa.binary())})
+        out = stage(batch)
+        assert out.column("width")[0].as_py() == 7
+        assert out.column("height")[0].as_py() == 5
+        return out.column("feature")[0].as_py()
+
+    assert feats(encode_pgm(gray)) == feats(encode_ppm(img))
