@@ -2800,6 +2800,100 @@ ORDER BY lang, sample_rank
 """
 
 
+SCAN_RANGE = 1000   # events per ordered range bucket (fixed bucket SIZE,
+                    # unbounded bucket count — a true range partition; at
+                    # real scale the range is sized so carry state stays
+                    # O(rows/SCAN_RANGE × types) small on the driver)
+SCAN_CHECK = 100    # emit the running total at every SCAN_CHECK-th event
+
+
+def q_running_totals(sf_dir: str):
+    """Distributed GROUPED PREFIX SCAN — per-event-type cumulative
+    revenue at every 100th event of the arrival sequence (event_id
+    order): the stateful running-aggregate primitive of every
+    streaming engine (keyed running totals), and a dataflow shape no
+    other registry entry exercises — output row i depends on ALL rows
+    before it, so it can be neither a per-batch map nor a groupby.
+
+    Classic two-phase parallel scan (Blelloch, "Prefix sums and their
+    applications", 1990) on Ray Data:
+
+      1. UP-SWEEP: one streaming pass computes per-(range-bucket,
+         event_type) partial sums — tiny (buckets × types rows); the
+         driver turns them into EXCLUSIVE per-bucket prefix offsets
+         (the scan's carry, O(buckets × types) ints) and broadcasts
+         them once;
+      2. DOWN-SWEEP: ONE co-shuffle by range bucket; each bucket sorts
+         its ≤ SCAN_RANGE rows by event_id, does a vectorized cumsum
+         per type seeded by the broadcast carry, and emits only the
+         checkpoint rows.
+
+    Money stays in the cents-int domain end-to-end (integer addition
+    is associative — any partial/merge order is exact), the
+    established ``CAST(round(x*100) AS BIGINT)`` discipline."""
+    import ray
+    import pandas as pd
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                        pa.int64())
+        b = pc.divide(batch.column("event_id"), SCAN_RANGE)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "cents": cents, "_bucket": pc.cast(b, pa.int64())})
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"]) \
+        .map_batches(add_cols, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["_bucket", "event_type"]) \
+            .aggregate([("cents", "sum")]) \
+            .rename_columns(["_bucket", "event_type", "p_cents"])
+
+    parts = pd.concat(list(ds.map_batches(partial, batch_format="pyarrow")
+                           .iter_batches(batch_format="pandas")),
+                      ignore_index=True)
+    offs: dict = {}
+    agg = parts.groupby(["event_type", "_bucket"], sort=True)["p_cents"].sum()
+    for etype, s in agg.groupby(level=0):
+        csum = s.droplevel(0).sort_index().cumsum().shift(1, fill_value=0)
+        for bk, v in csum.items():
+            offs[(etype, int(bk))] = int(v)
+    off_ref = ray.put(offs)
+
+    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
+        carry = ray.get(off_ref)
+        g = g.sort_values("event_id").copy()
+        run = g.groupby("event_type", sort=False)["cents"].cumsum().to_numpy()
+        bk = int(g["_bucket"].iloc[0])
+        base = np.fromiter((carry.get((et, bk), 0) for et in g["event_type"]),
+                           dtype=np.int64, count=len(g))
+        g["running_cents"] = run + base
+        g = g[g["event_id"] % SCAN_CHECK == 0]
+        return g[["event_id", "event_type", "running_cents"]]
+
+    out = ds.groupby("_bucket").map_groups(scan_group, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_RUNNING_TOTALS = f"""
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT event_id, event_type,
+         CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_cents
+  FROM c
+)
+SELECT event_id, event_type, running_cents FROM s
+WHERE event_id % {SCAN_CHECK} = 0 ORDER BY event_id
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -2851,6 +2945,7 @@ QUERIES = {
     "vocab_oov_stats": q_vocab_oov_stats,
     "ann_topk_filtered": q_ann_topk_filtered,
     "stratified_fixed_sample": q_stratified_fixed_sample,
+    "running_totals": q_running_totals,
 }
 
 ORACLE_SQL = {
@@ -2899,4 +2994,5 @@ ORACLE_SQL = {
     "vocab_oov_stats": SQL_VOCAB_OOV_STATS,
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "stratified_fixed_sample": SQL_STRATIFIED_FIXED_SAMPLE,
+    "running_totals": SQL_RUNNING_TOTALS,
 }

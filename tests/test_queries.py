@@ -64,7 +64,7 @@ def test_all_oracle_keys_have_queries():
     "bloom_semi_join", "pii_counts", "customer_order_full",
     "simhash_near_dups", "repetition_stats", "tfidf_top_terms",
     "decontaminate", "title_dedup_best", "vocab_oov_stats",
-    "ann_topk_filtered", "stratified_fixed_sample",
+    "ann_topk_filtered", "stratified_fixed_sample", "running_totals",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
