@@ -222,7 +222,7 @@ def run_bench() -> dict:
                      "simhash_near_dups", "customer_order_full",
                      "repetition_stats", "tfidf_top_terms",
                      "decontaminate", "title_dedup_best",
-                     "vocab_oov_stats"]}
+                     "vocab_oov_stats", "running_totals"]}
     ray.shutdown()
     return result
 

@@ -786,3 +786,56 @@ def test_pii_counts_on_planted_corpus(ray_session):
     assert redact_pii("mail a@b.co from 1.2.3.4") == \
         "mail [REDACTED] from [REDACTED]"
     assert redact_pii(None) is None
+
+
+def test_running_totals_hostile_events_and_block_invariance(ray_session, tmp_path):
+    """The distributed prefix scan must agree with DuckDB's window sum
+    on a HOSTILE arrival sequence (event_id gaps crossing bucket
+    boundaries, types absent from whole buckets, negative values,
+    checkpoint ids landing in every bucket) and be invariant to block
+    partitioning (the scan's carry must not depend on how Ray splits
+    the input)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(3)
+    # sparse ids across ~7 range buckets, shuffled row order on disk
+    ids = np.sort(rng.choice(np.arange(0, 7000), size=3000, replace=False))
+    perm = rng.permutation(len(ids))
+    types = np.array(["a", "b", "c"])[rng.randint(0, 3, len(ids))]
+    # type "c" vanishes from the middle buckets entirely
+    types[(ids >= 2000) & (ids < 4000) & (types == "c")] = "a"
+    vals = np.round(rng.standard_normal(len(ids)) * 50, 2)  # negatives too
+    t = pa.table({"event_id": pa.array(ids[perm], pa.int64()),
+                  "event_type": pa.array(types[perm], pa.string()),
+                  "value": pa.array(vals[perm], pa.float64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    want = duckdb.connect().execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet');"
+        + Q.SQL_RUNNING_TOTALS).fetchdf()
+    assert len(want) > 10
+
+    import pandas as pd
+    got = Q.q_running_totals(str(d))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False, check_exact=True)
+
+    # block-partitioning invariance: force a different input split
+    import ray.data as rd
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 4 * 1024
+        got2 = Q.q_running_totals(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
