@@ -222,7 +222,8 @@ def run_bench() -> dict:
                      "simhash_near_dups", "customer_order_full",
                      "repetition_stats", "tfidf_top_terms",
                      "decontaminate", "title_dedup_best",
-                     "vocab_oov_stats", "running_totals"]}
+                     "vocab_oov_stats", "running_totals",
+                     "chars_quantiles_approx"]}
     ray.shutdown()
     return result
 

@@ -132,3 +132,60 @@ def hll_count(reg: np.ndarray) -> float:
     if est > two64 / 30.0:
         return -two64 * np.log(1.0 - est / two64)
     return float(est)
+
+
+# ---------------------------------------------- bottom-k sample sketch
+# Deterministic uniform sampling via order statistics of a hash
+# (bottom-k / coordinated sampling: Cohen & Kaplan, "Summarizing data
+# using bottom-k sketches", PODC 2007): keep the k items whose
+# mix64(key) is smallest. Merging two sketches = union, re-take the k
+# smallest — associative and commutative, so ANY merge tree gives the
+# identical sketch (the HLL discipline), and the result is a uniform
+# k-sample of the union fixed across runs, batch orders and
+# parallelism. Quantiles read off the sample have rank error
+# O(sqrt(p(1-p)/k)) — the scale path when the value domain is
+# unbounded and the exact histogram combine (chars_quantiles) would
+# not stay small.
+
+BOTTOMK_K = 2048            # p50 std rank error ≈ sqrt(.25/2048) ≈ 1.1%
+
+
+def bottomk_new() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """State = (h, key, value): parallel arrays sorted by (h, key),
+    at most k entries. Keys must be unique item ids (e.g. doc_id) so
+    (h, key) is a total order and ties cannot make the sample
+    ambiguous."""
+    return (np.array([], dtype=np.uint64), np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64))
+
+
+def _bottomk_take(h, keys, vals, k: int):
+    order = np.lexsort((keys, h))[:k]
+    return h[order], keys[order], vals[order]
+
+
+def bottomk_add(state, keys: np.ndarray, vals: np.ndarray,
+                k: int = BOTTOMK_K):
+    """Fold (unique-key, value) items into the sketch."""
+    h = mix64(keys.astype(np.int64))
+    return _bottomk_take(np.concatenate([state[0], h]),
+                         np.concatenate([state[1], keys.astype(np.int64)]),
+                         np.concatenate([state[2], vals.astype(np.int64)]), k)
+
+
+def bottomk_merge(a, b, k: int = BOTTOMK_K):
+    return _bottomk_take(np.concatenate([a[0], b[0]]),
+                         np.concatenate([a[1], b[1]]),
+                         np.concatenate([a[2], b[2]]), k)
+
+
+def bottomk_quantiles(state, ps) -> list[int]:
+    """percentile_disc over the sample values (the same smallest-v-
+    with-100·cum ≥ p·n rule as the exact path, applied to the
+    sample)."""
+    vals = np.sort(state[2], kind="stable")
+    n = len(vals)
+    if n == 0:
+        raise ValueError("empty sketch")
+    return [int(vals[min(n - 1, int(np.searchsorted(
+        (np.arange(1, n + 1)) * 100, p * n, side="left")))]) for p in ps]

@@ -2894,6 +2894,69 @@ WHERE event_id % {SCAN_CHECK} = 0 ORDER BY event_id
 """
 
 
+def q_chars_quantiles_approx(sf_dir: str):
+    """The SKETCH scale path for grouped quantiles: bottom-k sample
+    sketches (functions/sketch.py, Cohen & Kaplan 2007) instead of the
+    exact histogram combine — the right tool when the value domain is
+    UNBOUNDED (latencies, token counts, byte sizes at full float/int64
+    range), where chars_quantiles' histogram partials would grow with
+    the domain. Per-batch per-lang bottom-k partials (≤ k rows per
+    lang per block, ZERO shuffle), merged on the driver (any merge
+    tree → identical sketch, the HLL discipline), percentile_disc over
+    each lang's deterministic uniform k-sample.
+
+    Approximate by design (rank error O(sqrt(p(1-p)/k)) ≈ 1.1% at
+    k=2048) → rows-only: the exact sibling chars_quantiles is
+    SQL-checked, and the sketch's merge associativity + error bound +
+    exact-when-group-fits degeneracy are pinned by tests."""
+    import pandas as pd
+
+    from .functions import sketch as sk
+
+    EMPTY = pa.table({"lang": pa.array([], pa.string()),
+                      "h": pa.array([], pa.uint64()),
+                      "key": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("n_chars")))
+        if t.num_rows == 0:
+            return EMPTY
+        df = pd.DataFrame({"lang": t.column("lang").to_pandas(),
+                           "key": t.column("doc_id").to_numpy(zero_copy_only=False),
+                           "v": t.column("n_chars").to_numpy(zero_copy_only=False)})
+        out = []
+        for lang, g in df.groupby("lang", sort=False):
+            st = sk.bottomk_add(sk.bottomk_new(),
+                                g["key"].to_numpy(), g["v"].to_numpy())
+            out.append(pd.DataFrame({"lang": lang, "h": st[0],
+                                     "key": st[1], "v": st[2]}))
+        o = pd.concat(out, ignore_index=True)
+        return pa.table({"lang": pa.array(o["lang"], pa.string()),
+                         "h": pa.array(o["h"].to_numpy(), pa.uint64()),
+                         "key": pa.array(o["key"].to_numpy(), pa.int64()),
+                         "v": pa.array(o["v"].to_numpy(), pa.int64())})
+
+    frames = list(_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "p50": pd.Series([], dtype="int64"),
+                             "p90": pd.Series([], dtype="int64"),
+                             "p99": pd.Series([], dtype="int64")})
+    cand = pd.concat(frames, ignore_index=True)
+    rows = []
+    for lang, g in cand.groupby("lang", sort=True):
+        st = sk._bottomk_take(g["h"].to_numpy(np.uint64),
+                              g["key"].to_numpy(np.int64),
+                              g["v"].to_numpy(np.int64), sk.BOTTOMK_K)
+        p50, p90, p99 = sk.bottomk_quantiles(st, [50, 90, 99])
+        rows.append({"lang": lang, "p50": p50, "p90": p90, "p99": p99})
+    return pd.DataFrame(rows, columns=["lang", "p50", "p90", "p99"]) \
+        .astype({"p50": "int64", "p90": "int64", "p99": "int64"})
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -2946,6 +3009,7 @@ QUERIES = {
     "ann_topk_filtered": q_ann_topk_filtered,
     "stratified_fixed_sample": q_stratified_fixed_sample,
     "running_totals": q_running_totals,
+    "chars_quantiles_approx": q_chars_quantiles_approx,
 }
 
 ORACLE_SQL = {

@@ -490,6 +490,66 @@ def test_hll_small_range_is_near_exact_and_query_agrees(ray_session):
     assert abs(int(est) - int(exact)) <= max(1, int(0.02 * exact))
 
 
+def test_bottomk_merge_associativity_and_rank_error_bound():
+    """Bottom-k sample sketch (Cohen & Kaplan 2007): (1) ANY merge
+    tree over ANY partitioning of the items yields the byte-identical
+    sketch — the property that makes per-block partials independent of
+    batch order and parallelism; (2) quantiles read off the k-sample
+    land within the O(sqrt(p(1-p)/k)) rank-error band on a 100k-item
+    stream."""
+    import numpy as np
+
+    from docling_pdf_ray.functions import sketch as sk
+
+    rng = np.random.RandomState(11)
+    n = 100_000
+    keys = rng.permutation(n).astype(np.int64)
+    vals = rng.randint(0, 10_000, size=n).astype(np.int64)
+    whole = sk.bottomk_add(sk.bottomk_new(), keys, vals)
+    cuts = [0, 13_337, 61_001, n]
+    parts = [sk.bottomk_add(sk.bottomk_new(), keys[a:b], vals[a:b])
+             for a, b in zip(cuts, cuts[1:])]
+    m1 = sk.bottomk_merge(sk.bottomk_merge(parts[0], parts[1]), parts[2])
+    m2 = sk.bottomk_merge(parts[2], sk.bottomk_merge(parts[1], parts[0]))
+    for i in range(3):
+        assert np.array_equal(whole[i], m1[i])
+        assert np.array_equal(m1[i], m2[i])
+    assert len(whole[0]) == sk.BOTTOMK_K
+
+    est = sk.bottomk_quantiles(whole, [50, 90, 99])
+    svals = np.sort(vals)
+    for p, e in zip((50, 90, 99), est):
+        rank = np.searchsorted(svals, e, side="right") / n
+        se = np.sqrt(p / 100 * (1 - p / 100) / sk.BOTTOMK_K)
+        assert abs(rank - p / 100) < 4 * se + 1 / sk.BOTTOMK_K, (p, rank, e)
+
+
+def test_bottomk_exact_when_group_fits_and_query_degenerates(ray_session):
+    """n ≤ k degeneracy: the sketch holds EVERY item, so its quantiles
+    are exactly percentile_disc — and therefore at gate scale (every
+    lang ≤ ~220 docs ≪ k=2048) chars_quantiles_approx must equal its
+    SQL-checked exact sibling row-for-row."""
+    import numpy as np
+
+    import __ray_entry__
+    from docling_pdf_ray.functions import sketch as sk
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 1000, size=500).astype(np.int64)
+    st = sk.bottomk_add(sk.bottomk_new(),
+                        np.arange(500, dtype=np.int64), vals)
+    got = sk.bottomk_quantiles(st, [50, 90, 99])
+    sv = np.sort(vals)
+    exact = [int(sv[int(np.ceil(p / 100 * len(sv))) - 1])
+             for p in (50, 90, 99)]
+    assert got == exact
+
+    q = __ray_entry__.queries()
+    approx = q["chars_quantiles_approx"](SF).reset_index(drop=True)
+    exact_df = _to_pandas(q["chars_quantiles"](SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(approx, exact_df)
+
+
 def test_salted_hash_join_identical_output_on_skewed_tables(ray_session):
     """Hot-key salting must not change the join result: a celebrity
     key holding 60% of left rows, salted across 4 sub-buckets, yields
