@@ -223,7 +223,7 @@ def run_bench() -> dict:
                      "repetition_stats", "tfidf_top_terms",
                      "decontaminate", "title_dedup_best",
                      "vocab_oov_stats", "running_totals",
-                     "chars_quantiles_approx"]}
+                     "chars_quantiles_approx", "heavy_hitter_ngrams"]}
     ray.shutdown()
     return result
 

@@ -97,6 +97,33 @@ def shingle_pairs_vec(texts, k: int = 3):
     return rows, shingles
 
 
+def ngram_stream_vec(texts, k: int = 3) -> np.ndarray:
+    """Fully-vectorized k-word n-gram stream WITH MULTIPLICITY over an
+    Arrow string array — the frequency-counting sibling of
+    :func:`shingle_pairs_vec` (which is per-row DISTINCT, for set
+    similarity). Same ASCII ``WS_PATTERN`` word split with empty
+    tokens dropped; rows with fewer than k words emit nothing (the
+    ``generate_series(1, len(words)-k+1)`` SQL semantics); nulls emit
+    nothing. Returns one object-dtype entry per n-gram occurrence, in
+    stream order."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern_regex(texts, pattern=WS_PATTERN)
+    flat = pc.list_flatten(words).to_pandas().to_numpy()
+    parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+    keep = flat != ""
+    flat, parent = flat[keep], parent[keep]
+    if len(flat) < k:
+        return np.array([], dtype=object)
+    m = len(flat) - k + 1
+    same = parent[:m] == parent[k - 1:]
+    sh = flat[:m].astype(object)
+    for j in range(1, k):
+        sh = sh + " "
+        sh = sh + flat[j:j + m]
+    return sh[same]
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0

@@ -189,3 +189,47 @@ def bottomk_quantiles(state, ps) -> list[int]:
         raise ValueError("empty sketch")
     return [int(vals[min(n - 1, int(np.searchsorted(
         (np.arange(1, n + 1)) * 100, p * n, side="left")))]) for p in ps]
+
+
+# ---------------------------------------------- Misra-Gries heavy hitters
+# Frequent-items summary (Misra & Gries, "Finding repeated elements",
+# Sci. Comput. Program. 1982), in the mergeable-summaries formulation
+# (Agarwal, Cormode, Huang, Phillips, Wei, Yi, "Mergeable summaries",
+# PODS 2012, §3): a summary is at most k (item, count) pairs; folding
+# more items in = add exact counts, then PRUNE — subtract the (k+1)-th
+# largest count from every counter and keep the positive ones. The
+# prune is purely value-based (no tie-breaking), so a summary is a
+# deterministic function of the (item → count) multiset it absorbed.
+# Across ANY merge tree the total weight subtracted from any single
+# item is at most n/(k+1) (n = total stream length), so every item
+# with true frequency > n/(k+1) survives with a positive counter:
+# the summary is a GUARANTEED SUPERSET of the phi-heavy hitters for
+# any phi >= 1/(k+1). Counts are lower bounds (undercount <= n/(k+1));
+# callers that need exact frequencies run a second exact counting
+# pass over the <= k candidates (broadcast, zero shuffle) — that
+# two-pass composition is exact AND independent of block partitioning
+# and merge order, hence SQL-checkable.
+
+MG_K = 8191            # candidate capacity; guarantees phi >= 1/8192
+
+
+def mg_prune(items: np.ndarray, counts: np.ndarray,
+             k: int = MG_K) -> tuple[np.ndarray, np.ndarray]:
+    """Prune an exact/partial (item, count) summary down to at most k
+    counters. ``items`` is any 1-D array (object/str/int); ``counts``
+    int64, all positive."""
+    if len(counts) <= k:
+        return items, counts
+    thresh = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > thresh
+    return items[keep], counts[keep] - thresh
+
+
+def mg_merge(a_items, a_counts, b_items, b_counts, k: int = MG_K):
+    """Merge two summaries: exact count addition by item, one prune."""
+    import pandas as pd
+
+    s = pd.concat([pd.Series(a_counts, index=a_items),
+                   pd.Series(b_counts, index=b_items)])
+    s = s.groupby(level=0, sort=False).sum()
+    return mg_prune(s.index.to_numpy(), s.to_numpy(np.int64), k)

@@ -2957,6 +2957,117 @@ def q_chars_quantiles_approx(sf_dir: str):
         .astype({"p50": "int64", "p90": "int64", "p99": "int64"})
 
 
+HH_K = 3                    # n-gram width
+HH_PHI_DEN = 8000           # heavy = frequency > N / HH_PHI_DEN
+
+
+def q_heavy_hitter_ngrams(sf_dir: str):
+    """Corpus BOILERPLATE n-grams — every word 3-gram whose occurrence
+    frequency exceeds N/8000 (N = total 3-gram occurrences in the
+    corpus), with its EXACT count, found WITHOUT a vocabulary-sized
+    shuffle: the Misra-Gries candidates + exact-verify two-pass
+    (``functions/sketch.py``; Misra & Gries 1982, mergeable form per
+    Agarwal et al., PODS 2012). The training-data use is template /
+    boilerplate detection — navigation chrome, license blurbs, headers
+    repeated across a crawl.
+
+    Pass 1 (candidates): per-batch EXACT n-gram counts (vectorized
+    ``dedup.ngram_stream_vec`` + value_counts) pruned to k=8191
+    counters — at most k rows leave each block, ZERO shuffle; the
+    driver combines the partials (exact sum, one value-based prune),
+    holding O(k · blocks) transiently and O(k) after. Because
+    k+1 > 8000, every phi-heavy n-gram is a candidate under ANY block
+    partitioning and merge order (the MG superset guarantee).
+    Pass 2 (exact verify): broadcast the ≤ k candidates once via
+    ``ray.put``; per-batch exact counts of candidate n-grams plus the
+    batch's total n-gram count (null-ngram row) — k-bounded partials,
+    zero shuffle; driver sums and applies the integer threshold
+    cnt · 8000 > N. The composed output is exact and
+    partitioning-invariant → SQL-checked. Contrast ``top_terms``:
+    its exact full-vocabulary groupby is precisely the all-to-all
+    exchange this sketch avoids at 100 TB."""
+    import ray
+    import pandas as pd
+
+    from .functions import sketch as sk
+
+    EMPTY = pa.table({"ngram": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    OUT_EMPTY = pd.DataFrame({"ngram": pd.Series([], dtype="object"),
+                              "cnt": pd.Series([], dtype="int64")})
+    docs = _docs(sf_dir, ["text"])
+
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        grams = _dedup.ngram_stream_vec(t.column("text").combine_chunks(),
+                                        HH_K)
+        if len(grams) == 0:
+            return EMPTY
+        vc = pd.Series(grams).value_counts(sort=False)
+        items, counts = sk.mg_prune(vc.index.to_numpy(),
+                                    vc.to_numpy(np.int64))
+        return pa.table({"ngram": pa.array(items, pa.string()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    frames = list(docs.map_batches(cand_partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas"))
+    if not frames:
+        return OUT_EMPTY
+    merged = pd.concat(frames, ignore_index=True) \
+        .groupby("ngram", sort=False)["cnt"].sum()
+    cand_items, _ = sk.mg_prune(merged.index.to_numpy(),
+                                merged.to_numpy(np.int64))
+    ref = ray.put(frozenset(cand_items))
+
+    def verify_partial(batch: pa.Table) -> pa.Table:
+        cands = ray.get(ref)
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        grams = _dedup.ngram_stream_vec(t.column("text").combine_chunks(),
+                                        HH_K)
+        if len(grams) == 0:
+            return EMPTY
+        vc = pd.Series(grams).value_counts(sort=False)
+        hits = vc[vc.index.isin(cands)]
+        # null-ngram row carries the batch's TOTAL occurrence count
+        # (valid n-grams are non-empty strings, so null is unambiguous)
+        return pa.table({
+            "ngram": pa.array(list(hits.index) + [None], pa.string()),
+            "cnt": pa.array(list(hits.to_numpy(np.int64)) + [len(grams)],
+                            pa.int64())})
+
+    vframes = list(docs.map_batches(verify_partial, batch_format="pyarrow")
+                   .iter_batches(batch_format="pandas"))
+    if not vframes:
+        return OUT_EMPTY
+    v = pd.concat(vframes, ignore_index=True)
+    n_total = int(v.loc[v["ngram"].isna(), "cnt"].sum())
+    exact = v[v["ngram"].notna()].groupby("ngram", sort=True)["cnt"].sum()
+    heavy = exact[exact * HH_PHI_DEN > n_total]
+    return pd.DataFrame({"ngram": heavy.index.to_numpy(),
+                         "cnt": heavy.to_numpy(np.int64)}) \
+        .reset_index(drop=True)
+
+
+SQL_HEAVY_HITTER_NGRAMS = f"""
+WITH base AS (
+  SELECT list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'),
+                     w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT unnest(list_transform(generate_series(1, len(words) - {HH_K - 1}),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS ngram
+  FROM base WHERE len(words) >= {HH_K}
+), tot AS (SELECT count(*) AS n FROM g)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM g, tot GROUP BY ngram, tot.n HAVING count(*) * {HH_PHI_DEN} > tot.n
+ORDER BY ngram
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -3010,6 +3121,7 @@ QUERIES = {
     "stratified_fixed_sample": q_stratified_fixed_sample,
     "running_totals": q_running_totals,
     "chars_quantiles_approx": q_chars_quantiles_approx,
+    "heavy_hitter_ngrams": q_heavy_hitter_ngrams,
 }
 
 ORACLE_SQL = {
@@ -3049,6 +3161,7 @@ ORACLE_SQL = {
     "top_terms": SQL_TOP_TERMS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "chars_quantiles": SQL_CHARS_QUANTILES,
+    "heavy_hitter_ngrams": SQL_HEAVY_HITTER_NGRAMS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "distinct_tokens": SQL_DISTINCT_TOKENS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

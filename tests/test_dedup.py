@@ -332,6 +332,27 @@ def test_shingle_pairs_vec_matches_word_shingles():
             assert len(got.get(i, [])) == len(want)
 
 
+def test_ngram_stream_vec_matches_naive():
+    """The multiplicity n-gram stream must match a per-row reference
+    on hostile inputs: nulls, empties, whitespace-only, <k-word rows
+    (emit NOTHING — unlike shingle_pairs_vec's whole-join), repeated
+    n-grams kept with multiplicity, stream order preserved."""
+    import pyarrow as pa
+
+    texts = ["a b c d e", "x", "", None, "   ", "\t\n p \x0b q \r r",
+             "a b c a b c a b c", "one two", "w " * 200]
+    for k in (2, 3, 5):
+        got = list(dd.ngram_stream_vec(pa.array(texts, pa.string()), k))
+        want = []
+        for t in texts:
+            if not t:
+                continue
+            ws = [w for w in dd._WS_RE.split(t) if w]
+            want.extend(" ".join(ws[i:i + k])
+                        for i in range(len(ws) - k + 1))
+        assert got == want, k
+
+
 def test_best_per_key_packing_is_order_independent_argmax():
     """The (n_chars, -doc_id) int64 packing used by title_dedup_best:
     max() over ANY order must pick (max n_chars, then min doc_id)."""

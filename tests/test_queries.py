@@ -65,6 +65,7 @@ def test_all_oracle_keys_have_queries():
     "simhash_near_dups", "repetition_stats", "tfidf_top_terms",
     "decontaminate", "title_dedup_best", "vocab_oov_stats",
     "ann_topk_filtered", "stratified_fixed_sample", "running_totals",
+    "heavy_hitter_ngrams",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -548,6 +549,65 @@ def test_bottomk_exact_when_group_fits_and_query_degenerates(ray_session):
     approx = q["chars_quantiles_approx"](SF).reset_index(drop=True)
     exact_df = _to_pandas(q["chars_quantiles"](SF)).reset_index(drop=True)
     pd.testing.assert_frame_equal(approx, exact_df)
+
+
+def test_misra_gries_superset_guarantee_and_partition_invariance():
+    """MG prune-to-k (Misra-Gries 1982 / Agarwal et al. 2012): on a
+    skewed 100k-item stream, (1) under several hostile partitionings
+    every item with true frequency > n/(k+1) survives the per-chunk
+    prune + driver merge with undercount ≤ n/(k+1) and no overcount;
+    (2) the candidates → exact-verify composition returns the
+    IDENTICAL exact heavy-hitter table for every partitioning — the
+    property that makes heavy_hitter_ngrams independent of Ray block
+    layout."""
+    import numpy as np
+    import pandas as pd
+
+    from docling_pdf_ray.functions import sketch as sk
+
+    K, PHI_DEN = 64, 50
+    rng = np.random.RandomState(17)
+    # 30 heavy items (freq ~ 1k-4k), 60k-item uniform tail
+    heavy = np.repeat(np.arange(30), rng.randint(1000, 4000, size=30))
+    tail = rng.randint(1000, 1_000_000, size=60_000)
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    n = len(stream)
+    true = pd.Series(stream).value_counts()
+    want_hh = true[true * PHI_DEN > n].sort_index()
+
+    partitionings = [
+        np.array_split(stream, 7),
+        np.array_split(stream, 64),
+        np.array_split(np.sort(stream), 13),          # sorted: max skew
+        [stream[:100], stream[100:101], stream[101:]],  # degenerate sizes
+    ]
+    results = []
+    for chunks in partitionings:
+        parts = []
+        for ch in chunks:
+            if len(ch) == 0:
+                continue
+            vc = pd.Series(ch).value_counts(sort=False)
+            it, ct = sk.mg_prune(vc.index.to_numpy(),
+                                 vc.to_numpy(np.int64), K)
+            parts.append(pd.Series(ct, index=it))
+        merged = pd.concat(parts).groupby(level=0, sort=False).sum()
+        items, counts = sk.mg_prune(merged.index.to_numpy(),
+                                    merged.to_numpy(np.int64), K)
+        assert len(items) <= K
+        est = pd.Series(counts, index=items)
+        bound = n / (K + 1)
+        for item, c in true.items():
+            if c > bound:
+                assert item in est.index, item
+                assert est[item] >= c - bound and est[item] <= c, item
+        # exact verify pass over the candidates
+        exact = true[true.index.isin(items)]
+        got_hh = exact[exact * PHI_DEN > n].sort_index()
+        results.append(got_hh)
+    for got_hh in results:
+        pd.testing.assert_series_equal(got_hh, want_hh)
 
 
 def test_salted_hash_join_identical_output_on_skewed_tables(ray_session):
