@@ -1535,7 +1535,11 @@ def dedup_groups_from_pairs(pairs):
     This is the composition entry point (r3): a corpus build that has
     just run pair detection passes its result here and pays for
     detection ONCE; only the independent driver-contract callable
-    below re-runs it."""
+    below re-runs it. Driver union-find is the right call while the
+    pair set is driver-sized; when it isn't (billions of edges at
+    100 TB), use the distributed sibling
+    ``functions.cc.connected_components`` (large-star/small-star, same
+    output contract, SQL-checked as ``dedup_groups_cc``)."""
     import pandas as pd
 
     parent: dict[int, int] = {}
@@ -1566,6 +1570,29 @@ def q_minhash_dedup_groups(sf_dir: str, threshold: float = 0.7):
     graph."""
     return dedup_groups_from_pairs(
         q_minhash_near_dups(sf_dir, threshold=threshold))
+
+
+def q_dedup_groups_cc(sf_dir: str, threshold: float = 0.7):
+    """Dedup grouping by DISTRIBUTED connected components — the scale
+    path of :func:`dedup_groups_from_pairs`: same pair graph (minhash
+    detection), same (doc_id, rep_id=component min) decision, but the
+    component computation is the alternating large-star / small-star
+    algorithm (Kiveris et al., SoCC 2014; ``functions/cc.py``) — one
+    bucketed shuffle per half-round, edge set held in the object
+    store, O(log n) rounds — instead of a driver union-find. At gate
+    scale both paths are SQL-checked against the same recursive
+    min-label-propagation oracle; at 100 TB (billions of near-dup
+    edges) only this one runs."""
+    import pandas as pd
+
+    from .functions import cc as _cc
+
+    pairs = q_minhash_near_dups(sf_dir, threshold=threshold)
+    edges = pd.DataFrame({"u": pairs["doc_id_a"].astype("int64"),
+                          "v": pairs["doc_id_b"].astype("int64")})
+    out = _cc.connected_components(edges)
+    return pd.DataFrame({"doc_id": out["node"].astype("int64"),
+                         "rep_id": out["rep"].astype("int64")})
 
 
 SQL_MINHASH_DEDUP_GROUPS = f"""
@@ -3100,6 +3127,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
     "minhash_dedup_groups": q_minhash_dedup_groups,
+    "dedup_groups_cc": q_dedup_groups_cc,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -3154,6 +3182,7 @@ ORACLE_SQL = {
     "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
     "jaccard_pairs_exact": SQL_MINHASH_NEAR_DUPS,
     "minhash_dedup_groups": SQL_MINHASH_DEDUP_GROUPS,
+    "dedup_groups_cc": SQL_MINHASH_DEDUP_GROUPS,
     "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "embedding_dup_pairs_lsh": SQL_EMBEDDING_DUP_PAIRS,
