@@ -223,7 +223,8 @@ def run_bench() -> dict:
                      "repetition_stats", "tfidf_top_terms",
                      "decontaminate", "title_dedup_best",
                      "vocab_oov_stats", "running_totals",
-                     "chars_quantiles_approx", "heavy_hitter_ngrams"]}
+                     "chars_quantiles_approx", "heavy_hitter_ngrams",
+                     "winnow_fingerprints", "dedup_groups_cc"]}
     ray.shutdown()
     return result
 

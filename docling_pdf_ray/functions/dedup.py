@@ -97,7 +97,7 @@ def shingle_pairs_vec(texts, k: int = 3):
     return rows, shingles
 
 
-def ngram_stream_vec(texts, k: int = 3) -> np.ndarray:
+def ngram_stream_vec(texts, k: int = 3, return_parents: bool = False):
     """Fully-vectorized k-word n-gram stream WITH MULTIPLICITY over an
     Arrow string array — the frequency-counting sibling of
     :func:`shingle_pairs_vec` (which is per-row DISTINCT, for set
@@ -105,7 +105,8 @@ def ngram_stream_vec(texts, k: int = 3) -> np.ndarray:
     tokens dropped; rows with fewer than k words emit nothing (the
     ``generate_series(1, len(words)-k+1)`` SQL semantics); nulls emit
     nothing. Returns one object-dtype entry per n-gram occurrence, in
-    stream order."""
+    stream order; with ``return_parents`` also the int64 row index of
+    each occurrence (nondecreasing — winnowing relies on that)."""
     import pyarrow.compute as pc
 
     words = pc.split_pattern_regex(texts, pattern=WS_PATTERN)
@@ -114,14 +115,62 @@ def ngram_stream_vec(texts, k: int = 3) -> np.ndarray:
     keep = flat != ""
     flat, parent = flat[keep], parent[keep]
     if len(flat) < k:
-        return np.array([], dtype=object)
+        empty = np.array([], dtype=object)
+        return (empty, np.array([], dtype=np.int64)) if return_parents \
+            else empty
     m = len(flat) - k + 1
     same = parent[:m] == parent[k - 1:]
     sh = flat[:m].astype(object)
     for j in range(1, k):
         sh = sh + " "
         sh = sh + flat[j:j + m]
+    if return_parents:
+        return sh[same], parent[:m][same]
     return sh[same]
+
+
+def md5_u64(grams: np.ndarray) -> np.ndarray:
+    """First 8 bytes (big-endian) of md5 per string, as uint64 — the
+    cross-engine hash this repo standardizes on (DuckDB computes the
+    identical value as ``('0x' || substr(md5(g),1,16))::UBIGINT``; same
+    choice as :func:`simhash64`). Hashing loops over the DISTINCT
+    grams only (md5 has no numpy kernel); the repeat-heavy stream is
+    reconstructed by the unique-inverse."""
+    import hashlib
+
+    if len(grams) == 0:
+        return np.array([], dtype=np.uint64)
+    uniq, inv = np.unique(grams, return_inverse=True)
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+         for g in uniq), dtype=np.uint64, count=len(uniq))
+    return hu[inv]
+
+
+def winnow_select(h: np.ndarray, parents: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    "Winnowing: local algorithms for document fingerprinting", SIGMOD
+    2003): over every window of ``w`` consecutive k-gram hashes that
+    lies entirely inside one document, select the RIGHTMOST minimum
+    hash. Guarantees: at least one fingerprint per window (detection of
+    any match of length >= w+k-1 words) and expected density 2/(w+1).
+
+    Vectorized across the whole batch stream: ``h`` uint64 hashes in
+    stream order, ``parents`` nondecreasing doc indices (both from
+    :func:`ngram_stream_vec`). Returns a boolean SELECTED mask over the
+    stream (a position picked by several windows is selected once).
+    Docs with fewer than w grams emit no windows, hence no selections
+    — mirrored by the SQL oracle's ``generate_series(1, m-w+1)``."""
+    n = len(h)
+    mask = np.zeros(n, dtype=bool)
+    if n < w:
+        return mask
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)
+    valid = parents[:n - w + 1] == parents[w - 1:]
+    # argmin of the REVERSED window = rightmost minimum of the window
+    sel = np.arange(n - w + 1) + (w - 1 - np.argmin(sw[:, ::-1], axis=1))
+    mask[sel[valid]] = True
+    return mask
 
 
 def jaccard(a: set, b: set) -> float:

@@ -3095,6 +3095,99 @@ ORDER BY ngram
 """
 
 
+WINNOW_K = 3                # k-gram width, words
+WINNOW_W = 4                # winnowing window, grams
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003) — the position-LOCAL fingerprint selection scheme for
+    passage-level duplicate detection: in every window of W=4
+    consecutive word-3-gram hashes pick the rightmost minimum, so any
+    shared passage of >= W+K-1 = 6 words between two documents is
+    GUARANTEED to share a fingerprint (the winnowing correctness
+    property), at an expected density of 2/(W+1) of the gram stream.
+
+    Pure row-local map: one streaming pass, ZERO shuffle, every step
+    vectorized (``dedup.ngram_stream_vec`` gram stream + unique-inverse
+    md5 + ``sliding_window_view`` argmin + ``bitwise_xor.reduceat``
+    per-doc combine). Output is the compact per-doc audit (selection
+    count, distinct fingerprints, xor-checksum of the distinct set) —
+    SQL-checked exactly: the md5-prefix hash is the repo's standard
+    cross-engine hash and the selection rule is mirrored by the
+    oracle's list_reverse/list_position rightmost-min."""
+    import pandas as pd
+
+    from .functions import dedup as dd
+
+    EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_fp": pa.array([], pa.int64()),
+                      "n_distinct_fp": pa.array([], pa.int64()),
+                      "fp_xor": pa.array([], pa.uint64())})
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        grams, parents = dd.ngram_stream_vec(
+            t.column("text").combine_chunks(), WINNOW_K, return_parents=True)
+        if len(grams) == 0:
+            return EMPTY
+        h = dd.md5_u64(grams)
+        mask = dd.winnow_select(h, parents, WINNOW_W)
+        pr, fps = parents[mask], h[mask]
+        if len(pr) == 0:
+            return EMPTY
+        starts = np.flatnonzero(np.r_[True, pr[1:] != pr[:-1]])
+        n_fp = np.diff(np.r_[starts, len(pr)])
+        d = pd.DataFrame({"r": pr, "f": fps}).drop_duplicates()
+        dr, dfp = d["r"].to_numpy(np.int64), d["f"].to_numpy(np.uint64)
+        dstarts = np.flatnonzero(np.r_[True, dr[1:] != dr[:-1]])
+        n_distinct = np.diff(np.r_[dstarts, len(dr)])
+        fp_xor = np.bitwise_xor.reduceat(dfp, dstarts)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[pr[starts]], pa.int64()),
+            "n_fp": pa.array(n_fp, pa.int64()),
+            "n_distinct_fp": pa.array(n_distinct, pa.int64()),
+            "fp_xor": pa.array(fp_xor, pa.uint64())})
+
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'),
+                     w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(words) - {WINNOW_K - 1}),
+           i -> ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' '
+                                     || words[i+2]), 1, 16))::UBIGINT) AS hs
+  FROM base WHERE len(words) >= {WINNOW_K}
+), sel AS (
+  -- rightmost minimum of each window: W + 1 - (first index of the min
+  -- in the REVERSED window), shifted to stream position
+  SELECT doc_id, hs,
+         unnest(list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+           j -> j + {WINNOW_W}
+                - list_position(list_reverse(hs[j:j+{WINNOW_W - 1}]),
+                                list_min(hs[j:j+{WINNOW_W - 1}])))) AS pos
+  FROM g WHERE len(hs) >= {WINNOW_W}
+), dsel AS (
+  SELECT DISTINCT doc_id, pos, hs[pos] AS fp FROM sel
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       bit_xor(DISTINCT fp) AS fp_xor
+FROM dsel GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -3150,6 +3243,7 @@ QUERIES = {
     "running_totals": q_running_totals,
     "chars_quantiles_approx": q_chars_quantiles_approx,
     "heavy_hitter_ngrams": q_heavy_hitter_ngrams,
+    "winnow_fingerprints": q_winnow_fingerprints,
 }
 
 ORACLE_SQL = {
@@ -3191,6 +3285,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "chars_quantiles": SQL_CHARS_QUANTILES,
     "heavy_hitter_ngrams": SQL_HEAVY_HITTER_NGRAMS,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "distinct_tokens": SQL_DISTINCT_TOKENS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

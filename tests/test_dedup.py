@@ -369,3 +369,76 @@ def test_best_per_key_packing_is_order_independent_argmax():
         for perm in itertools.permutations(g):
             v = max(n * SHIFT + (BASE - d) for n, d in perm)
             assert (v // SHIFT, BASE - (v % SHIFT)) == want
+
+
+def _winnow_naive(texts, k, w):
+    """Per-doc reference winnowing: rightmost-min per window, distinct
+    selected positions, stream order."""
+    import hashlib
+
+    out = {}
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = [x for x in dd._WS_RE.split(t) if x]
+        grams = [" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)]
+        hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+              for g in grams]
+        sel = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            sel.add(j + max(p for p in range(w) if win[p] == m))
+        if sel:
+            out[i] = [hs[p] for p in sorted(sel)]
+    return out
+
+
+def test_winnow_select_matches_naive_reference():
+    """Vectorized cross-doc winnowing == per-doc reference on hostile
+    inputs: repeated grams (hash ties -> rightmost wins), docs shorter
+    than k or w, nulls, single-window docs."""
+    import pyarrow as pa
+
+    k, w = 3, 4
+    texts = ["a b c d e f g h i j",
+             "x y z " * 30,                  # heavy repetition: many ties
+             "p q r",                        # exactly one gram: no window
+             "p q r s t u",                  # exactly one window
+             None, "", "one two",
+             " ".join(f"t{i%7}" for i in range(50))]
+    grams, parents = dd.ngram_stream_vec(
+        pa.array(texts, pa.string()), k, return_parents=True)
+    h = dd.md5_u64(grams)
+    mask = dd.winnow_select(h, parents, w)
+    got = {}
+    for p, fp in zip(parents[mask], h[mask]):
+        got.setdefault(int(p), []).append(int(fp))
+    assert got == _winnow_naive(texts, k, w)
+
+
+def test_winnow_guarantees_density_and_shared_passage():
+    """The two SIGMOD-2003 winnowing guarantees: (1) within a doc, the
+    gap between consecutive selected gram positions is at most w
+    (every window selects something); (2) two docs sharing a passage
+    of >= w+k-1 words share at least one fingerprint."""
+    import numpy as np
+    import pyarrow as pa
+
+    k, w = 3, 4
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(500)]
+    passage = " ".join(vocab[i] for i in rng.randint(0, 500, w + k - 1))
+    a = " ".join(vocab[i] for i in rng.randint(0, 500, 80)) + " " + passage
+    b = passage + " " + " ".join(vocab[i] for i in rng.randint(0, 500, 80))
+    grams, parents = dd.ngram_stream_vec(
+        pa.array([a, b], pa.string()), k, return_parents=True)
+    h = dd.md5_u64(grams)
+    mask = dd.winnow_select(h, parents, w)
+    pos = np.arange(len(h))
+    for doc in (0, 1):
+        sel = pos[mask & (parents == doc)] - pos[parents == doc][0]
+        assert sel[0] < w and np.all(np.diff(sel) <= w)
+    fps_a = set(h[mask & (parents == 0)])
+    fps_b = set(h[mask & (parents == 1)])
+    assert fps_a & fps_b

@@ -65,7 +65,7 @@ def test_all_oracle_keys_have_queries():
     "simhash_near_dups", "repetition_stats", "tfidf_top_terms",
     "decontaminate", "title_dedup_best", "vocab_oov_stats",
     "ann_topk_filtered", "stratified_fixed_sample", "running_totals",
-    "heavy_hitter_ngrams", "dedup_groups_cc",
+    "heavy_hitter_ngrams", "dedup_groups_cc", "winnow_fingerprints",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
