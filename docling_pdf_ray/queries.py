@@ -3188,6 +3188,191 @@ FROM dsel GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_source_lang_rollup(sf_dir: str):
+    """Multi-level aggregate (SQL ROLLUP) in ONE streaming pass: doc
+    counts and char sums at (source, lang), (source) and grand-total
+    levels — the partition-size audit a corpus build reads before
+    choosing shard layouts. All three levels derive from the FINEST
+    level, so the pipeline computes per-batch (source, lang) partials
+    only (pre-aggregation inside map_batches — the combiner pattern),
+    driver-combines the provably-small cross-cardinality, and expands
+    the rollup levels driver-side; ZERO shuffle, one scan. ``lvl`` is
+    the SQL GROUPING(source, lang) bitmask, disambiguating rolled-up
+    NULLs from (hypothetical) NULL key values."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch.column("source"),
+                      "lang": batch.column("lang"),
+                      "n_chars": batch.column("n_chars")})
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "sum"), ([], "count_all")])
+        cols = {c: g.column(c) for c in g.column_names}
+        return pa.table({"source": cols["source"], "lang": cols["lang"],
+                         "p_chars": cols["n_chars_sum"],
+                         "p_n": cols["count_all"]})
+
+    fine = _driver_combine(
+        _docs(sf_dir, ["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        {"n_docs": ("p_n", "sum"), "sum_chars": ("p_chars", "sum")})
+    fine["lvl"] = 0
+    by_source = fine.groupby("source", as_index=False)[
+        ["n_docs", "sum_chars"]].sum()
+    by_source["lang"] = None
+    by_source["lvl"] = 1
+    grand = pd.DataFrame({"source": [None], "lang": [None],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "sum_chars": [fine["sum_chars"].sum()],
+                          "lvl": [3]})
+    out = pd.concat([fine, by_source, grand], ignore_index=True)
+    return out[["source", "lang", "lvl", "n_docs", "sum_chars"]] \
+        .sort_values(["lvl", "source", "lang"], na_position="last") \
+        .reset_index(drop=True) \
+        .astype({"lvl": "int64", "n_docs": "int64", "sum_chars": "int64"})
+
+
+SQL_SOURCE_LANG_ROLLUP = """
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+ORDER BY lvl, source, lang
+"""
+
+
+SPLIT_TRAIN_NUM = 9          # train : val : test = 90 : 5 : 5, exact
+SPLIT_VAL_NUM = 19           # integer thresholds out of 20 (x 2^32/20)
+
+
+def q_corpus_split_counts(sf_dir: str):
+    """Deterministic train/val/test assignment — the split step of
+    every training-data build, done WITHOUT RNG state so any worker,
+    any run, any engine assigns each doc identically: the same
+    multiplicative-hash permutation as the sampling queries
+    (h = (doc_id mod 2^32) * KNUTH mod 2^32), thresholded at exact
+    integer cutpoints (90/5/5). Output is the per-(split, lang)
+    doc count and char sum audit; assignment itself is a row-local
+    predicate any downstream filter reuses. ZERO shuffle: per-batch
+    partials, driver combine over splits x langs."""
+    import pandas as pd
+
+    m32 = np.int64(1 << 32)
+    t_train = (1 << 32) * SPLIT_TRAIN_NUM // 10
+    t_val = (1 << 32) * SPLIT_VAL_NUM // 20
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d = np.mod(ids, m32).astype(np.uint64)
+        h = ((d * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
+        split = np.where(h < t_train, "train",
+                         np.where(h < t_val, "val", "test"))
+        df = pd.DataFrame({
+            "split": split,
+            "lang": batch.column("lang").to_pandas(),
+            "n_chars": batch.column("n_chars").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["split", "lang"], as_index=False) \
+            .agg(p_n=("n_chars", "size"), p_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _driver_combine(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["split", "lang"],
+        {"n_docs": ("p_n", "sum"), "sum_chars": ("p_chars", "sum")},
+        sort_by=["split", "lang"])
+    return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+
+SQL_CORPUS_SPLIT_COUNTS = f"""
+WITH hashed AS (
+  SELECT lang, n_chars,
+         CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296 AS HUGEINT)
+              * {_KNUTH} % 4294967296 AS BIGINT) AS h
+  FROM documents
+), assigned AS (
+  SELECT CASE WHEN h < {(1 << 32) * SPLIT_TRAIN_NUM // 10} THEN 'train'
+              WHEN h < {(1 << 32) * SPLIT_VAL_NUM // 20} THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM hashed
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def q_doc_cume_dist(sf_dir: str):
+    """Per-document DISTRIBUTION POSITION — cume_dist of n_chars
+    within each lang, the window function behind percentile-based
+    length filtering ("drop the bottom 5% per language"). Exact
+    integer representation (numerator = docs with value <= mine,
+    denominator = lang size) so the parity check is float-free and
+    tie handling is deterministic (RANGE-mode window semantics: ties
+    share a numerator).
+
+    Two-pass broadcast-CDF shape, ZERO shuffle: pass 1 per-batch
+    (lang, n_chars) count partials -> driver exact CDF per lang (the
+    value domain is bounded — same argument as chars_quantiles);
+    broadcast once via ray.put; pass 2 row-local searchsorted lookup.
+    Contrast a sort-based window: this never moves the corpus."""
+    import ray
+    import pandas as pd
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch.column("lang"),
+                      "n_chars": batch.column("n_chars")})
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "p_n"])
+
+    hist = _driver_combine(
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(cnt_partial, batch_format="pyarrow"),
+        ["lang", "n_chars"], {"n": ("p_n", "sum")})
+    cdf = {}
+    for lang, grp in hist.groupby("lang", sort=False):
+        g = grp.sort_values("n_chars")
+        cdf[lang] = (g["n_chars"].to_numpy(np.int64),
+                     g["n"].to_numpy(np.int64).cumsum(),
+                     int(g["n"].sum()))
+    ref = ray.put(cdf)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        tables = ray.get(ref)
+        langs = batch.column("lang").to_pandas()
+        vals = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        num = np.empty(len(vals), dtype=np.int64)
+        den = np.empty(len(vals), dtype=np.int64)
+        for lang in pd.unique(langs):
+            m = (langs == lang).to_numpy()
+            xs, cum, total = tables[lang]
+            num[m] = cum[np.searchsorted(xs, vals[m], side="right") - 1]
+            den[m] = total
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "lang": batch.column("lang"),
+                         "cd_num": pa.array(num, pa.int64()),
+                         "cd_den": pa.array(den, pa.int64())})
+
+    out = _docs(sf_dir, ["doc_id", "lang", "n_chars"]) \
+        .map_batches(lookup, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_CUME_DIST = """
+SELECT doc_id, lang,
+       count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cd_num,
+       count(*) OVER (PARTITION BY lang) AS cd_den
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -3244,6 +3429,9 @@ QUERIES = {
     "chars_quantiles_approx": q_chars_quantiles_approx,
     "heavy_hitter_ngrams": q_heavy_hitter_ngrams,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "source_lang_rollup": q_source_lang_rollup,
+    "corpus_split_counts": q_corpus_split_counts,
+    "doc_cume_dist": q_doc_cume_dist,
 }
 
 ORACLE_SQL = {
@@ -3286,6 +3474,9 @@ ORACLE_SQL = {
     "chars_quantiles": SQL_CHARS_QUANTILES,
     "heavy_hitter_ngrams": SQL_HEAVY_HITTER_NGRAMS,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "source_lang_rollup": SQL_SOURCE_LANG_ROLLUP,
+    "corpus_split_counts": SQL_CORPUS_SPLIT_COUNTS,
+    "doc_cume_dist": SQL_DOC_CUME_DIST,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "distinct_tokens": SQL_DISTINCT_TOKENS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
