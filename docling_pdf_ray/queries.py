@@ -3373,6 +3373,130 @@ FROM documents ORDER BY doc_id
 """
 
 
+PASSAGE_MIN_SHARED = 2     # pair reported iff >= 2 shared fingerprints
+PASSAGE_MAX_DF = 50        # fingerprints in > 50 docs are boilerplate,
+                           # not passage-copy evidence — dropped by
+                           # CONTRACT on both engines (exactness kept)
+
+
+def q_passage_dup_pairs(sf_dir: str, n_buckets: int = 64):
+    """PASSAGE-level duplicate detection — doc pairs sharing >= 2
+    winnowed fingerprints (syndicated articles, quote farms,
+    copy-paste chains: overlap that whole-doc Jaccard dilutes away).
+    Winnowing's guarantee makes this sound: any shared passage of
+    >= W+K-1 = 6 words yields a shared fingerprint, so a pair sharing
+    two distinct passages (or one long one) is always caught.
+
+    Dataflow: row-local winnowing (zero shuffle) emits distinct
+    (doc_id, fp) rows → ONE narrow shuffle bucketed by fp → per-bucket
+    C-level self-merge pairing with the df cap applied per fingerprint
+    (all rows of an fp co-locate, so the per-bucket cap IS the global
+    cap) → per-bucket (pair, count) partials → O(candidate-pairs)
+    driver combine + threshold. The df cap bounds the quadratic pair
+    emission (df² ≤ 2500 per fingerprint) AND is part of the query's
+    stated semantics — the SQL oracle applies the identical
+    ``HAVING count(*) <= {PASSAGE_MAX_DF}`` — so engine and oracle
+    stay value-exact, unlike a recall-capped LSH. Runs over the
+    planted-dup corpus (the raw corpus has no natural near-dups)."""
+    import pandas as pd
+
+    from .functions import dedup as dd
+
+    FP_EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64()),
+                         "_bucket": pa.array([], pa.int32())})
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return FP_EMPTY
+        grams, parents = dd.ngram_stream_vec(
+            t.column("text").combine_chunks(), WINNOW_K, return_parents=True)
+        if len(grams) == 0:
+            return FP_EMPTY
+        h = dd.md5_u64(grams)
+        mask = dd.winnow_select(h, parents, WINNOW_W)
+        if not mask.any():
+            return FP_EMPTY
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({"doc_id": doc_ids[parents[mask]],
+                          "fp": h[mask].view(np.int64)}).drop_duplicates()
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"].to_numpy(np.int64), pa.int64()),
+            "fp": pa.array(d["fp"].to_numpy(np.int64), pa.int64()),
+            "_bucket": pa.array(d["fp"].to_numpy(np.int64) % n_buckets,
+                                pa.int32())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["doc_id", "fp"]].drop_duplicates()
+        df = g.groupby("fp")["doc_id"].transform("size")
+        g = g[df <= PASSAGE_MAX_DF]
+        m = g.merge(g, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return pd.DataFrame({"a": out["doc_id_x"].to_numpy(np.int64),
+                             "b": out["doc_id_y"].to_numpy(np.int64),
+                             "pn": out["size"].to_numpy(np.int64)})
+
+    parts = _docs_with_planted_dups(sf_dir) \
+        .map_batches(fp_rows, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(bucket_pairs, batch_format="pandas") \
+        .to_pandas()
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in ("doc_id_a", "doc_id_b", "shared_fps")})
+    if parts.empty:
+        return empty
+    tot = parts.groupby(["a", "b"], as_index=False)["pn"].sum()
+    tot = tot[tot["pn"] >= PASSAGE_MIN_SHARED]
+    if tot.empty:
+        return empty
+    return pd.DataFrame({
+        "doc_id_a": tot["a"].to_numpy(np.int64),
+        "doc_id_b": tot["b"].to_numpy(np.int64),
+        "shared_fps": tot["pn"].to_numpy(np.int64)}) \
+        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+SQL_PASSAGE_DUP_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'),
+                     w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), aug AS (
+  SELECT doc_id, words FROM base
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET},
+         list_slice(words, 1, greatest(len(words) - 5, 0))
+  FROM base WHERE doc_id % {PLANT_EVERY} = 0 AND len(words) > 0
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(words) - {WINNOW_K - 1}),
+           i -> ('0x' || substr(md5(words[i] || ' ' || words[i+1] || ' '
+                                     || words[i+2]), 1, 16))::UBIGINT) AS hs
+  FROM aug WHERE len(words) >= {WINNOW_K}
+), sel AS (
+  SELECT doc_id, hs,
+         unnest(list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+           j -> j + {WINNOW_W}
+                - list_position(list_reverse(hs[j:j+{WINNOW_W - 1}]),
+                                list_min(hs[j:j+{WINNOW_W - 1}])))) AS pos
+  FROM g WHERE len(hs) >= {WINNOW_W}
+), fps AS (
+  SELECT DISTINCT doc_id, hs[pos] AS fp FROM sel
+), keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {PASSAGE_MAX_DF}
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fps a
+JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN keep k ON k.fp = a.fp
+GROUP BY 1, 2 HAVING count(*) >= {PASSAGE_MIN_SHARED}
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -3432,6 +3556,7 @@ QUERIES = {
     "source_lang_rollup": q_source_lang_rollup,
     "corpus_split_counts": q_corpus_split_counts,
     "doc_cume_dist": q_doc_cume_dist,
+    "passage_dup_pairs": q_passage_dup_pairs,
 }
 
 ORACLE_SQL = {
@@ -3477,6 +3602,7 @@ ORACLE_SQL = {
     "source_lang_rollup": SQL_SOURCE_LANG_ROLLUP,
     "corpus_split_counts": SQL_CORPUS_SPLIT_COUNTS,
     "doc_cume_dist": SQL_DOC_CUME_DIST,
+    "passage_dup_pairs": SQL_PASSAGE_DUP_PAIRS,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "distinct_tokens": SQL_DISTINCT_TOKENS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

@@ -442,3 +442,25 @@ def test_winnow_guarantees_density_and_shared_passage():
     fps_a = set(h[mask & (parents == 0)])
     fps_b = set(h[mask & (parents == 1)])
     assert fps_a & fps_b
+
+
+def test_passage_dup_pairs_catches_planted_and_respects_threshold(ray_session):
+    """passage_dup_pairs on sf0.001: every planted near-copy
+    (original minus last 5 words, sharing nearly all passages) must
+    pair with its original with a high shared-fingerprint count, and
+    every reported pair must satisfy the >= PASSAGE_MIN_SHARED
+    threshold."""
+    from docling_pdf_ray import queries as q
+
+    out = q.q_passage_dup_pairs("/root/testdata/sf0.001")
+    assert (out["shared_fps"] >= q.PASSAGE_MIN_SHARED).all()
+    got_pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    import duckdb
+    planted = duckdb.sql(
+        "SELECT doc_id FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        f"WHERE doc_id % {q.PLANT_EVERY} = 0 AND text IS NOT NULL "
+        "AND len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\v]+'), w -> w <> '')) >= 40"
+    ).df()["doc_id"]
+    assert len(planted) > 0
+    for d in planted:
+        assert (int(d), int(d) + q.PLANT_OFFSET) in got_pairs, d
