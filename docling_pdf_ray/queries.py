@@ -3497,6 +3497,184 @@ ORDER BY 1, 2
 """
 
 
+INC_OLD_MOD = 5            # "old corpus" = doc_id % 5 != 0
+INC_RECRAWL_MOD = 7        # re-crawl overlap: old docs with doc_id % 7
+                           # == 0 arrive again in the new shard
+INC_RECRAWL_OFFSET = 2_000_000
+
+
+def q_incremental_dedup(sf_dir: str, n_buckets: int = 64):
+    """INCREMENTAL exact dedup — the corpus-maintenance job: a new
+    crawl shard arrives and must be deduplicated AGAINST the existing
+    corpus without rescanning it into a join. The old/new split and
+    the re-crawl overlap are synthesized deterministically (old =
+    doc_id % 5 != 0; new = the rest plus re-ingested copies of every
+    7th old doc), mirroring the SQL oracle exactly.
+
+    The Bloom-ANTI composition (the flip side of bloom_semi_join, and
+    the reason anti-dedup is CHEAPER than semi-join): a Bloom filter
+    has no false negatives, so a bloom-NEGATIVE new doc is DEFINITELY
+    novel — kept immediately, never shuffled; only the ~dup-rate +
+    1% FPR bloom-positives pay the exact membership check, which runs
+    as the survivor co-shuffle (build hashes and surviving probe rows
+    bucket on the same 64-bit content hash; per-bucket set membership
+    splits true dups from false positives). Negative counts ride the
+    same exchange as per-(batch, lang) count partials — bytes, not
+    rows. Driver memory: O(bitmap) + O(langs). Identity is the
+    md5-prefix u64 content hash (the repo's cross-engine hash; at
+    multi-billion-doc scale widen to the full 128-bit md5 string —
+    same dataflow, wider key column). Output: per-lang kept/dropped
+    audit of the new shard."""
+    import ray
+
+    from .functions import dedup as dd
+    from .functions import sketch as sk
+    from .functions.joins import _bucket_of
+
+    def old_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(
+            (ids % INC_OLD_MOD != 0)
+            & ~batch.column("text").is_null().to_numpy(zero_copy_only=False)))
+        h = dd.md5_u64(t.column("text").to_pandas().to_numpy())
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    build = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(old_hashes, batch_format="pyarrow").materialize()
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("h").to_numpy(zero_copy_only=False)
+        bm = sk.bloom_add_hashes(sk.bloom_new(_BLOOM_BITS),
+                                 sk.mix64(keys.astype(np.uint64)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bm = sk.bloom_new(_BLOOM_BITS)
+    for b in build.map_batches(bloom_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for payload in b.column("bm").to_pylist():
+            bm = sk.bloom_merge(bm, np.frombuffer(payload, dtype=np.uint8))
+    bm_ref = ray.put(bm)
+
+    SCHEMA = pa.schema([("h", pa.int64()), ("lang", pa.string()),
+                        ("pn", pa.int64()), ("_side", pa.int8()),
+                        ("_bucket", pa.int32())])
+
+    def build_rows(batch: pa.Table) -> pa.Table:
+        h = batch.column("h")
+        return pa.table({
+            "h": h, "lang": pa.nulls(len(h), pa.string()),
+            "pn": pa.nulls(len(h), pa.int64()),
+            "_side": pa.array(np.zeros(len(h), np.int8)),
+            "_bucket": _bucket_of(h, n_buckets)}, schema=SCHEMA)
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        _bm = ray.get(bm_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        valid = ~batch.column("text").is_null().to_numpy(zero_copy_only=False)
+        newb = batch.filter(pa.array((ids % INC_OLD_MOD == 0) & valid))
+        rec = batch.filter(pa.array((ids % INC_OLD_MOD != 0)
+                                    & (ids % INC_RECRAWL_MOD == 0) & valid))
+        texts = np.concatenate([newb.column("text").to_pandas().to_numpy(),
+                                rec.column("text").to_pandas().to_numpy()])
+        langs = np.concatenate([newb.column("lang").to_pandas().to_numpy(),
+                                rec.column("lang").to_pandas().to_numpy()])
+        if len(texts) == 0:
+            return SCHEMA.empty_table()
+        h = dd.md5_u64(texts)
+        maybe = sk.bloom_might_contain(_bm, sk.mix64(h))
+        # definitely-new (bloom-negative): never shuffled — one count
+        # partial row per (batch, lang)
+        neg = pd.DataFrame({"lang": langs[~maybe]}) \
+            .groupby("lang", as_index=False).size()
+        neg_t = pa.table({
+            "h": pa.nulls(len(neg), pa.int64()),
+            "lang": pa.array(neg["lang"], pa.string()),
+            "pn": pa.array(neg["size"].to_numpy(np.int64), pa.int64()),
+            "_side": pa.array(np.full(len(neg), 2, np.int8)),
+            "_bucket": pa.array(np.zeros(len(neg), np.int32))},
+            schema=SCHEMA)
+        # maybe-dup survivors: pre-aggregated per (hash, lang)
+        sv = pd.DataFrame({"h": h[maybe].view(np.int64),
+                           "lang": langs[maybe]}) \
+            .groupby(["h", "lang"], as_index=False).size()
+        hs = pa.array(sv["h"].to_numpy(np.int64), pa.int64())
+        sv_t = pa.table({
+            "h": hs, "lang": pa.array(sv["lang"], pa.string()),
+            "pn": pa.array(sv["size"].to_numpy(np.int64), pa.int64()),
+            "_side": pa.array(np.ones(len(sv), np.int8)),
+            "_bucket": _bucket_of(pa.chunked_array([hs]), n_buckets)},
+            schema=SCHEMA)
+        return pa.concat_tables([neg_t, sv_t])
+
+    probe = _docs(sf_dir, ["doc_id", "lang", "text"]) \
+        .map_batches(probe_rows, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        bkeys = pc.unique(g.filter(pa.array(side == 0)).column("h"))
+        sv = g.filter(pa.array(side == 1))
+        dup_mask = pc.is_in(sv.column("h"), value_set=bkeys) \
+            .to_numpy(zero_copy_only=False)
+        rows = [pd.DataFrame({
+            "lang": sv.column("lang").to_pandas().to_numpy(),
+            "is_dup": dup_mask,
+            "pn": sv.column("pn").to_numpy(zero_copy_only=False)})]
+        neg = g.filter(pa.array(side == 2))
+        rows.append(pd.DataFrame({
+            "lang": neg.column("lang").to_pandas().to_numpy(),
+            "is_dup": np.zeros(neg.num_rows, dtype=bool),
+            "pn": neg.column("pn").to_numpy(zero_copy_only=False)}))
+        d = pd.concat(rows, ignore_index=True)
+        if d.empty:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "p_new": pa.array([], pa.int64()),
+                             "p_dup": pa.array([], pa.int64())})
+        pn = d["pn"].to_numpy(np.int64)
+        dup = d["is_dup"].to_numpy()
+        d["pn_new"] = np.where(dup, 0, pn)
+        d["pn_dup"] = np.where(dup, pn, 0)
+        a = d.groupby("lang", as_index=False).agg(
+            p_new=("pn_new", "sum"), p_dup=("pn_dup", "sum"))
+        return pa.table({"lang": pa.array(a["lang"], pa.string()),
+                         "p_new": pa.array(a["p_new"].to_numpy(np.int64)),
+                         "p_dup": pa.array(a["p_dup"].to_numpy(np.int64))})
+
+    out = _driver_combine(
+        build.map_batches(build_rows, batch_format="pyarrow")
+        .union(probe)
+        .groupby("_bucket").map_groups(merge, batch_format="pyarrow"),
+        ["lang"], {"n_new": ("p_new", "sum"), "n_dup": ("p_dup", "sum")},
+        sort_by=["lang"])
+    return out.astype({"n_new": "int64", "n_dup": "int64"})
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH old AS (
+  SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+  FROM documents WHERE doc_id % {INC_OLD_MOD} <> 0 AND text IS NOT NULL
+), new_shard AS (
+  SELECT lang, ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+  FROM documents WHERE doc_id % {INC_OLD_MOD} = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT lang, ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+  FROM documents
+  WHERE doc_id % {INC_OLD_MOD} <> 0 AND doc_id % {INC_RECRAWL_MOD} = 0
+        AND text IS NOT NULL
+), od AS (SELECT DISTINCT h FROM old)
+SELECT lang,
+       CAST(sum(CASE WHEN od.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN od.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup
+FROM new_shard LEFT JOIN od ON new_shard.h = od.h
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -3557,6 +3735,7 @@ QUERIES = {
     "corpus_split_counts": q_corpus_split_counts,
     "doc_cume_dist": q_doc_cume_dist,
     "passage_dup_pairs": q_passage_dup_pairs,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLE_SQL = {
@@ -3603,6 +3782,7 @@ ORACLE_SQL = {
     "corpus_split_counts": SQL_CORPUS_SPLIT_COUNTS,
     "doc_cume_dist": SQL_DOC_CUME_DIST,
     "passage_dup_pairs": SQL_PASSAGE_DUP_PAIRS,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
     "distinct_tokens": SQL_DISTINCT_TOKENS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,

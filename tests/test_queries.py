@@ -67,7 +67,7 @@ def test_all_oracle_keys_have_queries():
     "ann_topk_filtered", "stratified_fixed_sample", "running_totals",
     "heavy_hitter_ngrams", "dedup_groups_cc", "winnow_fingerprints",
     "source_lang_rollup", "corpus_split_counts", "doc_cume_dist",
-    "passage_dup_pairs",
+    "passage_dup_pairs", "incremental_dedup",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
