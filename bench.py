@@ -224,7 +224,8 @@ def run_bench() -> dict:
                      "decontaminate", "title_dedup_best",
                      "vocab_oov_stats", "running_totals",
                      "chars_quantiles_approx", "heavy_hitter_ngrams",
-                     "winnow_fingerprints", "dedup_groups_cc"]}
+                     "winnow_fingerprints", "dedup_groups_cc",
+                     "passage_dup_pairs", "incremental_dedup"]}
     ray.shutdown()
     return result
 
