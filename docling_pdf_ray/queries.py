@@ -3503,7 +3503,8 @@ INC_RECRAWL_MOD = 7        # re-crawl overlap: old docs with doc_id % 7
 INC_RECRAWL_OFFSET = 2_000_000
 
 
-def q_incremental_dedup(sf_dir: str, n_buckets: int = 64):
+def q_incremental_dedup(sf_dir: str, n_buckets: int = 64,
+                        bloom_bits: int = 0):
     """INCREMENTAL exact dedup — the corpus-maintenance job: a new
     crawl shard arrives and must be deduplicated AGAINST the existing
     corpus without rescanning it into a join. The old/new split and
@@ -3544,11 +3545,11 @@ def q_incremental_dedup(sf_dir: str, n_buckets: int = 64):
 
     def bloom_partial(batch: pa.Table) -> pa.Table:
         keys = batch.column("h").to_numpy(zero_copy_only=False)
-        bm = sk.bloom_add_hashes(sk.bloom_new(_BLOOM_BITS),
+        bm = sk.bloom_add_hashes(sk.bloom_new(bloom_bits or _BLOOM_BITS),
                                  sk.mix64(keys.astype(np.uint64)))
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
-    bm = sk.bloom_new(_BLOOM_BITS)
+    bm = sk.bloom_new(bloom_bits or _BLOOM_BITS)
     for b in build.map_batches(bloom_partial, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
         for payload in b.column("bm").to_pylist():

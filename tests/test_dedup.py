@@ -464,3 +464,19 @@ def test_passage_dup_pairs_catches_planted_and_respects_threshold(ray_session):
     assert len(planted) > 0
     for d in planted:
         assert (int(d), int(d) + q.PLANT_OFFSET) in got_pairs, d
+
+
+def test_incremental_dedup_exact_under_degenerate_bloom(ray_session):
+    """The Bloom-anti prefilter is a traffic optimization, never a
+    correctness input: a 64-bit bitmap (nearly every probe a false
+    positive -> almost everything takes the exact-verify co-shuffle)
+    must produce the IDENTICAL per-lang audit as the full-size
+    bitmap."""
+    import pandas as pd
+
+    from docling_pdf_ray import queries as q
+
+    full = q.q_incremental_dedup("/root/testdata/sf0.001")
+    tiny = q.q_incremental_dedup("/root/testdata/sf0.001", bloom_bits=64)
+    pd.testing.assert_frame_equal(full, tiny)
+    assert (full["n_dup"] > 0).any() and (full["n_new"] > 0).all()
