@@ -225,11 +225,14 @@ def mg_prune(items: np.ndarray, counts: np.ndarray,
     return items[keep], counts[keep] - thresh
 
 
-def mg_merge(a_items, a_counts, b_items, b_counts, k: int = MG_K):
-    """Merge two summaries: exact count addition by item, one prune."""
+def mg_combine(summaries, k: int = MG_K):
+    """N-way merge of MG summaries (iterable of (items, counts)
+    pairs): exact count addition by item, then ONE prune — the driver
+    combine of the per-block partials. A single final prune subtracts
+    at most one threshold, so the total undercount over any
+    partial-prune + combine composition stays <= n/(k+1)."""
     import pandas as pd
 
-    s = pd.concat([pd.Series(a_counts, index=a_items),
-                   pd.Series(b_counts, index=b_items)])
+    s = pd.concat([pd.Series(c, index=i) for i, c in summaries])
     s = s.groupby(level=0, sort=False).sum()
     return mg_prune(s.index.to_numpy(), s.to_numpy(np.int64), k)

@@ -3042,10 +3042,9 @@ def q_heavy_hitter_ngrams(sf_dir: str):
                   .iter_batches(batch_format="pandas"))
     if not frames:
         return OUT_EMPTY
-    merged = pd.concat(frames, ignore_index=True) \
-        .groupby("ngram", sort=False)["cnt"].sum()
-    cand_items, _ = sk.mg_prune(merged.index.to_numpy(),
-                                merged.to_numpy(np.int64))
+    cand_items, _ = sk.mg_combine(
+        [(f["ngram"].to_numpy(), f["cnt"].to_numpy(np.int64))
+         for f in frames])
     ref = ray.put(frozenset(cand_items))
 
     def verify_partial(batch: pa.Table) -> pa.Table:
@@ -3218,7 +3217,7 @@ def q_source_lang_rollup(sf_dir: str):
         ["source", "lang"],
         {"n_docs": ("p_n", "sum"), "sum_chars": ("p_chars", "sum")})
     fine["lvl"] = 0
-    by_source = fine.groupby("source", as_index=False)[
+    by_source = fine.groupby("source", as_index=False, dropna=False)[
         ["n_docs", "sum_chars"]].sum()
     by_source["lang"] = None
     by_source["lvl"] = 1
@@ -3274,7 +3273,7 @@ def q_corpus_split_counts(sf_dir: str):
             "split": split,
             "lang": batch.column("lang").to_pandas(),
             "n_chars": batch.column("n_chars").to_numpy(zero_copy_only=False)})
-        g = df.groupby(["split", "lang"], as_index=False) \
+        g = df.groupby(["split", "lang"], as_index=False, dropna=False) \
             .agg(p_n=("n_chars", "size"), p_chars=("n_chars", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -3334,11 +3333,15 @@ def q_doc_cume_dist(sf_dir: str):
         .map_batches(cnt_partial, batch_format="pyarrow"),
         ["lang", "n_chars"], {"n": ("p_n", "sum")})
     cdf = {}
-    for lang, grp in hist.groupby("lang", sort=False):
+    for lang, grp in hist.groupby("lang", sort=False, dropna=False):
         g = grp.sort_values("n_chars")
-        cdf[lang] = (g["n_chars"].to_numpy(np.int64),
-                     g["n"].to_numpy(np.int64).cumsum(),
-                     int(g["n"].sum()))
+        # NULL lang is a group like any other (SQL window semantics);
+        # normalize the NaN group key to None — NaN instances don't
+        # compare equal, so a NaN dict key would never be found again
+        cdf[None if pd.isna(lang) else lang] = (
+            g["n_chars"].to_numpy(np.int64),
+            g["n"].to_numpy(np.int64).cumsum(),
+            int(g["n"].sum()))
     ref = ray.put(cdf)
 
     def lookup(batch: pa.Table) -> pa.Table:
@@ -3349,8 +3352,12 @@ def q_doc_cume_dist(sf_dir: str):
         num = np.empty(len(vals), dtype=np.int64)
         den = np.empty(len(vals), dtype=np.int64)
         for lang in pd.unique(langs):
-            m = (langs == lang).to_numpy()
-            xs, cum, total = tables[lang]
+            if pd.isna(lang):
+                m = langs.isna().to_numpy()
+                xs, cum, total = tables[None]
+            else:
+                m = (langs == lang).to_numpy()
+                xs, cum, total = tables[lang]
             num[m] = cum[np.searchsorted(xs, vals[m], side="right") - 1]
             den[m] = total
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
@@ -3588,7 +3595,7 @@ def q_incremental_dedup(sf_dir: str, n_buckets: int = 64,
         # definitely-new (bloom-negative): never shuffled — one count
         # partial row per (batch, lang)
         neg = pd.DataFrame({"lang": langs[~maybe]}) \
-            .groupby("lang", as_index=False).size()
+            .groupby("lang", as_index=False, dropna=False).size()
         neg_t = pa.table({
             "h": pa.nulls(len(neg), pa.int64()),
             "lang": pa.array(neg["lang"], pa.string()),
@@ -3599,7 +3606,7 @@ def q_incremental_dedup(sf_dir: str, n_buckets: int = 64,
         # maybe-dup survivors: pre-aggregated per (hash, lang)
         sv = pd.DataFrame({"h": h[maybe].view(np.int64),
                            "lang": langs[maybe]}) \
-            .groupby(["h", "lang"], as_index=False).size()
+            .groupby(["h", "lang"], as_index=False, dropna=False).size()
         hs = pa.array(sv["h"].to_numpy(np.int64), pa.int64())
         sv_t = pa.table({
             "h": hs, "lang": pa.array(sv["lang"], pa.string()),
@@ -3638,7 +3645,7 @@ def q_incremental_dedup(sf_dir: str, n_buckets: int = 64,
         dup = d["is_dup"].to_numpy()
         d["pn_new"] = np.where(dup, 0, pn)
         d["pn_dup"] = np.where(dup, pn, 0)
-        a = d.groupby("lang", as_index=False).agg(
+        a = d.groupby("lang", as_index=False, dropna=False).agg(
             p_new=("pn_new", "sum"), p_dup=("pn_dup", "sum"))
         return pa.table({"lang": pa.array(a["lang"], pa.string()),
                          "p_new": pa.array(a["p_new"].to_numpy(np.int64)),

@@ -594,9 +594,8 @@ def test_misra_gries_superset_guarantee_and_partition_invariance():
             it, ct = sk.mg_prune(vc.index.to_numpy(),
                                  vc.to_numpy(np.int64), K)
             parts.append(pd.Series(ct, index=it))
-        merged = pd.concat(parts).groupby(level=0, sort=False).sum()
-        items, counts = sk.mg_prune(merged.index.to_numpy(),
-                                    merged.to_numpy(np.int64), K)
+        items, counts = sk.mg_combine(
+            [(p.index.to_numpy(), p.to_numpy(np.int64)) for p in parts], K)
         assert len(items) <= K
         est = pd.Series(counts, index=items)
         bound = n / (K + 1)
@@ -961,3 +960,43 @@ def test_running_totals_hostile_events_and_block_invariance(ray_session, tmp_pat
     finally:
         DataContext.get_current().target_max_block_size = old
     pd.testing.assert_frame_equal(got2, got)
+
+
+def test_null_lang_and_source_parity(ray_session, tmp_path):
+    """r3 review fix: NULL lang / NULL source are groups like any
+    other. The four late-r3 queries that groupby lang/source must
+    match DuckDB on a corpus WITH nulls (the gate corpus has none, so
+    only this test exercises the dropna=False discipline)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__
+
+    rng = np.random.RandomState(11)
+    n = 300
+    langs = np.array(["en", "de", None, "fr"], dtype=object)[
+        rng.randint(0, 4, n)]
+    srcs = np.array(["web", None, "news"], dtype=object)[
+        rng.randint(0, 3, n)]
+    words = [" ".join(f"w{rng.randint(0, 200)}" for _ in range(
+        rng.randint(6, 40))) for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(words, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(w) for w in words], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    queries, oracles = __ray_entry__.queries(), __ray_entry__.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path / 'documents.parquet'}')")
+    for name in ["doc_cume_dist", "corpus_split_counts",
+                 "source_lang_rollup", "incremental_dedup"]:
+        got = _normalize(_to_pandas(queries[name](str(tmp_path))))
+        want = _normalize(con.execute(oracles[name]).fetchdf())
+        assert len(got) == len(want), (name, len(got), len(want))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
