@@ -225,7 +225,9 @@ def run_bench() -> dict:
                      "vocab_oov_stats", "running_totals",
                      "chars_quantiles_approx", "heavy_hitter_ngrams",
                      "winnow_fingerprints", "dedup_groups_cc",
-                     "passage_dup_pairs", "incremental_dedup"]}
+                     "passage_dup_pairs", "incremental_dedup",
+                     "source_lang_rollup", "corpus_split_counts",
+                     "doc_cume_dist"]}
     ray.shutdown()
     return result
 
