@@ -3683,6 +3683,67 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_events_hourly_users_hll(sf_dir: str):
+    """GROUPED HLL — distinct users per tumbling hour as a mergeable
+    per-group sketch: the scale path for windowed distinct when the
+    (window, key) pair stream is itself too wide to shuffle (the exact
+    sibling ``events_hourly_users`` moves one row per distinct pair;
+    at 100 TB a hot window's key set alone can exceed a worker).
+    Per-batch, per-hour 4 KB register partials (``sketch.hll_*``,
+    mix64-hashed user ids) — at most (hours-in-batch × 4 KB) leaves
+    each block, ZERO shuffle at any cardinality; driver merge is an
+    elementwise max per hour (any merge tree ⇒ identical registers ⇒
+    run/parallelism-deterministic output). Hours whose events all have
+    null users emit an empty register and report 0, matching the exact
+    sibling's GROUP BY semantics.
+
+    Approximate by design (rows-only): the exact sibling is
+    SQL-checked green, and the per-hour estimate is pinned within the
+    HLL error band against it by test (small hours are near-exact via
+    the linear-counting correction)."""
+    import pandas as pd
+
+    from .functions import sketch as sk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch.column("ts"), unit="hour") \
+            .to_numpy(zero_copy_only=False)
+        users = batch.column("user_id")
+        valid = pc.is_valid(users).to_numpy(zero_copy_only=False)
+        uid = pc.fill_null(users, 0).to_numpy(zero_copy_only=False)
+        out_h, out_r = [], []
+        d = pd.DataFrame({"hour": hours, "uid": uid, "valid": valid})
+        for hour, grp in d.groupby("hour", sort=False):
+            reg = sk.hll_new()
+            ids = grp.loc[grp["valid"], "uid"].to_numpy(np.int64)
+            if len(ids):
+                reg = sk.hll_add_hashes(reg, sk.mix64(ids.astype(np.uint64)))
+            out_h.append(hour)
+            out_r.append(reg.tobytes())
+        return pa.table({
+            "hour_ts": pa.array(out_h, pa.timestamp("us")),
+            "reg": pa.array(out_r, pa.binary())})
+
+    parts = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "hour_ts": pd.Series([], dtype="datetime64[us]"),
+            "n_users_est": pd.Series([], dtype="int64")})
+    merged: dict = {}
+    for hour, payload in zip(parts["hour_ts"], parts["reg"]):
+        reg = np.frombuffer(payload, dtype=np.uint8)
+        merged[hour] = sk.hll_merge(merged[hour], reg) \
+            if hour in merged else reg
+    rows = sorted(merged.items())
+    est = [0 if not r.any() else int(round(sk.hll_count(r)))
+           for _, r in rows]
+    return pd.DataFrame({
+        "hour_ts": pd.Series([h for h, _ in rows], dtype="datetime64[us]"),
+        "n_users_est": pd.Series(est, dtype="int64")})
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -3744,6 +3805,7 @@ QUERIES = {
     "doc_cume_dist": q_doc_cume_dist,
     "passage_dup_pairs": q_passage_dup_pairs,
     "incremental_dedup": q_incremental_dedup,
+    "events_hourly_users_hll": q_events_hourly_users_hll,
 }
 
 ORACLE_SQL = {

@@ -1000,3 +1000,20 @@ def test_null_lang_and_source_parity(ray_session, tmp_path):
         assert len(got) == len(want), (name, len(got), len(want))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+def test_events_hourly_users_hll_tracks_exact_sibling(registry):
+    """Grouped HLL (rows-only): same hour set as the SQL-checked exact
+    sibling, every per-hour estimate within the HLL error band (P=12
+    std err ~1.6%; small hours near-exact via linear counting — allow
+    6% or +/-2 absolute), and deterministic across runs."""
+    queries, _ = registry
+    approx = _to_pandas(queries["events_hourly_users_hll"](SF))
+    exact = _to_pandas(queries["events_hourly_users"](SF))
+    m = exact.merge(approx, on="hour_ts", how="outer")
+    assert not m["n_users"].isna().any() and not m["n_users_est"].isna().any()
+    err = (m["n_users_est"] - m["n_users"]).abs()
+    assert ((err <= 2) | (err <= 0.06 * m["n_users"])).all(), \
+        m[~((err <= 2) | (err <= 0.06 * m["n_users"]))]
+    again = _to_pandas(queries["events_hourly_users_hll"](SF))
+    pd.testing.assert_frame_equal(approx, again)
