@@ -3744,6 +3744,145 @@ def q_events_hourly_users_hll(sf_dir: str):
         "n_users_est": pd.Series(est, dtype="int64")})
 
 
+PACK_BUDGET = 2048       # chars per training sequence (token proxy)
+PACK_SCAN_RANGE = 128    # docs per ordered range bucket of the scan
+
+
+def q_sequence_packing(sf_dir: str):
+    """GPT-style SEQUENCE PACKING assignment — concatenate the corpus
+    in deterministic doc_id order and cut fixed ``PACK_BUDGET``-char
+    training sequences; each doc gets the pack its first char lands in
+    and its offset within that pack (docs may straddle boundaries —
+    the standard concatenate-then-chunk packing of LM training
+    pipelines, cf. GPT-2/3 data prep). Row i's answer depends on the
+    total length of ALL docs before it, so this is a GLOBAL
+    (unpartitioned) prefix scan — the sibling of ``running_totals``'
+    keyed scan, and the only registry entry whose window has no
+    PARTITION BY at all.
+
+    Same Blelloch (1990) two-phase shape, zero data moved beyond ONE
+    co-shuffle: up-sweep = per-(range-bucket) char-sum partials
+    (tiny: rows / PACK_SCAN_RANGE ints), driver exclusive-prefix carry
+    broadcast once; down-sweep = co-shuffle by range bucket, per-bucket
+    sort by doc_id + vectorized exclusive cumsum seeded by the carry.
+    Integer arithmetic end-to-end (char counts are ints — any
+    partial/merge order is exact)."""
+    import ray
+    import pandas as pd
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(batch.column("doc_id"), PACK_SCAN_RANGE),
+                    pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": batch.column("n_chars"),
+                         "_bucket": b})
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .map_batches(add_cols, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("_bucket").aggregate([("n_chars", "sum")]) \
+            .rename_columns(["_bucket", "p_chars"])
+
+    parts = pd.concat(list(ds.map_batches(partial, batch_format="pyarrow")
+                           .iter_batches(batch_format="pandas")),
+                      ignore_index=True)
+    per_bucket = parts.groupby("_bucket", sort=True)["p_chars"].sum()
+    carry = per_bucket.cumsum().shift(1, fill_value=0)
+    off_ref = ray.put({int(k): int(v) for k, v in carry.items()})
+
+    def scan_group(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)[int(g["_bucket"].iloc[0])]
+        g = g.sort_values("doc_id").copy()
+        nch = g["n_chars"].to_numpy(np.int64)
+        excl = base + np.cumsum(nch) - nch
+        g["pack_id"] = excl // PACK_BUDGET
+        g["pack_off"] = excl % PACK_BUDGET
+        return g[["doc_id", "pack_id", "pack_off"]]
+
+    out = ds.groupby("_bucket").map_groups(scan_group, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS excl
+  FROM documents
+)
+SELECT doc_id, CAST(excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(excl % {PACK_BUDGET} AS BIGINT) AS pack_off
+FROM s ORDER BY doc_id
+"""
+
+
+DOMAIN_DOCS = 20   # synthetic host id = doc_id // 20: the domain count
+                   # GROWS with the corpus (the table has no url column;
+                   # at real scale this is the url's registered domain)
+DOMAIN_CAP = 5     # keep at most this many docs per domain
+
+
+def q_domain_cap(sf_dir: str, n_buckets: int = 32):
+    """PER-DOMAIN DOC CAP — keep at most ``DOMAIN_CAP`` docs per
+    registered domain (the C4/RefinedWeb-style anti-SEO measure: one
+    template-stamping host must not dominate the corpus). This is
+    grouped top-n at UNBOUNDED group cardinality — the domain set
+    grows with the corpus, so neither `top_docs_per_lang`'s
+    zero-shuffle partials (bounded groups) nor a driver-side merge can
+    hold it. Dataflow: narrow row-local projection (doc_id, domain, h)
+    → ONE bucketed shuffle co-locating each domain → per-bucket
+    vectorized rank (lexsort + cumcount, no window function, never
+    per-domain map_groups) → kept rows. Keep-order is the smallest
+    multiplicative hash (the sampling family's deterministic `_KNUTH`
+    permutation — a 'random' representative set, reproducible on any
+    engine), ties by doc_id."""
+    import pandas as pd
+
+    m32 = np.int64(1 << 32)
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        host = ids // DOMAIN_DOCS
+        d = np.mod(ids, m32).astype(np.uint64)
+        h = ((d * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
+        dom = np.char.add("host-", host.astype(np.int64).astype(str))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "domain": pa.array(dom, pa.string()),
+            "h": pa.array(h, pa.int64()),
+            "_bucket": pa.array(host % n_buckets, pa.int64())})
+
+    def cap_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["domain", "h", "doc_id"])
+        rn = g.groupby("domain", sort=False).cumcount()
+        return g.loc[rn.to_numpy() < DOMAIN_CAP, ["doc_id", "domain"]]
+
+    out = _docs(sf_dir, ["doc_id"]) \
+        .map_batches(add_cols, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(cap_group, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOMAIN_CAP = f"""
+WITH d AS (
+  SELECT doc_id,
+         'host-' || CAST(doc_id // {DOMAIN_DOCS} AS VARCHAR) AS domain,
+         CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296
+              AS HUGEINT) * {_KNUTH} % 4294967296 AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, domain FROM r WHERE rn <= {DOMAIN_CAP} ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -3806,6 +3945,8 @@ QUERIES = {
     "passage_dup_pairs": q_passage_dup_pairs,
     "incremental_dedup": q_incremental_dedup,
     "events_hourly_users_hll": q_events_hourly_users_hll,
+    "sequence_packing": q_sequence_packing,
+    "domain_cap": q_domain_cap,
 }
 
 ORACLE_SQL = {
@@ -3863,4 +4004,6 @@ ORACLE_SQL = {
     "ann_topk_filtered": SQL_ANN_TOPK_FILTERED,
     "stratified_fixed_sample": SQL_STRATIFIED_FIXED_SAMPLE,
     "running_totals": SQL_RUNNING_TOTALS,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
+    "domain_cap": SQL_DOMAIN_CAP,
 }

@@ -68,6 +68,7 @@ def test_all_oracle_keys_have_queries():
     "heavy_hitter_ngrams", "dedup_groups_cc", "winnow_fingerprints",
     "source_lang_rollup", "corpus_split_counts", "doc_cume_dist",
     "passage_dup_pairs", "incremental_dedup",
+    "sequence_packing", "domain_cap",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -1017,3 +1018,89 @@ def test_events_hourly_users_hll_tracks_exact_sibling(registry):
         m[~((err <= 2) | (err <= 0.06 * m["n_users"]))]
     again = _to_pandas(queries["events_hourly_users_hll"](SF))
     pd.testing.assert_frame_equal(approx, again)
+
+
+def test_sequence_packing_hostile_ids_and_block_invariance(ray_session, tmp_path):
+    """The global (unpartitioned) prefix scan behind sequence packing
+    must agree with DuckDB's window sum on HOSTILE doc_ids (sparse ids
+    with gaps crossing PACK_SCAN_RANGE bucket boundaries, whole empty
+    buckets, shuffled on-disk row order, zero-length docs) and be
+    invariant to block partitioning."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(7)
+    ids = np.sort(rng.choice(np.arange(0, 2000), size=700, replace=False))
+    perm = rng.permutation(len(ids))
+    nch = rng.randint(0, 900, len(ids)).astype(np.int64)
+    nch[rng.rand(len(ids)) < 0.05] = 0          # zero-length docs
+    t = pa.table({"doc_id": pa.array(ids[perm], pa.int64()),
+                  "n_chars": pa.array(nch[perm], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    want = duckdb.connect().execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet');"
+        + Q.SQL_SEQUENCE_PACKING).fetchdf()
+    assert len(want) == 700 and want["pack_id"].nunique() > 5
+
+    got = Q.q_sequence_packing(str(d))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False, check_exact=True)
+
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 4 * 1024
+        got2 = Q.q_sequence_packing(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
+
+
+def test_domain_cap_enforced_and_block_invariant(ray_session, tmp_path):
+    """Per-domain cap: never more than DOMAIN_CAP docs per domain, the
+    kept set is exactly DuckDB's row_number()<=cap set on hostile
+    sparse ids (partial domains, singleton domains), and the choice is
+    invariant to block partitioning (the rank must come from the
+    deterministic hash, not arrival order)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(13)
+    ids = np.sort(rng.choice(np.arange(0, 3000), size=900, replace=False))
+    perm = rng.permutation(len(ids))
+    t = pa.table({"doc_id": pa.array(ids[perm], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    want = duckdb.connect().execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet');"
+        + Q.SQL_DOMAIN_CAP).fetchdf()
+    got = Q.q_domain_cap(str(d))
+    assert got.groupby("domain").size().max() <= Q.DOMAIN_CAP
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False, check_exact=True)
+
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 4 * 1024
+        got2 = Q.q_domain_cap(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
