@@ -236,3 +236,65 @@ def mg_combine(summaries, k: int = MG_K):
     s = pd.concat([pd.Series(c, index=i) for i, c in summaries])
     s = s.groupby(level=0, sort=False).sum()
     return mg_prune(s.index.to_numpy(), s.to_numpy(np.int64), k)
+
+
+# ---------------------------------------------- count-min sketch
+# Frequency-estimation sketch (Cormode & Muthukrishnan, "An improved
+# data stream summary: the count-min sketch and its applications",
+# J. Algorithms 2005): a d×w counter matrix; each item adds its count
+# to one counter per row (row positions via Kirsch-Mitzenmacher double
+# hashing off one 64-bit item hash); the estimate is the MIN over
+# rows. Mergeable by elementwise ADDITION — each partial's counters
+# are exact sums over its slice, so any merge tree gives the identical
+# sketch (the HLL/bottom-k/MG discipline). Estimates NEVER
+# underestimate; the overestimate is ≤ e·N/w with probability
+# ≥ 1 − e^−d (N = total stream weight). Composed with Misra-Gries
+# (candidates = guaranteed heavy-hitter superset, CMS = their count
+# estimates) it answers approximate top-k with ZERO shuffle and
+# O(k + d·w) driver state.
+
+CMS_D = 4                  # rows → overestimate prob ≤ e^-4 ≈ 1.8%
+CMS_W = 1 << 14            # counters/row → overestimate ≤ e·N/16384
+
+
+def cms_new(d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    return np.zeros((d, w), dtype=np.int64)
+
+
+def _cms_positions(hashes: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, len(hashes)) counter columns via double hashing; odd h2 ⇒
+    full cycle against the power-of-two width (same argument as the
+    Bloom probes)."""
+    h = hashes.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    r = np.arange(d, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + r * h2[None, :]) % np.uint64(w)) \
+            .astype(np.int64)
+
+
+def cms_add_hashes(sk: np.ndarray, hashes: np.ndarray,
+                   counts: np.ndarray) -> np.ndarray:
+    if len(hashes) == 0:
+        return sk
+    pos = _cms_positions(hashes, sk.shape[0], sk.shape[1])
+    c = counts.astype(np.int64)
+    for r in range(sk.shape[0]):
+        np.add.at(sk[r], pos[r], c)
+    return sk
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query_hashes(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates (min over rows), vectorized over the probe set."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    pos = _cms_positions(hashes, sk.shape[0], sk.shape[1])
+    est = sk[0][pos[0]]
+    for r in range(1, sk.shape[0]):
+        est = np.minimum(est, sk[r][pos[r]])
+    return est.astype(np.int64)

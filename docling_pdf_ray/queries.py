@@ -3883,6 +3883,81 @@ SELECT doc_id, domain FROM r WHERE rn <= {DOMAIN_CAP} ORDER BY doc_id
 """
 
 
+def q_top_terms_approx(sf_dir: str, k: int = 20):
+    """APPROXIMATE corpus top-k terms by document frequency with ZERO
+    shuffle — the sketch-composition scale path for ``top_terms``
+    (whose exact answer pays a full-vocabulary distributed groupby):
+    Misra-Gries summaries give a GUARANTEED superset of the heavy
+    terms, a count-min sketch gives their df estimates (never
+    underestimates; overestimate ≤ e·N/w w.h.p.), both mergeable
+    per-block partials folded once on the driver. ONE streaming pass,
+    driver state O(MG_K + CMS_D·CMS_W) regardless of vocabulary or
+    corpus size.
+
+    Per-batch df partials are EXACT (each doc lives in exactly one
+    batch, so distinct-per-doc counts sum to the true global df across
+    partials — the same argument as ``top_terms``); the approximation
+    enters only through MG's value-pruning and CMS collisions.
+    Rows-only by design: at gate scale MG holds every term exactly
+    (vocab ≪ MG_K) and CMS is collision-free w.h.p., so the result
+    EQUALS the SQL-checked exact sibling — pinned by test, with the
+    never-underestimate / superset bounds pinned on hostile streams
+    in tests/test_queries.py and the sketch unit tests."""
+    import pandas as pd
+
+    from .functions import sketch as sk
+
+    EMPTY = pa.table({
+        "terms": pa.array([], pa.list_(pa.string())),
+        "counts": pa.array([], pa.list_(pa.int64())),
+        "cms": pa.array([], pa.binary())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        lowered = pc.ascii_lower(t.column("text").combine_chunks())
+        words = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy()
+        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        if len(flat) == 0:
+            return EMPTY
+        # distinct-per-doc, then exact per-batch df per term
+        d = pd.DataFrame({"term": flat, "doc": parent}).drop_duplicates()
+        g = d.groupby("term", sort=False).size()
+        terms = g.index.to_numpy(dtype=object)
+        dfs = g.to_numpy(np.int64)
+        mg_t, mg_c = sk.mg_prune(terms, dfs)
+        cms = sk.cms_add_hashes(
+            sk.cms_new(), pd.util.hash_array(terms, categorize=False), dfs)
+        return pa.table({
+            "terms": pa.array([list(mg_t)], pa.list_(pa.string())),
+            "counts": pa.array([list(mg_c)], pa.list_(pa.int64())),
+            "cms": pa.array([cms.tobytes()], pa.binary())})
+
+    parts = pd.concat(
+        list(_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pandas")), ignore_index=True)
+    if parts.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                             "df_est": pd.Series([], dtype="int64")})
+    cand, _ = sk.mg_combine(
+        [(np.asarray(ts, dtype=object), np.asarray(cs, dtype=np.int64))
+         for ts, cs in zip(parts["terms"], parts["counts"])])
+    cms = sk.cms_new()
+    for payload in parts["cms"]:
+        cms = sk.cms_merge(cms, np.frombuffer(payload, dtype=np.int64)
+                           .reshape(sk.CMS_D, sk.CMS_W))
+    est = sk.cms_query_hashes(
+        cms, pd.util.hash_array(np.asarray(cand, dtype=object),
+                                categorize=False))
+    out = pd.DataFrame({"term": cand, "df_est": est}) \
+        .sort_values(["df_est", "term"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"df_est": "int64"})
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -3947,6 +4022,7 @@ QUERIES = {
     "events_hourly_users_hll": q_events_hourly_users_hll,
     "sequence_packing": q_sequence_packing,
     "domain_cap": q_domain_cap,
+    "top_terms_approx": q_top_terms_approx,
 }
 
 ORACLE_SQL = {

@@ -1104,3 +1104,53 @@ def test_domain_cap_enforced_and_block_invariant(ray_session, tmp_path):
     finally:
         DataContext.get_current().target_max_block_size = old
     pd.testing.assert_frame_equal(got2, got)
+
+
+def test_top_terms_approx_equals_exact_at_gate_scale(registry):
+    """Zero-shuffle MG+CMS top terms (rows-only): at gate scale the
+    vocabulary fits MG exactly and CMS is collision-free, so the
+    result must EQUAL the SQL-checked exact sibling; and it must be
+    deterministic across runs."""
+    queries, _ = registry
+    approx = _to_pandas(queries["top_terms_approx"](SF))
+    exact = _to_pandas(queries["top_terms"](SF))
+    assert approx["term"].tolist() == exact["term"].tolist()
+    assert approx["df_est"].tolist() == exact["df"].tolist()
+    again = _to_pandas(queries["top_terms_approx"](SF))
+    pd.testing.assert_frame_equal(approx, again)
+
+
+def test_cms_never_underestimates_and_mg_superset_on_hostile_stream():
+    """Sketch bounds on a stream that actually stresses them: a
+    zipfian vocabulary far above the (shrunk) capacities. CMS point
+    estimates never underestimate; MG retains every phi-heavy item;
+    both sketches are merge-order invariant."""
+    import numpy as np
+    import pandas as pd
+
+    from docling_pdf_ray.functions import sketch as sk
+
+    rng = np.random.RandomState(42)
+    items = np.array([f"t{i}" for i in rng.zipf(1.3, 20000)], dtype=object)
+    u, c = np.unique(items, return_counts=True)
+    h = pd.util.hash_array(u, categorize=False)
+
+    small = sk.cms_add_hashes(sk.cms_new(4, 128), h, c)
+    est = sk.cms_query_hashes(small, h)
+    assert (est >= c).all()
+
+    # MG with tiny k: every item with freq > N/(k+1) must survive any
+    # split + combine
+    k = 15
+    n = int(c.sum())
+    mid = len(u) // 2
+    parts = [sk.mg_prune(u[:mid], c[:mid], k), sk.mg_prune(u[mid:], c[mid:], k)]
+    items2, _ = sk.mg_combine(parts, k)
+    heavy = set(u[c > n // (k + 1)])
+    assert heavy and heavy <= set(items2)
+
+    # merge-order invariance (CMS sum + MG value-prune are both
+    # order-free): reversed partials give the identical result
+    items3, counts3 = sk.mg_combine(parts[::-1], k)
+    i2, c2 = sk.mg_combine(parts, k)
+    assert sorted(zip(items3, counts3)) == sorted(zip(i2, c2))
