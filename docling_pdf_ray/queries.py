@@ -3958,6 +3958,163 @@ def q_top_terms_approx(sf_dir: str, k: int = 20):
     return out.reset_index(drop=True).astype({"df_est": "int64"})
 
 
+PR_SCALE = 1_000_000     # fixed-point rank unit (integer PageRank)
+PR_ITERS = 3             # power-iteration rounds (unrolled in the SQL)
+PR_DAMP_NUM = 85         # damping 0.85 as an exact integer ratio
+PR_BASE = (100 - PR_DAMP_NUM) * PR_SCALE // 100
+
+
+def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
+    """HOST-GRAPH RANK PROPAGATION — PageRank (Brin & Page 1998) over
+    a link graph synthesized deterministically from the corpus (each
+    doc contributes one src→dst host edge; the table has no html link
+    column, at real scale the edges come from the extractor's anchor
+    spans), in EXACT INTEGER FIXED-POINT arithmetic: every doc's rank
+    flow is ``w · (r // deg)`` and the update is
+    ``BASE + DAMP·Σ // 100`` — integer sums are associative, so any
+    block layout, merge order or engine computes bit-identical ranks,
+    and the whole iteration is SQL-expressible (unrolled CTEs), unlike
+    float PageRank whose sum order diverges in the last bits. The mass
+    lost to // floors is the documented price of exactness.
+
+    This is the registry's iterative GRAPH dataflow at unbounded node
+    cardinality (k-means iterates with O(k·dim) driver state;
+    connected components has no per-round numeric state): nodes, edges
+    and ranks all live in the object store as Datasets; the driver
+    holds O(1). Per iteration exactly TWO exchanges:
+
+      1. ranks ⋈ edges co-shuffled by src (``bucketed_hash_join``),
+         contributions pre-aggregated per batch by dst (the combiner
+         pattern) before they move;
+      2. contributions co-shuffled by dst (bucketed groupby) + a
+         right join against the node set so zero-indegree nodes keep
+         BASE rank (they still push rank OUT next round — dropping
+         them would corrupt their neighbours).
+
+    The aggregated edge table (src, dst, w, deg) is built ONCE (one
+    shuffle co-locating each src: multi-edge weights and out-degrees
+    are exact per bucket) and MATERIALIZED, as are the node set and
+    each iteration's rank frontier — the iterative-dataflow
+    checkpoint discipline: a lazy frontier would re-execute every
+    prior round's shuffles on each reuse."""
+    import pandas as pd
+
+    from .functions.joins import bucketed_hash_join
+
+    h_hosts = int(_docs(sf_dir, ["doc_id"]).max("doc_id")) // DOMAIN_DOCS + 1
+    m32 = np.int64(1 << 32)
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = ids // DOMAIN_DOCS
+        d = np.mod(ids, m32).astype(np.uint64)
+        dst = (((d * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
+               % h_hosts)
+        g = pd.DataFrame({"node": src, "dst": dst}) \
+            .groupby(["node", "dst"], as_index=False).size()
+        return pa.table({"node": pa.array(g["node"].to_numpy(np.int64)),
+                         "dst": pa.array(g["dst"].to_numpy(np.int64)),
+                         "pw": pa.array(g["size"].to_numpy(np.int64)),
+                         "_bucket": pa.array(g["node"].to_numpy(np.int64)
+                                             % n_buckets)})
+
+    def build_edges(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.groupby(["node", "dst"], as_index=False)["pw"].sum() \
+            .rename(columns={"pw": "w"})
+        deg = e.groupby("node")["w"].sum().rename("deg")
+        return e.join(deg, on="node")[["node", "dst", "w", "deg"]]
+
+    edges = _docs(sf_dir, ["doc_id"]) \
+        .map_batches(edge_partial, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(build_edges, batch_format="pandas") \
+        .materialize()
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch.column("node").to_numpy(zero_copy_only=False),
+            batch.column("dst").to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "_bucket": pa.array(u % n_buckets)})
+
+    nodes = edges.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(
+            lambda g: g.drop_duplicates("node")[["node"]],
+            batch_format="pandas") \
+        .materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column("r", pa.array(
+            np.full(b.num_rows, PR_SCALE, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+
+    def contrib_partial(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        deg = batch.column("deg").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"node": dst, "c": w * (r // deg)}) \
+            .groupby("node", as_index=False)["c"].sum()
+        return pa.table({"node": pa.array(g["node"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64)),
+                         "_bucket": pa.array(g["node"].to_numpy(np.int64)
+                                             % n_buckets)})
+
+    def apply_update(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch.column("s"), 0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": batch.column("node"),
+            "r": pa.array(PR_BASE + PR_DAMP_NUM * s // 100, pa.int64())})
+
+    for _ in range(PR_ITERS):
+        j = bucketed_hash_join(edges, ranks, "node",
+                               n_buckets=n_buckets, how="inner")
+        sums = j.map_batches(contrib_partial, batch_format="pyarrow") \
+            .groupby("_bucket").map_groups(
+                lambda g: g.groupby("node", as_index=False)["c"].sum()
+                .rename(columns={"c": "s"}),
+                batch_format="pandas")
+        ranks = bucketed_hash_join(sums, nodes, "node",
+                                   n_buckets=n_buckets, how="right") \
+            .map_batches(apply_update, batch_format="pyarrow") \
+            .materialize()
+
+    out = ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    return out.astype({"node": "int64", "r": "int64"})
+
+
+def _pr_sql() -> str:
+    base = f"""
+WITH params AS (SELECT max(doc_id) // {DOMAIN_DOCS} + 1 AS h FROM documents),
+raw AS (
+  SELECT doc_id // {DOMAIN_DOCS} AS src,
+         CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296
+              AS HUGEINT) * {_KNUTH} % 4294967296 AS BIGINT)
+           % (SELECT h FROM params) AS dst
+  FROM documents
+),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM raw GROUP BY src, dst),
+deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    for t in range(1, PR_ITERS + 1):
+        base += f""",
+c{t} AS (SELECT e.dst AS node,
+                CAST(sum(e.w * (r.r // d.deg)) AS BIGINT) AS s
+         FROM edges e
+         JOIN r{t - 1} r ON r.node = e.src
+         JOIN deg d ON d.src = e.src
+         GROUP BY e.dst),
+r{t} AS (SELECT n.node,
+                CAST({PR_BASE} + {PR_DAMP_NUM} * coalesce(c.s, 0) // 100
+                     AS BIGINT) AS r
+         FROM nodes n LEFT JOIN c{t} c USING (node))"""
+    return base + f"\nSELECT node, r FROM r{PR_ITERS} ORDER BY node"
+
+
+SQL_LINK_PAGERANK = _pr_sql()
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -4023,6 +4180,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "domain_cap": q_domain_cap,
     "top_terms_approx": q_top_terms_approx,
+    "link_pagerank": q_link_pagerank,
 }
 
 ORACLE_SQL = {
@@ -4082,4 +4240,5 @@ ORACLE_SQL = {
     "running_totals": SQL_RUNNING_TOTALS,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "domain_cap": SQL_DOMAIN_CAP,
+    "link_pagerank": SQL_LINK_PAGERANK,
 }

@@ -68,7 +68,7 @@ def test_all_oracle_keys_have_queries():
     "heavy_hitter_ngrams", "dedup_groups_cc", "winnow_fingerprints",
     "source_lang_rollup", "corpus_split_counts", "doc_cume_dist",
     "passage_dup_pairs", "incremental_dedup",
-    "sequence_packing", "domain_cap",
+    "sequence_packing", "domain_cap", "link_pagerank",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -1154,3 +1154,44 @@ def test_cms_never_underestimates_and_mg_superset_on_hostile_stream():
     items3, counts3 = sk.mg_combine(parts[::-1], k)
     i2, c2 = sk.mg_combine(parts, k)
     assert sorted(zip(items3, counts3)) == sorted(zip(i2, c2))
+
+
+def test_link_pagerank_hostile_graph_and_block_invariance(ray_session, tmp_path):
+    """Integer fixed-point PageRank must agree with the unrolled SQL
+    on a HOSTILE graph (sparse doc_ids → hosts of wildly different
+    sizes, dangling dst-only hosts, zero-indegree hosts) and be
+    invariant to block partitioning (integer flows are associative —
+    any layout must produce bit-identical ranks)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(23)
+    ids = np.sort(rng.choice(np.arange(0, 4000), size=800, replace=False))
+    t = pa.table({"doc_id": pa.array(ids[rng.permutation(len(ids))],
+                                     pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    want = duckdb.connect().execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet');"
+        + Q.SQL_LINK_PAGERANK).fetchdf()
+    got = Q.q_link_pagerank(str(d))
+    assert len(got) == len(want) and got["r"].min() >= Q.PR_BASE
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False, check_exact=True)
+
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 4 * 1024
+        got2 = Q.q_link_pagerank(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
