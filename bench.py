@@ -227,7 +227,9 @@ def run_bench() -> dict:
                      "winnow_fingerprints", "dedup_groups_cc",
                      "passage_dup_pairs", "incremental_dedup",
                      "source_lang_rollup", "corpus_split_counts",
-                     "doc_cume_dist"]}
+                     "doc_cume_dist", "sequence_packing", "domain_cap",
+                     "top_terms_approx", "link_pagerank",
+                     "range_sort_audit"]}
     ray.shutdown()
     return result
 

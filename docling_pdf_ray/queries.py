@@ -3970,38 +3970,49 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
     doc contributes one src→dst host edge; the table has no html link
     column, at real scale the edges come from the extractor's anchor
     spans), in EXACT INTEGER FIXED-POINT arithmetic: every doc's rank
-    flow is ``w · (r // deg)`` and the update is
-    ``BASE + DAMP·Σ // 100`` — integer sums are associative, so any
-    block layout, merge order or engine computes bit-identical ranks,
-    and the whole iteration is SQL-expressible (unrolled CTEs), unlike
-    float PageRank whose sum order diverges in the last bits. The mass
-    lost to // floors is the documented price of exactness.
+    flow is ``w · (r // deg)``, the update is ``BASE + DAMP·Σ // 100``
+    and ranks start at the teleport mass BASE — integer sums are
+    associative, so any block layout, merge order or engine computes
+    bit-identical ranks, and the whole iteration is SQL-expressible
+    (unrolled CTEs), unlike float PageRank whose sum order diverges in
+    the last bits. The mass lost to // floors is the documented price
+    of exactness. Magnitudes stay far below 2^53, so the pandas
+    null-union float64 intermediate is lossless (the joins-module
+    constraint, documented there).
 
     This is the registry's iterative GRAPH dataflow at unbounded node
     cardinality (k-means iterates with O(k·dim) driver state;
-    connected components has no per-round numeric state): nodes, edges
-    and ranks all live in the object store as Datasets; the driver
-    holds O(1). Per iteration exactly TWO exchanges:
+    connected components has no per-round numeric state): the whole
+    frontier lives in the object store as ONE Dataset; the driver
+    holds O(1). Each round is ONE bucketed co-shuffle of that single
+    self-contained state — the Pregel/vertex-centric superstep with
+    the rank update FUSED into the same exchange that computes the
+    next flows (``functions/cc.py``'s iteration discipline: transform
+    → ``materialize()`` per round to cut lineage; an earlier
+    formulation that unioned three datasets per round re-executed the
+    upstream plan each round and measured 3× slower with per-round
+    cost GROWING — unions over materialized datasets do not cut
+    lineage the way a materialized state does):
 
-      1. ranks ⋈ edges co-shuffled by src (``bucketed_hash_join``),
-         contributions pre-aggregated per batch by dst (the combiner
-         pattern) before they move;
-      2. contributions co-shuffled by dst (bucketed groupby) + a
-         right join against the node set so zero-indegree nodes keep
-         BASE rank (they still push rank OUT next round — dropping
-         them would corrupt their neighbours).
+      state rows = out-edges (node, dst, w, deg) ∪ per-node zero rows
+      ∪ last round's contributions, co-located by node bucket;
+      superstep: r_t(node) = BASE + 85·Σs//100 over the bucket's
+      s-rows (zero rows make EVERY node rank-bearing — zero-indegree
+      nodes keep BASE and still push rank out; extra zero copies are
+      harmless, adding 0 inside the per-bucket groupby, so the node
+      set never needs its own dedup shuffle) → attach r_t to the
+      bucket's edges → emit the edges UNCHANGED (pass-through), fresh
+      zero rows, and per-dst PRE-COMBINED contribution partials (the
+      combiner pattern: only (bucket × distinct-dst) narrow rows are
+      new each round).
 
-    The aggregated edge table (src, dst, w, deg) is built ONCE (one
-    shuffle co-locating each src: multi-edge weights and out-degrees
-    are exact per bucket) and MATERIALIZED, as are the node set and
-    each iteration's rank frontier — the iterative-dataflow
-    checkpoint discipline: a lazy frontier would re-execute every
-    prior round's shuffles on each reuse."""
+    A final exchange turns the last contributions into ranks. Total:
+    T+2 executions, each a single narrow shuffle. Host count comes
+    from the parquet footer's exact column statistics (zero data
+    pages read), with a streaming max() fallback."""
     import pandas as pd
 
-    from .functions.joins import bucketed_hash_join
-
-    h_hosts = int(_docs(sf_dir, ["doc_id"]).max("doc_id")) // DOMAIN_DOCS + 1
+    h_hosts = _max_doc_id(sf_dir) // DOMAIN_DOCS + 1
     m32 = np.int64(1 << 32)
 
     def edge_partial(batch: pa.Table) -> pa.Table:
@@ -4018,68 +4029,100 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
                          "_bucket": pa.array(g["node"].to_numpy(np.int64)
                                              % n_buckets)})
 
-    def build_edges(g: pd.DataFrame) -> pd.DataFrame:
+    def _state_table(node, dst, w, deg, s) -> pa.Table:
+        n = len(node)
+
+        def col(x):
+            return pa.nulls(n, pa.int64()) if x is None \
+                else pa.array(np.asarray(x, dtype=np.int64))
+        return pa.table({"node": col(node), "dst": col(dst), "w": col(w),
+                         "deg": col(deg),
+                         "_bucket": pa.array(np.asarray(node, np.int64)
+                                             % np.int64(n_buckets)),
+                         "s": col(s)})
+
+    def build_state(g: pd.DataFrame) -> pa.Table:
+        # per src-bucket: exact multi-edge weights + out-degrees, plus
+        # candidate zero rows for every endpoint seen here (duplicates
+        # across buckets are harmless by the Σ+0 argument above)
         e = g.groupby(["node", "dst"], as_index=False)["pw"].sum() \
             .rename(columns={"pw": "w"})
         deg = e.groupby("node")["w"].sum().rename("deg")
-        return e.join(deg, on="node")[["node", "dst", "w", "deg"]]
+        e = e.join(deg, on="node")
+        nodes = np.unique(np.concatenate([
+            e["node"].to_numpy(np.int64), e["dst"].to_numpy(np.int64)]))
+        return pa.concat_tables([
+            _state_table(e["node"].to_numpy(np.int64),
+                         e["dst"].to_numpy(np.int64),
+                         e["w"].to_numpy(np.int64),
+                         e["deg"].to_numpy(np.int64), None),
+            _state_table(nodes, None, None, None,
+                         np.zeros(len(nodes), dtype=np.int64))])
 
-    edges = _docs(sf_dir, ["doc_id"]) \
+    state = _docs(sf_dir, ["doc_id"]) \
         .map_batches(edge_partial, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(build_edges, batch_format="pandas") \
+        .groupby("_bucket").map_groups(build_state, batch_format="pandas") \
         .materialize()
 
-    def node_partial(batch: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            batch.column("node").to_numpy(zero_copy_only=False),
-            batch.column("dst").to_numpy(zero_copy_only=False)]))
-        return pa.table({"node": pa.array(u, pa.int64()),
-                         "_bucket": pa.array(u % n_buckets)})
+    def _ranks_of(g: pd.DataFrame) -> pd.DataFrame:
+        has_s = g["s"].notna().to_numpy()
+        agg = g.loc[has_s].groupby("node", as_index=False)["s"].sum()
+        return pd.DataFrame({
+            "node": agg["node"].to_numpy(np.int64),
+            "r": PR_BASE
+            + PR_DAMP_NUM * agg["s"].to_numpy(np.int64) // 100})
 
-    nodes = edges.map_batches(node_partial, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(
-            lambda g: g.drop_duplicates("node")[["node"]],
-            batch_format="pandas") \
-        .materialize()
-
-    ranks = nodes.map_batches(
-        lambda b: b.append_column("r", pa.array(
-            np.full(b.num_rows, PR_SCALE, dtype=np.int64))),
-        batch_format="pyarrow").materialize()
-
-    def contrib_partial(batch: pa.Table) -> pa.Table:
-        w = batch.column("w").to_numpy(zero_copy_only=False)
-        r = batch.column("r").to_numpy(zero_copy_only=False)
-        deg = batch.column("deg").to_numpy(zero_copy_only=False)
-        dst = batch.column("dst").to_numpy(zero_copy_only=False)
-        g = pd.DataFrame({"node": dst, "c": w * (r // deg)}) \
-            .groupby("node", as_index=False)["c"].sum()
-        return pa.table({"node": pa.array(g["node"].to_numpy(np.int64)),
-                         "c": pa.array(g["c"].to_numpy(np.int64)),
-                         "_bucket": pa.array(g["node"].to_numpy(np.int64)
-                                             % n_buckets)})
-
-    def apply_update(batch: pa.Table) -> pa.Table:
-        s = pc.fill_null(batch.column("s"), 0).to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": batch.column("node"),
-            "r": pa.array(PR_BASE + PR_DAMP_NUM * s // 100, pa.int64())})
+    def superstep(g: pd.DataFrame) -> pa.Table:
+        ranks = _ranks_of(g)
+        nodes = ranks["node"].to_numpy(np.int64)
+        pieces = [_state_table(nodes, None, None, None,
+                               np.zeros(len(nodes), dtype=np.int64))]
+        is_edge = g["dst"].notna().to_numpy()
+        e = g.loc[is_edge]
+        if len(e):
+            pieces.append(_state_table(        # edges pass through
+                e["node"].to_numpy(np.int64), e["dst"].to_numpy(np.int64),
+                e["w"].to_numpy(np.int64), e["deg"].to_numpy(np.int64),
+                None))
+            rmap = pd.Series(ranks["r"].to_numpy(), index=nodes)
+            src = e["node"].to_numpy(np.int64)
+            r = rmap.reindex(src).to_numpy(np.int64)
+            c = e["w"].to_numpy(np.int64) * (r // e["deg"].to_numpy(np.int64))
+            out = pd.DataFrame({"node": e["dst"].to_numpy(np.int64),
+                                "c": c}).groupby("node", as_index=False)["c"].sum()
+            pieces.append(_state_table(out["node"].to_numpy(np.int64),
+                                       None, None, None,
+                                       out["c"].to_numpy(np.int64)))
+        return pa.concat_tables(pieces)
 
     for _ in range(PR_ITERS):
-        j = bucketed_hash_join(edges, ranks, "node",
-                               n_buckets=n_buckets, how="inner")
-        sums = j.map_batches(contrib_partial, batch_format="pyarrow") \
-            .groupby("_bucket").map_groups(
-                lambda g: g.groupby("node", as_index=False)["c"].sum()
-                .rename(columns={"c": "s"}),
-                batch_format="pandas")
-        ranks = bucketed_hash_join(sums, nodes, "node",
-                                   n_buckets=n_buckets, how="right") \
-            .map_batches(apply_update, batch_format="pyarrow") \
-            .materialize()
+        state = state.groupby("_bucket") \
+            .map_groups(superstep, batch_format="pandas").materialize()
 
-    out = ranks.to_pandas().sort_values("node").reset_index(drop=True)
-    return out.astype({"node": "int64", "r": "int64"})
+    final = state.groupby("_bucket") \
+        .map_groups(_ranks_of, batch_format="pandas").to_pandas()
+    final = final.sort_values("node").reset_index(drop=True)
+    return final.astype({"node": "int64", "r": "int64"})
+
+
+def _max_doc_id(sf_dir: str) -> int:
+    """Exact max(doc_id) from the parquet footer's row-group column
+    statistics — zero data pages read at any corpus size; falls back
+    to a streaming Dataset max() if any row group lacks stats."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    idx = f.schema_arrow.get_field_index("doc_id")
+    mx = None
+    for i in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(i).column(idx).statistics
+        if st is None or not st.has_min_max:
+            mx = None
+            break
+        mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:
+        mx = int(_docs(sf_dir, ["doc_id"]).max("doc_id"))
+    return int(mx)
 
 
 def _pr_sql() -> str:
@@ -4096,7 +4139,7 @@ edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
           FROM raw GROUP BY src, dst),
 deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM edges GROUP BY src),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+r0 AS (SELECT node, CAST({PR_BASE} AS BIGINT) AS r FROM nodes)"""
     for t in range(1, PR_ITERS + 1):
         base += f""",
 c{t} AS (SELECT e.dst AS node,
@@ -4113,6 +4156,101 @@ r{t} AS (SELECT n.node,
 
 
 SQL_LINK_PAGERANK = _pr_sql()
+
+
+SORT_PARTS = 8           # range partitions of the distributed sort
+
+
+def q_range_sort_audit(sf_dir: str, p: int = SORT_PARTS):
+    """DISTRIBUTED SORT via range partitioning (the TeraSort recipe:
+    O'Malley 2008; Spark/Flink's sort-shuffle partitioner) — the audit
+    of the one wide primitive the registry deliberately avoids
+    elsewhere (`top_orders` replaced a global sort with partials; this
+    entry IS the scalable global-sort story for when the full sorted
+    output is the product, e.g. writing a corpus ordered by length for
+    curriculum batching).
+
+    Pass 1 (ZERO shuffle): exact (n_chars, count) histogram partials →
+    driver-combined global CDF (value-domain-bounded — the
+    chars_quantiles argument) → P−1 integer cutpoints
+    (bound_i = smallest v with cum(v)·P ≥ i·N). At an unbounded value
+    domain the same two-phase shape holds with the bottom-k sample
+    sketch supplying approximate bounds (`chars_quantiles_approx`);
+    the exact path is used here so the oracle is value-exact.
+    Pass 2 (row-local): partition = #{bounds ≤ n_chars} via
+    searchsorted — each row knows its output partition with NO
+    comparison against other rows; per-(partition) count/min/max
+    partials driver-combine (P is bounded).
+
+    Output is the per-partition audit (n_rows, min_chars, max_chars);
+    the range-partition invariant — max(part i) ≤ min(part i+1), so
+    per-partition local sorts concatenate into the global sort with no
+    merge step — is pinned by test. Duplicate boundary values cannot
+    be split by a value partitioner (ties share a partition); the
+    resulting imbalance is inherent and visible in the audit."""
+    import ray
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"n_chars": batch.column("n_chars")}) \
+            .group_by("n_chars").aggregate([([], "count_all")])
+        return g.rename_columns(["n_chars", "p_n"])
+
+    hist = _driver_combine(
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(cnt_partial, batch_format="pyarrow"),
+        ["n_chars"], {"n": ("p_n", "sum")}).sort_values("n_chars")
+    xs = hist["n_chars"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n_total = int(cum[-1]) if len(cum) else 0
+    bounds = np.array([], dtype=np.int64) if n_total == 0 else np.array(
+        [xs[np.searchsorted(cum * p, i * n_total, side="left")]
+         for i in range(1, p)], dtype=np.int64)
+    b_ref = ray.put(bounds)
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        bs = ray.get(b_ref)
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bs, v, side="right").astype(np.int64)
+        t = pa.table({"part": pa.array(part), "n_chars": pa.array(v)})
+        g = t.group_by("part").aggregate(
+            [([], "count_all"), ("n_chars", "min"), ("n_chars", "max")])
+        cols = {c: g.column(c) for c in g.column_names}
+        return pa.table({"part": cols["part"], "p_n": cols["count_all"],
+                         "p_min": cols["n_chars_min"],
+                         "p_max": cols["n_chars_max"]})
+
+    out = _driver_combine(
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(assign_partial, batch_format="pyarrow"),
+        ["part"], {"n_rows": ("p_n", "sum"), "min_chars": ("p_min", "min"),
+                   "max_chars": ("p_max", "max")}, sort_by=["part"])
+    return out.astype({"part": "int64", "n_rows": "int64",
+                       "min_chars": "int64", "max_chars": "int64"})
+
+
+SQL_RANGE_SORT_AUDIT = f"""
+WITH h AS (
+  SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+), cdf AS (
+  SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum,
+         (SELECT count(*) FROM documents) AS n
+  FROM h
+), bounds AS (
+  SELECT i.i, min(cdf.n_chars) AS v
+  FROM (SELECT unnest(range(1, {SORT_PARTS})) AS i) i
+  JOIN cdf ON cdf.cum * {SORT_PARTS} >= i.i * cdf.n
+  GROUP BY i.i
+), assigned AS (
+  SELECT d.n_chars,
+         (SELECT count(*) FROM bounds b WHERE b.v <= d.n_chars) AS part
+  FROM documents d
+)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM assigned GROUP BY part ORDER BY part
+"""
 
 
 QUERIES = {
@@ -4181,6 +4319,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "top_terms_approx": q_top_terms_approx,
     "link_pagerank": q_link_pagerank,
+    "range_sort_audit": q_range_sort_audit,
 }
 
 ORACLE_SQL = {
@@ -4241,4 +4380,5 @@ ORACLE_SQL = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "domain_cap": SQL_DOMAIN_CAP,
     "link_pagerank": SQL_LINK_PAGERANK,
+    "range_sort_audit": SQL_RANGE_SORT_AUDIT,
 }

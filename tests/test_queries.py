@@ -68,7 +68,7 @@ def test_all_oracle_keys_have_queries():
     "heavy_hitter_ngrams", "dedup_groups_cc", "winnow_fingerprints",
     "source_lang_rollup", "corpus_split_counts", "doc_cume_dist",
     "passage_dup_pairs", "incremental_dedup",
-    "sequence_packing", "domain_cap", "link_pagerank",
+    "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -1192,6 +1192,56 @@ def test_link_pagerank_hostile_graph_and_block_invariance(ray_session, tmp_path)
     try:
         DataContext.get_current().target_max_block_size = 4 * 1024
         got2 = Q.q_link_pagerank(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
+
+
+def test_range_sort_audit_invariant_and_hostile_duplicates(ray_session, tmp_path):
+    """Range-partitioned sort audit: the range invariant
+    max(part i) <= min(part i+1) must hold (so per-partition local
+    sorts concatenate into the global sort), DuckDB must agree on a
+    HOSTILE value distribution (one value holding 40% of rows straddles
+    a cutpoint; sparse extremes), and the audit must be block-layout
+    invariant."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(31)
+    vals = np.concatenate([
+        np.full(400, 77, dtype=np.int64),            # 40% duplicates
+        rng.randint(0, 5000, 580).astype(np.int64),
+        np.array([0, 0, 10**7], dtype=np.int64),     # sparse extremes
+        np.full(17, 77, dtype=np.int64)])
+    t = pa.table({"doc_id": pa.array(np.arange(len(vals)), pa.int64()),
+                  "n_chars": pa.array(vals[rng.permutation(len(vals))],
+                                      pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    want = duckdb.connect().execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet');"
+        + Q.SQL_RANGE_SORT_AUDIT).fetchdf()
+    got = Q.q_range_sort_audit(str(d))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False, check_exact=True)
+    # the concatenation invariant of range partitioning
+    assert (got["max_chars"].to_numpy()[:-1]
+            <= got["min_chars"].to_numpy()[1:]).all()
+    assert got["n_rows"].sum() == len(vals)
+
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 4 * 1024
+        got2 = Q.q_range_sort_audit(str(d))
     finally:
         DataContext.get_current().target_max_block_size = old
     pd.testing.assert_frame_equal(got2, got)
