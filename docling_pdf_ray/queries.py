@@ -4253,6 +4253,123 @@ FROM assigned GROUP BY part ORDER BY part
 """
 
 
+WM_JITTER_S = 7200     # synthesized ingestion delay: 0..2h per event
+WM_LATE_S = 1800       # allowed lateness under the watermark: 30 min
+WM_SENTINEL = -(1 << 62)   # "no preceding row" (SQL NULL watermark)
+
+
+def q_late_event_counts(sf_dir: str):
+    """WATERMARK / LATE-DATA ACCOUNTING — the streaming-systems
+    semantics every windowed aggregate needs at scale (Akidau et al.,
+    "The Dataflow Model", VLDB 2015): an event is LATE when it arrives
+    after the watermark — the max event-time already seen — has passed
+    its timestamp by more than the allowed lateness. The events table
+    is ordered, so ingestion disorder is synthesized deterministically
+    (arrival = ts + hash(event_id) % 2h — TIME-based jitter, so the
+    late fraction is event-density-free and non-degenerate at every
+    scale), mirrored exactly in SQL.
+
+    The watermark is a RUNNING MAX over arrival order — the prefix
+    scan with the max monoid (``running_totals`` is the same Blelloch
+    1990 two-phase shape with sum): up-sweep = per-(arrival-day) max
+    event-time partials, tiny; driver exclusive prefix-MAX carry over
+    the day sequence (all rows of an earlier arrival day precede all
+    rows of a later one, so a day's carry covers exactly its preceding
+    rows), broadcast once; down-sweep = ONE co-shuffle by arrival day,
+    per-day vectorized sort + cummax seeded by the carry, late flags
+    and per-type partial counts emitted (types bounded → driver
+    combine). Day granularity bounds bucket count by CALENDAR time,
+    not corpus size; at higher event rates the same scan runs on hour
+    buckets. Timestamps ride as int64 microseconds; the first row in
+    global arrival order has no watermark (SQL NULL) — the engine's
+    sentinel reproduces 'never late' exactly."""
+    import ray
+    import pandas as pd
+
+    m32 = np.int64(1 << 32)
+    day_us = 86_400_000_000
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        d = np.mod(eid, m32).astype(np.uint64)
+        jit = (((d * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
+               % WM_JITTER_S)
+        arr = ts + jit * 1_000_000
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "event_type": batch.column("event_type"),
+                         "ts_us": pa.array(ts),
+                         "arr_us": pa.array(arr),
+                         "_day": pa.array(arr // day_us)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "ts"]) \
+        .map_batches(add_cols, batch_format="pyarrow")
+
+    def up_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["_day", "ts_us"]).group_by("_day") \
+            .aggregate([("ts_us", "max")]) \
+            .rename_columns(["_day", "p_max"])
+
+    parts = pd.concat(list(ds.map_batches(up_partial, batch_format="pyarrow")
+                           .iter_batches(batch_format="pandas")),
+                      ignore_index=True)
+    day_max = parts.groupby("_day", sort=True)["p_max"].max()
+    carry_vals = np.concatenate(
+        [[WM_SENTINEL], np.maximum.accumulate(day_max.to_numpy(np.int64))[:-1]]) \
+        if len(day_max) else np.array([], dtype=np.int64)
+    carry_ref = ray.put({int(d): int(c)
+                         for d, c in zip(day_max.index, carry_vals)})
+
+    def scan_day(g: pd.DataFrame) -> pd.DataFrame:
+        carry = ray.get(carry_ref)[int(g["_day"].iloc[0])]
+        g = g.sort_values(["arr_us", "event_id"])
+        ts = g["ts_us"].to_numpy(np.int64)
+        prefix = np.maximum.accumulate(ts)
+        wm = np.maximum(
+            np.concatenate([[WM_SENTINEL], prefix[:-1]]), carry)
+        late = ts + WM_LATE_S * 1_000_000 < wm
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "late": late.astype(np.int64)})
+        # dropna=False: a NULL event_type is a group like any other
+        # (SQL GROUP BY semantics — the null-key parity discipline)
+        agg = out.groupby("event_type", as_index=False, dropna=False) \
+            .agg(p_late=("late", "sum"), p_n=("late", "size"))
+        return agg
+
+    partials = ds.groupby("_day").map_groups(scan_day, batch_format="pandas")
+    out = _driver_combine(partials, ["event_type"],
+                          {"n_late": ("p_late", "sum"),
+                           "n_total": ("p_n", "sum")},
+                          sort_by=["event_type"])
+    return out.astype({"n_late": "int64", "n_total": "int64"})
+
+
+SQL_LATE_EVENT_COUNTS = f"""
+WITH a AS (
+  SELECT event_id, event_type, ts,
+         ts + to_seconds(CAST(CAST((event_id % 4294967296 + 4294967296)
+              % 4294967296 AS HUGEINT) * {_KNUTH} % 4294967296 AS BIGINT)
+              % {WM_JITTER_S}) AS arr
+  FROM events
+), w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM a
+)
+SELECT event_type,
+       CAST(coalesce(count(*) FILTER (
+            WHERE wm IS NOT NULL
+              AND ts + INTERVAL {WM_LATE_S} SECOND < wm), 0) AS BIGINT)
+         AS n_late,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -4320,6 +4437,7 @@ QUERIES = {
     "top_terms_approx": q_top_terms_approx,
     "link_pagerank": q_link_pagerank,
     "range_sort_audit": q_range_sort_audit,
+    "late_event_counts": q_late_event_counts,
 }
 
 ORACLE_SQL = {
@@ -4381,4 +4499,5 @@ ORACLE_SQL = {
     "domain_cap": SQL_DOMAIN_CAP,
     "link_pagerank": SQL_LINK_PAGERANK,
     "range_sort_audit": SQL_RANGE_SORT_AUDIT,
+    "late_event_counts": SQL_LATE_EVENT_COUNTS,
 }

@@ -69,6 +69,7 @@ def test_all_oracle_keys_have_queries():
     "source_lang_rollup", "corpus_split_counts", "doc_cume_dist",
     "passage_dup_pairs", "incremental_dedup",
     "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
+    "late_event_counts",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -1242,6 +1243,56 @@ def test_range_sort_audit_invariant_and_hostile_duplicates(ray_session, tmp_path
     try:
         DataContext.get_current().target_max_block_size = 4 * 1024
         got2 = Q.q_range_sort_audit(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
+
+
+def test_late_event_counts_hostile_arrivals(ray_session, tmp_path):
+    """Watermark lateness must agree with DuckDB's window-max on a
+    HOSTILE stream: arrival jitter crossing day-bucket boundaries,
+    NULL event types (a group like any other), duplicate timestamps,
+    and sparse event_ids; and be block-layout invariant."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(17)
+    n = 1200
+    ids = np.sort(rng.choice(np.arange(0, 10_000), size=n, replace=False))
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    # bursty event times incl. exact duplicates, spanning ~5 days
+    offs = np.sort(rng.randint(0, 5 * 86_400, n)) * 1_000_000
+    offs[::7] = offs[1::7][: len(offs[::7])]          # duplicate ts runs
+    types = np.array(["a", "b", None, "c"], dtype=object)[
+        rng.randint(0, 4, n)]
+    perm = rng.permutation(n)
+    t = pa.table({
+        "event_id": pa.array(ids[perm], pa.int64()),
+        "ts": pa.array((base + offs).astype("datetime64[us]")[perm]),
+        "event_type": pa.array(types[perm], pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    want = duckdb.connect().execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet');"
+        + Q.SQL_LATE_EVENT_COUNTS).fetchdf()
+    got = Q.q_late_event_counts(str(d))
+    assert got["n_late"].sum() > 0          # non-degenerate scenario
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False, check_exact=True)
+
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 4 * 1024
+        got2 = Q.q_late_event_counts(str(d))
     finally:
         DataContext.get_current().target_max_block_size = old
     pd.testing.assert_frame_equal(got2, got)
