@@ -229,7 +229,8 @@ def run_bench() -> dict:
                      "source_lang_rollup", "corpus_split_counts",
                      "doc_cume_dist", "sequence_packing", "domain_cap",
                      "top_terms_approx", "link_pagerank",
-                     "range_sort_audit", "late_event_counts"]}
+                     "range_sort_audit", "late_event_counts",
+                     "funnel_counts"]}
     ray.shutdown()
     return result
 

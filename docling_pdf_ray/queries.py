@@ -4370,6 +4370,113 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")   # strict-order funnel
+
+
+def q_funnel_counts(sf_dir: str, n_buckets: int = 32):
+    """FUNNEL ANALYSIS — how many users reach each stage of the
+    ordered sequence view → click → purchase (strict ordering,
+    earliest-match semantics: the classic event-analytics sequential
+    pattern, and greedy earliest indices are provably optimal for
+    subsequence existence, so 'reached stage k' is well-defined).
+    Users are unbounded, so the per-user sequence work runs after ONE
+    narrow bucketed shuffle of only the funnel-relevant rows (the
+    pre-filter sheds every other event type before anything moves);
+    per bucket the greedy chain is K vectorized passes (per-stage
+    masked groupby-min over user-local indices — never a per-user
+    loop), emitting (stage, count) partials; stage cardinality is
+    bounded → driver combine. NULL users are excluded by contract
+    (stated in the SQL mirror). Ties at equal timestamps break by
+    event_id on both engines."""
+    import pandas as pd
+
+    stages = list(FUNNEL_STAGES)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch.column("user_id")),
+            pc.is_in(batch.column("event_type"),
+                     value_set=pa.array(stages)))
+        t = batch.filter(keep)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "_bucket": pa.array(np.mod(uid, n_buckets).astype(np.int64))})
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"stage": pd.Series([], dtype="int64"),
+                                 "p_n": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        # user-local position index (rows are user-sorted)
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        grp_start = np.maximum.accumulate(
+            np.where(new_user, np.arange(len(uid)), 0))
+        idx = np.arange(len(uid)) - grp_start
+        typ = g["event_type"].to_numpy()
+        d = pd.DataFrame({"user": uid, "idx": idx})
+        prev = None        # Series: user -> last matched idx
+        counts = []
+        for k, stage in enumerate(stages):
+            m = typ == stage
+            if prev is not None:
+                lim = prev.reindex(d.loc[m, "user"])
+                m = m.copy()
+                m[np.flatnonzero(m)] = (
+                    d.loc[m, "idx"].to_numpy() > lim.to_numpy()) \
+                    & ~np.isnan(lim.to_numpy())
+            cur = d.loc[m].groupby("user")["idx"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame({"stage": np.arange(1, len(stages) + 1),
+                             "p_n": np.array(counts, dtype=np.int64)})
+
+    partials = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(prefilter, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(chain, batch_format="pandas")
+    out = _driver_combine(partials, ["stage"], {"n_users": ("p_n", "sum")},
+                          sort_by=["stage"])
+    return out.astype({"stage": "int64", "n_users": "int64"})
+
+
+SQL_FUNNEL_COUNTS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND event_type IN ('{FUNNEL_STAGES[0]}', '{FUNNEL_STAGES[1]}',
+                       '{FUNNEL_STAGES[2]}')
+), ord AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS idx
+  FROM e
+), s1 AS (
+  SELECT user_id, min(idx) AS i FROM ord
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT o.user_id, min(o.idx) AS i FROM ord o JOIN s1 USING (user_id)
+  WHERE o.event_type = '{FUNNEL_STAGES[1]}' AND o.idx > s1.i
+  GROUP BY o.user_id
+), s3 AS (
+  SELECT o.user_id, min(o.idx) AS i FROM ord o JOIN s2 USING (user_id)
+  WHERE o.event_type = '{FUNNEL_STAGES[2]}' AND o.idx > s2.i
+  GROUP BY o.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT) FROM s3
+ORDER BY stage
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -4438,6 +4545,7 @@ QUERIES = {
     "link_pagerank": q_link_pagerank,
     "range_sort_audit": q_range_sort_audit,
     "late_event_counts": q_late_event_counts,
+    "funnel_counts": q_funnel_counts,
 }
 
 ORACLE_SQL = {
@@ -4500,4 +4608,5 @@ ORACLE_SQL = {
     "link_pagerank": SQL_LINK_PAGERANK,
     "range_sort_audit": SQL_RANGE_SORT_AUDIT,
     "late_event_counts": SQL_LATE_EVENT_COUNTS,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
 }

@@ -69,7 +69,7 @@ def test_all_oracle_keys_have_queries():
     "source_lang_rollup", "corpus_split_counts", "doc_cume_dist",
     "passage_dup_pairs", "incremental_dedup",
     "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
-    "late_event_counts",
+    "late_event_counts", "funnel_counts",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -1293,6 +1293,61 @@ def test_late_event_counts_hostile_arrivals(ray_session, tmp_path):
     try:
         DataContext.get_current().target_max_block_size = 4 * 1024
         got2 = Q.q_late_event_counts(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
+
+
+def test_funnel_counts_hostile_sequences(ray_session, tmp_path):
+    """Funnel semantics on adversarial user histories: stages out of
+    order (purchase before view must NOT count), repeated stages,
+    ties at identical timestamps (broken by event_id on both engines),
+    null users excluded, users spread across many buckets — and the
+    greedy earliest-match chain must agree with DuckDB's min-idx SQL
+    exactly, under any block layout."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(29)
+    n = 3000
+    users = rng.randint(0, 300, n).astype(np.int64)
+    types = np.array(["view", "click", "purchase", "error", "signup"],
+                     dtype=object)[rng.randint(0, 5, n)]
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    offs = rng.randint(0, 10 * 86_400, n).astype("int64") * 1_000_000
+    offs[1::3] = offs[::3][: len(offs[1::3])]       # heavy ts ties
+    users_obj = users.astype(object)
+    users_obj[rng.rand(n) < 0.05] = None            # null users
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(users_obj, pa.int64()),
+        "ts": pa.array((base + offs).astype("datetime64[us]")),
+        "event_type": pa.array(types, pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    want = duckdb.connect().execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet');"
+        + Q.SQL_FUNNEL_COUNTS).fetchdf()
+    got = Q.q_funnel_counts(str(d))
+    # the funnel must narrow monotonically and be non-degenerate
+    nu = got["n_users"].to_numpy()
+    assert nu[0] >= nu[1] >= nu[2] and nu[2] > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False, check_exact=True)
+
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 4 * 1024
+        got2 = Q.q_funnel_counts(str(d))
     finally:
         DataContext.get_current().target_max_block_size = old
     pd.testing.assert_frame_equal(got2, got)
