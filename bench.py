@@ -230,7 +230,7 @@ def run_bench() -> dict:
                      "doc_cume_dist", "sequence_packing", "domain_cap",
                      "top_terms_approx", "link_pagerank",
                      "range_sort_audit", "late_event_counts",
-                     "funnel_counts"]}
+                     "funnel_counts", "label_centroids"]}
     ray.shutdown()
     return result
 

@@ -4477,6 +4477,75 @@ ORDER BY stage
 """
 
 
+CENTROID_Q = 1_000_000    # fixed-point quantum for exact vector sums
+
+
+def q_label_centroids(sf_dir: str):
+    """PER-LABEL EMBEDDING CENTROIDS — the vector AGGREGATE over a
+    ``list<float>`` column (class prototypes for clustering audits,
+    centroid-seeded ANN, dataset cartography). Float vector sums are
+    order-dependent in the last bits, so the sum runs in the
+    fixed-point integer domain (the established cents pattern, at 1e-6
+    quantum): each element is rounded ONCE to int64 — half-away mode,
+    matching DuckDB's round() — and integer sums are associative, so
+    per-batch (label, dim) partials combine exactly in any order.
+    Consumers divide sum_q/n_vecs at read time; the stored form stays
+    float-trap-free for the parity check.
+
+    Scale shape: the flatten + quantize + two-key groupby is all
+    Arrow/numpy inside one ``map_batches`` pass; (label × dim)
+    cardinality is bounded → driver combine, ZERO shuffle."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("embedding")))
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "p_q": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64())})
+        emb = t.column("embedding").combine_chunks()
+        flat = pc.list_flatten(emb)
+        q = pc.cast(pc.round(pc.multiply(pc.cast(flat, pa.float64()),
+                                         float(CENTROID_Q)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(emb).to_numpy().astype(np.int64)
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = np.arange(len(q), dtype=np.int64) - offs[parent]
+        lab = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[parent]
+        g = pa.table({"label": pa.array(lab), "dim": pa.array(dim),
+                      "q": pa.array(q)}) \
+            .group_by(["label", "dim"]) \
+            .aggregate([("q", "sum"), ([], "count_all")])
+        cols = {c: g.column(c) for c in g.column_names}
+        return pa.table({"label": cols["label"], "dim": cols["dim"],
+                         "p_q": cols["q_sum"], "p_n": cols["count_all"]})
+
+    out = _driver_combine(
+        _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        {"sum_q": ("p_q", "sum"), "n_vecs": ("p_n", "sum")},
+        sort_by=["label", "dim"])
+    return out.astype({"label": "int64", "dim": "int64",
+                       "sum_q": "int64", "n_vecs": "int64"})
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH u AS (
+  SELECT label AS lab, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT CAST(lab AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(CAST(round(CAST(e AS DOUBLE) * {CENTROID_Q}) AS BIGINT))
+            AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM u GROUP BY lab, dim ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -4546,6 +4615,7 @@ QUERIES = {
     "range_sort_audit": q_range_sort_audit,
     "late_event_counts": q_late_event_counts,
     "funnel_counts": q_funnel_counts,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLE_SQL = {
@@ -4609,4 +4679,5 @@ ORACLE_SQL = {
     "range_sort_audit": SQL_RANGE_SORT_AUDIT,
     "late_event_counts": SQL_LATE_EVENT_COUNTS,
     "funnel_counts": SQL_FUNNEL_COUNTS,
+    "label_centroids": SQL_LABEL_CENTROIDS,
 }

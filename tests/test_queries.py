@@ -69,7 +69,7 @@ def test_all_oracle_keys_have_queries():
     "source_lang_rollup", "corpus_split_counts", "doc_cume_dist",
     "passage_dup_pairs", "incremental_dedup",
     "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
-    "late_event_counts", "funnel_counts",
+    "late_event_counts", "funnel_counts", "label_centroids",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
