@@ -230,7 +230,8 @@ def run_bench() -> dict:
                      "doc_cume_dist", "sequence_packing", "domain_cap",
                      "top_terms_approx", "link_pagerank",
                      "range_sort_audit", "late_event_counts",
-                     "funnel_counts", "label_centroids"]}
+                     "funnel_counts", "label_centroids",
+                     "term_cooccurrence"]}
     ray.shutdown()
     return result
 

@@ -4546,6 +4546,95 @@ FROM u GROUP BY lab, dim ORDER BY label, dim
 """
 
 
+COOC_TOPK = 20           # reported pairs
+
+
+def q_term_cooccurrence(sf_dir: str, v: int = VOCAB_V, k: int = COOC_TOPK):
+    """TERM CO-OCCURRENCE over the corpus's own top-V vocabulary — the
+    document-level pair counts behind PMI/collocation scoring and
+    topic seeding. The pair domain is vocabulary-bounded by
+    construction (V² pairs), so the whole job is the BROADCAST + dense
+    matrix pattern: the O(V) vocab ships once (computed by the
+    ``top_terms`` dataflow under its deterministic total order), each
+    batch builds its docs×V presence matrix fully vectorized
+    (categorical codes + unique (doc, code) pairs) and emits the V×V
+    Gram matrix M^T·M as (i, j, count) partials — integer, associative,
+    O(V²) per block regardless of batch size; driver combine + top-k
+    under the (n DESC, term_a, term_b) total order. ZERO shuffle, one
+    corpus pass after the vocab pass."""
+    import pandas as pd
+
+    vocab = q_top_terms(sf_dir, k=v)["term"].to_numpy(dtype=object)
+    vocab_sorted = np.sort(vocab.astype(str))
+    import ray
+    ref = ray.put(vocab_sorted)
+
+    EMPTY = pa.table({"ia": pa.array([], pa.int64()),
+                      "ib": pa.array([], pa.int64()),
+                      "p_n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        lowered = pc.ascii_lower(t.column("text").combine_chunks())
+        words = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy()
+        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+        pos = np.searchsorted(vs, flat)
+        pos_ok = (pos < len(vs))
+        pos_clipped = np.where(pos_ok, pos, 0)
+        inv = pos_ok & (vs[pos_clipped] == flat)
+        code, parent_v = pos_clipped[inv], parent[inv]
+        if len(code) == 0:
+            return EMPTY
+        pairs = np.unique(parent_v * len(vs) + code)
+        m = np.zeros((t.num_rows, len(vs)), dtype=np.int64)
+        m[pairs // len(vs), pairs % len(vs)] = 1
+        gram = m.T @ m
+        ia, ib = np.triu_indices(len(vs), k=1)
+        n = gram[ia, ib]
+        nz = n > 0
+        return pa.table({"ia": pa.array(ia[nz].astype(np.int64)),
+                         "ib": pa.array(ib[nz].astype(np.int64)),
+                         "p_n": pa.array(n[nz])})
+
+    parts = _driver_combine(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["ia", "ib"], {"n_docs": ("p_n", "sum")})
+    if parts.empty:
+        return pd.DataFrame({"term_a": pd.Series([], dtype="object"),
+                             "term_b": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64")})
+    parts["term_a"] = vocab_sorted[parts["ia"].to_numpy(np.int64)]
+    parts["term_b"] = vocab_sorted[parts["ib"].to_numpy(np.int64)]
+    out = parts.sort_values(["n_docs", "term_a", "term_b"],
+                            ascending=[False, True, True]).head(k)
+    return out[["term_a", "term_b", "n_docs"]].reset_index(drop=True) \
+        .astype({"n_docs": "int64"})
+
+
+SQL_TERM_COOCCURRENCE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t)))) AS term
+  FROM documents WHERE text IS NOT NULL
+), df AS (
+  SELECT term, count(*) AS df FROM toks GROUP BY term
+), vocab AS (
+  SELECT term FROM df ORDER BY df DESC, term LIMIT {VOCAB_V}
+), vt AS (
+  SELECT DISTINCT t.doc_id, t.term FROM toks t JOIN vocab v USING (term)
+)
+SELECT a.term AS term_a, b.term AS term_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term
+ORDER BY n_docs DESC, term_a, term_b LIMIT {COOC_TOPK}
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -4616,6 +4705,7 @@ QUERIES = {
     "late_event_counts": q_late_event_counts,
     "funnel_counts": q_funnel_counts,
     "label_centroids": q_label_centroids,
+    "term_cooccurrence": q_term_cooccurrence,
 }
 
 ORACLE_SQL = {
@@ -4680,4 +4770,5 @@ ORACLE_SQL = {
     "late_event_counts": SQL_LATE_EVENT_COUNTS,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "term_cooccurrence": SQL_TERM_COOCCURRENCE,
 }

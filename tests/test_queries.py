@@ -70,6 +70,7 @@ def test_all_oracle_keys_have_queries():
     "passage_dup_pairs", "incremental_dedup",
     "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
     "late_event_counts", "funnel_counts", "label_centroids",
+    "term_cooccurrence",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
