@@ -231,7 +231,7 @@ def run_bench() -> dict:
                      "top_terms_approx", "link_pagerank",
                      "range_sort_audit", "late_event_counts",
                      "funnel_counts", "label_centroids",
-                     "term_cooccurrence"]}
+                     "term_cooccurrence", "schema_union_stats"]}
     ray.shutdown()
     return result
 

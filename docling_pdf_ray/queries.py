@@ -4635,6 +4635,80 @@ ORDER BY n_docs DESC, term_a, term_b LIMIT {COOC_TOPK}
 """
 
 
+def q_schema_union_stats(sf_dir: str):
+    """SCHEMA-EVOLUTION READ — per-lang stats over a corpus whose
+    shards were written by different pipeline versions: an "old crawl"
+    shard lacking the ``source`` column and a "new crawl" shard that
+    has it, read as ONE Dataset under union-by-name semantics
+    (``sources/union_read.py``: union schema from FOOTERS only,
+    per-shard column pruning, typed-null padding — DuckDB's
+    ``union_by_name=true``). The aggregate counts how much of each
+    lang's data carries the evolved column — the audit a reader runs
+    before trusting a late-era field.
+
+    The two physical shards are synthesized deterministically from
+    ``documents`` (doc_id parity split; scratch under /tmp —
+    test scaffolding for the READER, which is the operator here); the
+    oracle mirrors the union semantics directly over ``documents``,
+    so the check is engine-vs-SQL on identical logical input while the
+    engine additionally exercises real heterogeneous footers."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .sources.union_read import read_parquet_union
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    shard_dir = f"/tmp/graft_union_shards/{tag}"
+    os.makedirs(shard_dir, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+    even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+    old_p = f"{shard_dir}/crawl_old.parquet"
+    new_p = f"{shard_dir}/crawl_new.parquet"
+    pq.write_table(t.filter(even).drop_columns(["source"]), old_p)
+    pq.write_table(t.filter(pc.invert(even)), new_p)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": batch.column("lang"),
+            "has_src": pc.cast(pc.is_valid(batch.column("source")),
+                               pa.int64()),
+            "n_chars": batch.column("n_chars")}) \
+            .group_by("lang").aggregate(
+                [("has_src", "sum"), ("n_chars", "sum"), ([], "count_all")])
+        cols = {c: g.column(c) for c in g.column_names}
+        return pa.table({"lang": cols["lang"], "p_src": cols["has_src_sum"],
+                         "p_chars": cols["n_chars_sum"],
+                         "p_n": cols["count_all"]})
+
+    out = _driver_combine(
+        read_parquet_union([old_p, new_p],
+                           columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["lang"], {"n_docs": ("p_n", "sum"),
+                   "n_with_source": ("p_src", "sum"),
+                   "sum_chars": ("p_chars", "sum")}, sort_by=["lang"])
+    return out.astype({"n_docs": "int64", "n_with_source": "int64",
+                       "sum_chars": "int64"})
+
+
+SQL_SCHEMA_UNION_STATS = """
+WITH u AS (
+  SELECT lang, n_chars, NULL AS source
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, n_chars, source
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(source) AS BIGINT) AS n_with_source,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM u GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -4706,6 +4780,7 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "label_centroids": q_label_centroids,
     "term_cooccurrence": q_term_cooccurrence,
+    "schema_union_stats": q_schema_union_stats,
 }
 
 ORACLE_SQL = {
@@ -4771,4 +4846,5 @@ ORACLE_SQL = {
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "term_cooccurrence": SQL_TERM_COOCCURRENCE,
+    "schema_union_stats": SQL_SCHEMA_UNION_STATS,
 }

@@ -70,7 +70,7 @@ def test_all_oracle_keys_have_queries():
     "passage_dup_pairs", "incremental_dedup",
     "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
     "late_event_counts", "funnel_counts", "label_centroids",
-    "term_cooccurrence",
+    "term_cooccurrence", "schema_union_stats",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -1352,3 +1352,43 @@ def test_funnel_counts_hostile_sequences(ray_session, tmp_path):
     finally:
         DataContext.get_current().target_max_block_size = old
     pd.testing.assert_frame_equal(got2, got)
+
+
+def test_read_parquet_union_semantics(ray_session, tmp_path):
+    """union_read: footer-only union schema (first-seen order),
+    per-shard column pruning, typed-null padding for absent columns,
+    strict type-conflict rejection, and exact agreement with DuckDB's
+    union_by_name read."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from docling_pdf_ray.sources.union_read import (
+        read_parquet_union, union_schema)
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64()),
+                             "x": pa.array(["p", "q"], pa.string())}), a)
+    pq.write_table(pa.table({"k": pa.array([3], pa.int64()),
+                             "y": pa.array([9.5], pa.float64())}), b)
+
+    got = read_parquet_union([str(a), str(b)]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = duckdb.connect().execute(
+        f"SELECT k, x, y FROM read_parquet(['{a}', '{b}'], "
+        f"union_by_name=true) ORDER BY k").fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert list(got.columns) == ["k", "x", "y"]      # first-seen order
+    assert got["y"].isna().tolist() == [True, True, False]
+
+    pruned = read_parquet_union([str(a), str(b)], columns=["k", "y"])
+    assert pruned.schema().names == ["k", "y"]
+
+    c = tmp_path / "c.parquet"
+    pq.write_table(pa.table({"k": pa.array(["s"], pa.string())}), c)
+    with _pytest.raises(ValueError, match="conflicting types"):
+        union_schema([pq.read_schema(str(a)), pq.read_schema(str(c))])
+    with _pytest.raises(ValueError, match="not present"):
+        read_parquet_union([str(a)], columns=["nope"])
