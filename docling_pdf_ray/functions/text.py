@@ -177,3 +177,27 @@ def quality_features(text: str | None) -> dict:
         "punct_ratio": (len(_PUNCT_RE.sub("", t)) / n) if n else 0.0,
         "stopword_ratio": (stop_hits / len(words)) if words else 0.0,
     }
+
+
+def ascii_tokens_flat(text_col):
+    """Arrow-vectorized ASCII tokenization shared by every query that
+    must match DuckDB's ``regexp_extract_all(text,'[A-Za-z0-9]+') →
+    lower`` token stream (the oracle-critical ASCII-class contract —
+    CLAUDE.md: share explicit ASCII classes; a drifted copy would
+    desynchronize engine vs oracle silently).
+
+    ``text_col``: an Arrow array/chunked array of strings with NO
+    nulls (callers filter first). Returns ``(flat, parent)``: the
+    lowercased non-empty tokens (numpy object array) and each token's
+    row index (int64)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lowered = pc.ascii_lower(text_col.combine_chunks()
+                             if hasattr(text_col, "combine_chunks")
+                             else text_col)
+    words = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
+    flat = pc.list_flatten(words).to_pandas().to_numpy()
+    parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+    keep = flat != ""
+    return flat[keep], parent[keep]

@@ -2667,12 +2667,7 @@ def q_vocab_oov_stats(sf_dir: str, v: int = VOCAB_V):
         t = batch.filter(pc.is_valid(batch.column("text")))
         if t.num_rows == 0:
             return EMPTY
-        lowered = pc.ascii_lower(t.column("text").combine_chunks())
-        words = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(words).to_pandas().to_numpy()
-        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
-        keep = flat != ""
-        flat, parent = flat[keep], parent[keep]
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
         if len(flat) == 0:
             return EMPTY
         langs, lcode = np.unique(
@@ -3916,12 +3911,7 @@ def q_top_terms_approx(sf_dir: str, k: int = 20):
         t = batch.filter(pc.is_valid(batch.column("text")))
         if t.num_rows == 0:
             return EMPTY
-        lowered = pc.ascii_lower(t.column("text").combine_chunks())
-        words = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(words).to_pandas().to_numpy()
-        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
-        keep = flat != ""
-        flat, parent = flat[keep], parent[keep]
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
         if len(flat) == 0:
             return EMPTY
         # distinct-per-doc, then exact per-batch df per term
@@ -4442,6 +4432,12 @@ def q_funnel_counts(sf_dir: str, n_buckets: int = 32):
         .groupby("_bucket").map_groups(chain, batch_format="pandas")
     out = _driver_combine(partials, ["stage"], {"n_users": ("p_n", "sum")},
                           sort_by=["stage"])
+    # the oracle always reports every stage (count 0 when nobody
+    # reaches it) — seed missing stages so a degenerate corpus with no
+    # funnel-relevant events still matches row-for-row
+    out = out.set_index("stage") \
+        .reindex(range(1, len(stages) + 1), fill_value=0) \
+        .reset_index()
     return out.astype({"stage": "int64", "n_users": "int64"})
 
 
@@ -4578,10 +4574,9 @@ def q_term_cooccurrence(sf_dir: str, v: int = VOCAB_V, k: int = COOC_TOPK):
         t = batch.filter(pc.is_valid(batch.column("text")))
         if t.num_rows == 0:
             return EMPTY
-        lowered = pc.ascii_lower(t.column("text").combine_chunks())
-        words = pc.split_pattern_regex(lowered, pattern="[^a-z0-9]+")
-        flat = pc.list_flatten(words).to_pandas().to_numpy()
-        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
+        if len(flat) == 0:
+            return EMPTY
         pos = np.searchsorted(vs, flat)
         pos_ok = (pos < len(vs))
         pos_clipped = np.where(pos_ok, pos, 0)
@@ -4667,8 +4662,14 @@ def q_schema_union_stats(sf_dir: str):
     even = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
     old_p = f"{shard_dir}/crawl_old.parquet"
     new_p = f"{shard_dir}/crawl_new.parquet"
-    pq.write_table(t.filter(even).drop_columns(["source"]), old_p)
-    pq.write_table(t.filter(pc.invert(even)), new_p)
+    # write-temp + rename: the shard path is deterministic per sf_dir,
+    # so a concurrent caller (bench replica, pytest) must never observe
+    # a torn half-written file — rename is atomic on one filesystem
+    for path, table in [(old_p, t.filter(even).drop_columns(["source"])),
+                        (new_p, t.filter(pc.invert(even)))]:
+        tmp = f"{path}.{os.getpid()}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
 
     def partial(batch: pa.Table) -> pa.Table:
         g = pa.table({

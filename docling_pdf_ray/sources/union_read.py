@@ -77,8 +77,15 @@ def read_parquet_union(paths: list[str],
     parts = []
     for p, sch in zip(paths, schemas):
         have = [n for n in names if n in sch.names]
-        ds = rd.read_parquet(p, columns=have) \
-            .map_batches(_pad_to(fields), batch_format="pyarrow")
+        if have:
+            ds = rd.read_parquet(p, columns=have)
+        else:
+            # the shard predates EVERY requested column: union-by-name
+            # still contributes its rows (all null) — synthesize them
+            # from the footer row count, zero data pages read (the pad
+            # keys off num_rows only)
+            ds = rd.range(pq.ParquetFile(p).metadata.num_rows)
+        ds = ds.map_batches(_pad_to(fields), batch_format="pyarrow")
         parts.append(ds)
     out = parts[0]
     for ds in parts[1:]:

@@ -1386,6 +1386,12 @@ def test_read_parquet_union_semantics(ray_session, tmp_path):
     pruned = read_parquet_union([str(a), str(b)], columns=["k", "y"])
     assert pruned.schema().names == ["k", "y"]
 
+    # review fix: a shard having NONE of the requested columns still
+    # contributes its rows as all-null (union_by_name semantics) —
+    # selecting only the late-era column must not drop early shards
+    only_y = read_parquet_union([str(a), str(b)], columns=["y"]).to_pandas()
+    assert len(only_y) == 3 and only_y["y"].isna().sum() == 2
+
     c = tmp_path / "c.parquet"
     pq.write_table(pa.table({"k": pa.array(["s"], pa.string())}), c)
     with _pytest.raises(ValueError, match="conflicting types"):
