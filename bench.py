@@ -231,7 +231,8 @@ def run_bench() -> dict:
                      "top_terms_approx", "link_pagerank",
                      "range_sort_audit", "late_event_counts",
                      "funnel_counts", "label_centroids",
-                     "term_cooccurrence", "schema_union_stats"]}
+                     "term_cooccurrence", "schema_union_stats",
+                     "length_outliers"]}
     ray.shutdown()
     return result
 

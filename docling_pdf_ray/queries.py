@@ -4710,6 +4710,92 @@ FROM u GROUP BY lang ORDER BY lang
 """
 
 
+MAD_K = 2    # outlier iff |x − median| > MAD_K · MAD (2 ≈ aggressive
+             # trim; non-degenerate on the gate corpus, unlike 3)
+
+
+def q_length_outliers(sf_dir: str):
+    """ROBUST OUTLIER DETECTION per language — median + MAD (median
+    absolute deviation), the robust-statistics alternative to
+    mean/stddev gates (one 50 MB SEO page cannot move a median the way
+    it moves a mean; Leys et al. 2013 is the standard reference for
+    the |x−med| > k·MAD rule). All integer arithmetic — median and MAD
+    use the repo's pinned integer percentile_disc rule (smallest v
+    with 2·cum ≥ n), so engine and oracle agree exactly.
+
+    Scale shape: everything derives from the SAME one-pass zero-shuffle
+    exact (lang, n_chars) histogram as ``chars_quantiles`` (cardinality
+    bounded by the value domain, not the corpus): the deviation
+    distribution |x − med| is a pure driver-side TRANSFORM of that
+    histogram — fold counts at equal deviations, re-sort, take the
+    weighted median — and the outlier count reads off the same
+    histogram tails. ONE corpus pass, three statistics, no second
+    scan (the SQL needs two passes; the histogram is why the engine
+    doesn't)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("n_chars")))
+        return t.group_by(["lang", "n_chars"]) \
+            .aggregate([("n_chars", "count")]) \
+            .rename_columns(["lang", "n_chars", "cnt"])
+
+    frames = list(_docs(sf_dir, ["lang", "n_chars"])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas"))
+    cols = ["lang", "n_docs", "med_chars", "mad_chars", "n_outliers"]
+    if not frames:
+        return pd.DataFrame({c: pd.Series([], dtype="object" if c == "lang"
+                                          else "int64") for c in cols})
+    hist = pd.concat(frames, ignore_index=True) \
+        .groupby(["lang", "n_chars"], dropna=False)["cnt"].sum().reset_index()
+
+    def wmedian(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = cnts.cumsum()
+        return int(vals[np.searchsorted(cum * 2, cum[-1], side="left")])
+
+    out = []
+    for lang, g in hist.groupby("lang", sort=True, dropna=False):
+        vals = g["n_chars"].to_numpy(np.int64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        med = wmedian(vals, cnts)
+        dev = np.abs(vals - med)
+        mad = wmedian(dev, cnts)
+        n_out = int(cnts[dev > MAD_K * mad].sum())
+        out.append({"lang": lang, "n_docs": int(cnts.sum()),
+                    "med_chars": med, "mad_chars": mad,
+                    "n_outliers": n_out})
+    res = pd.DataFrame(out, columns=cols)
+    return res.astype({c: "int64" for c in cols[1:]})
+
+
+SQL_LENGTH_OUTLIERS = f"""
+WITH med AS (
+  SELECT lang, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+               AS BIGINT) AS m
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
+), dev AS (
+  SELECT d.lang, d.n_chars, abs(d.n_chars - me.m) AS dv, me.m
+  FROM documents d JOIN med me ON me.lang IS NOT DISTINCT FROM d.lang
+  WHERE d.n_chars IS NOT NULL
+), mad AS (
+  SELECT lang, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dv)
+               AS BIGINT) AS mad
+  FROM dev GROUP BY lang
+)
+SELECT v.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(v.m) AS BIGINT) AS med_chars,
+       CAST(min(ma.mad) AS BIGINT) AS mad_chars,
+       CAST(coalesce(sum(CASE WHEN v.dv > {MAD_K} * ma.mad
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_outliers
+FROM dev v JOIN mad ma ON ma.lang IS NOT DISTINCT FROM v.lang
+GROUP BY v.lang ORDER BY v.lang
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -4782,6 +4868,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "term_cooccurrence": q_term_cooccurrence,
     "schema_union_stats": q_schema_union_stats,
+    "length_outliers": q_length_outliers,
 }
 
 ORACLE_SQL = {
@@ -4848,4 +4935,5 @@ ORACLE_SQL = {
     "label_centroids": SQL_LABEL_CENTROIDS,
     "term_cooccurrence": SQL_TERM_COOCCURRENCE,
     "schema_union_stats": SQL_SCHEMA_UNION_STATS,
+    "length_outliers": SQL_LENGTH_OUTLIERS,
 }

@@ -70,7 +70,7 @@ def test_all_oracle_keys_have_queries():
     "passage_dup_pairs", "incremental_dedup",
     "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
     "late_event_counts", "funnel_counts", "label_centroids",
-    "term_cooccurrence", "schema_union_stats",
+    "term_cooccurrence", "schema_union_stats", "length_outliers",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -1398,3 +1398,51 @@ def test_read_parquet_union_semantics(ray_session, tmp_path):
         union_schema([pq.read_schema(str(a)), pq.read_schema(str(c))])
     with _pytest.raises(ValueError, match="not present"):
         read_parquet_union([str(a)], columns=["nope"])
+
+
+def test_length_outliers_hostile_distribution(ray_session, tmp_path):
+    """Median+MAD outlier gate on a distribution built to break a
+    mean/stddev gate: a huge planted tail that must NOT move the
+    median, NULL langs (grouped, and the oracle joins with IS NOT
+    DISTINCT FROM so they survive), even-count median ties — exact
+    agreement with DuckDB's percentile_disc, block-layout invariant."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(41)
+    n = 1000
+    langs = np.array(["en", "de", None], dtype=object)[rng.randint(0, 3, n)]
+    chars = rng.randint(200, 400, n).astype(np.int64)
+    chars[rng.rand(n) < 0.03] = 10 ** 7          # monster outliers
+    chars[rng.rand(n) < 0.03] = 0                # and empty docs
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "lang": pa.array(langs, pa.string()),
+                  "n_chars": pa.array(chars, pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    want = duckdb.connect().execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet');"
+        + Q.SQL_LENGTH_OUTLIERS).fetchdf()
+    got = Q.q_length_outliers(str(d))
+    assert got["n_outliers"].sum() > 0 and len(got) == 3
+    assert (got["med_chars"] < 1000).all()       # tail didn't move medians
+    nrm = lambda df: df.sort_values("lang", na_position="first") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(nrm(got), nrm(want),
+                                  check_dtype=False, check_exact=True)
+
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 4 * 1024
+        got2 = Q.q_length_outliers(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
