@@ -292,9 +292,13 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
 
 
 def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
-                       ts_right: str, n_buckets: int = 64):
+                       ts_right: str, n_buckets: int = 64,
+                       direction: str = "backward"):
     """As-of join (ray_guide pattern): for each left row, the LATEST
-    right row with the same ``key`` and ``ts_right <= ts_left``. Both
+    right row with the same ``key`` and ``ts_right <= ts_left``
+    (``direction='backward'``, the default) or the EARLIEST right row
+    with ``ts_right >= ts_left`` (``direction='forward'`` — the
+    "next event after" lookup). Both
     sides co-shuffle once by key bucket; each bucket sorts and runs
     ``pd.merge_asof`` grouped by key. Left rows with no match — and
     null-key left rows, which match nothing — keep null right columns
@@ -302,6 +306,9 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
     timestamp, so emit the right TS (and aggregates of it), not
     tie-ambiguous payload columns, when cross-engine determinism
     matters."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward'|'forward', "
+                         f"got {direction!r}")
     both, l_only, r_only, fields = _pad_and_union(left_ds, right_ds, key, n_buckets)
 
     def asof(gt: pa.Table) -> pa.Table:
@@ -320,7 +327,7 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
                 if not l_null.empty else l
         else:
             merged = pd.merge_asof(l, r, left_on=ts_left, right_on=ts_right,
-                                   by=key, direction="backward")
+                                   by=key, direction=direction)
             if not l_null.empty:
                 merged = pd.concat([merged, l_null], ignore_index=True)
         return _to_schema_table(merged, fields)

@@ -682,6 +682,41 @@ FROM events ORDER BY event_id
 """
 
 
+def q_order_asof_next(sf_dir: str):
+    """FORWARD as-of join: for each event, the customer's EARLIEST
+    order date at or after the event timestamp — the "next action
+    after" lookup (attribution windows, conversion lag). Same
+    single-co-shuffle ``bucketed_asof_join`` machinery with
+    ``direction='forward'``; emits the matched DATE (tie-unambiguous).
+    SQL mirror: correlated min(o_orderdate) ≥ ts."""
+    from .functions.joins import bucketed_asof_join
+
+    events = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id", "ts"])
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.rename_columns(["user_id", "o_orderdate"]),
+                     batch_format="pyarrow")
+    joined = bucketed_asof_join(events, orders, key="user_id",
+                                ts_left="ts", ts_right="o_orderdate",
+                                n_buckets=32, direction="forward")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch.column("event_id"),
+                         "next_order_date": batch.column("o_orderdate")})
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+SQL_ORDER_ASOF_NEXT = """
+SELECT event_id,
+       (SELECT min(o_orderdate) FROM orders o
+        WHERE o.o_custkey = user_id AND o.o_orderdate >= ts)
+         AS next_order_date
+FROM events ORDER BY event_id
+"""
+
+
 def q_ship_window_counts(sf_dir: str):
     """RANGE (interval) join: lineitems shipped within 90 days of
     their order's placement (l_shipdate ∈ [o_orderdate,
@@ -4869,6 +4904,7 @@ QUERIES = {
     "term_cooccurrence": q_term_cooccurrence,
     "schema_union_stats": q_schema_union_stats,
     "length_outliers": q_length_outliers,
+    "order_asof_next": q_order_asof_next,
 }
 
 ORACLE_SQL = {
@@ -4936,4 +4972,5 @@ ORACLE_SQL = {
     "term_cooccurrence": SQL_TERM_COOCCURRENCE,
     "schema_union_stats": SQL_SCHEMA_UNION_STATS,
     "length_outliers": SQL_LENGTH_OUTLIERS,
+    "order_asof_next": SQL_ORDER_ASOF_NEXT,
 }

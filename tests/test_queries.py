@@ -71,6 +71,7 @@ def test_all_oracle_keys_have_queries():
     "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
     "late_event_counts", "funnel_counts", "label_centroids",
     "term_cooccurrence", "schema_union_stats", "length_outliers",
+    "order_asof_next",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
