@@ -645,12 +645,13 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
-def q_order_asof_event(sf_dir: str):
-    """AS-OF join: for each EVENT, the customer's latest order date at
-    or before the event timestamp (user_id = o_custkey). Co-bucketed
-    merge_asof (functions/joins.py); output is the matched DATE
-    (tie-unambiguous — equal-date ties yield the same value).
-    SQL mirror: correlated max(o_orderdate) ≤ ts."""
+def _order_event_asof(sf_dir: str, direction: str, out_col: str):
+    """Shared dataflow of the two as-of queries: events ⋈asof orders
+    on user, emitting the matched order DATE under ``out_col``.
+    Returned LAZY and unsorted: the result is O(|events|), so neither
+    a driver-side concat nor a distributed sort-for-presentation
+    belongs here (the correctness gate's value-hash is row-order-
+    insensitive; consumers order on read if they need it)."""
     from .functions.joins import bucketed_asof_join
 
     events = _rd().read_parquet(f"{sf_dir}/events.parquet",
@@ -661,17 +662,22 @@ def q_order_asof_event(sf_dir: str):
                      batch_format="pyarrow")
     joined = bucketed_asof_join(events, orders, key="user_id",
                                 ts_left="ts", ts_right="o_orderdate",
-                                n_buckets=32)
+                                n_buckets=32, direction=direction)
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table({"event_id": batch.column("event_id"),
-                         "asof_order_date": batch.column("o_orderdate")})
+                         out_col: batch.column("o_orderdate")})
 
-    # returned LAZY and unsorted: the result is O(|events|), so neither
-    # a driver-side concat nor a distributed sort-for-presentation
-    # belongs here (the correctness gate's value-hash is row-order-
-    # insensitive; consumers order on read if they need it)
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def q_order_asof_event(sf_dir: str):
+    """AS-OF join: for each EVENT, the customer's latest order date at
+    or before the event timestamp (user_id = o_custkey). Co-bucketed
+    merge_asof (functions/joins.py); output is the matched DATE
+    (tie-unambiguous — equal-date ties yield the same value).
+    SQL mirror: correlated max(o_orderdate) ≤ ts."""
+    return _order_event_asof(sf_dir, "backward", "asof_order_date")
 
 
 SQL_ORDER_ASOF_EVENT = """
@@ -689,23 +695,7 @@ def q_order_asof_next(sf_dir: str):
     single-co-shuffle ``bucketed_asof_join`` machinery with
     ``direction='forward'``; emits the matched DATE (tie-unambiguous).
     SQL mirror: correlated min(o_orderdate) ≥ ts."""
-    from .functions.joins import bucketed_asof_join
-
-    events = _rd().read_parquet(f"{sf_dir}/events.parquet",
-                                columns=["event_id", "user_id", "ts"])
-    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
-                                columns=["o_custkey", "o_orderdate"]) \
-        .map_batches(lambda b: b.rename_columns(["user_id", "o_orderdate"]),
-                     batch_format="pyarrow")
-    joined = bucketed_asof_join(events, orders, key="user_id",
-                                ts_left="ts", ts_right="o_orderdate",
-                                n_buckets=32, direction="forward")
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table({"event_id": batch.column("event_id"),
-                         "next_order_date": batch.column("o_orderdate")})
-
-    return joined.map_batches(project, batch_format="pyarrow")
+    return _order_event_asof(sf_dir, "forward", "next_order_date")
 
 
 SQL_ORDER_ASOF_NEXT = """
@@ -2041,15 +2031,13 @@ ORDER BY doc_id, rank
 """
 
 
-def q_chars_quantiles(sf_dir: str):
-    """EXACT distributed quantiles (p50/p90/p99 of n_chars per lang)
-    with no sort and no shuffle: per-batch (lang, n_chars) histogram
-    partials, driver combine — the histogram cardinality is bounded by
-    langs × |value domain of n_chars|, NOT by corpus size, so the
-    driver object stays small at any scale — then percentile_disc from
-    the cumulative histogram in exact integer arithmetic (smallest v
-    with 100·cum ≥ p·n, which is DuckDB's percentile_disc; pinned by a
-    randomized-histogram property test)."""
+def _lang_chars_hist(sf_dir: str):
+    """The ONE-pass zero-shuffle exact (lang, n_chars) histogram shared
+    by ``chars_quantiles`` and ``length_outliers`` — per-batch count
+    partials, driver combine; the cardinality is bounded by langs ×
+    |value domain|, NOT by corpus size (both callers' stated scale
+    argument lives here, once). Returns (lang, n_chars, cnt), possibly
+    empty."""
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2058,16 +2046,32 @@ def q_chars_quantiles(sf_dir: str):
             .aggregate([("n_chars", "count")]) \
             .rename_columns(["lang", "n_chars", "cnt"])
 
-    partials = _docs(sf_dir, ["lang", "n_chars"]) \
-        .map_batches(partial, batch_format="pyarrow")
-    frames = list(partials.iter_batches(batch_format="pandas"))
+    frames = list(_docs(sf_dir, ["lang", "n_chars"])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas"))
     if not frames:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "n_chars": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    return pd.concat(frames, ignore_index=True) \
+        .groupby(["lang", "n_chars"], dropna=False)["cnt"].sum().reset_index()
+
+
+def q_chars_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (p50/p90/p99 of n_chars per lang)
+    with no sort and no shuffle: the shared ``_lang_chars_hist``
+    one-pass histogram, then percentile_disc from
+    the cumulative histogram in exact integer arithmetic (smallest v
+    with 100·cum ≥ p·n, which is DuckDB's percentile_disc; pinned by a
+    randomized-histogram property test)."""
+    import pandas as pd
+
+    hist = _lang_chars_hist(sf_dir)
+    if hist.empty:
         return pd.DataFrame({"lang": pd.Series([], dtype="object"),
                              "p50": pd.Series([], dtype="int64"),
                              "p90": pd.Series([], dtype="int64"),
                              "p99": pd.Series([], dtype="int64")})
-    hist = pd.concat(frames, ignore_index=True) \
-        .groupby(["lang", "n_chars"], dropna=False)["cnt"].sum().reset_index()
     out = []
     for lang, g in hist.groupby("lang", sort=True, dropna=False):
         g = g.sort_values("n_chars")
@@ -4769,21 +4773,11 @@ def q_length_outliers(sf_dir: str):
     doesn't)."""
     import pandas as pd
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_valid(batch.column("n_chars")))
-        return t.group_by(["lang", "n_chars"]) \
-            .aggregate([("n_chars", "count")]) \
-            .rename_columns(["lang", "n_chars", "cnt"])
-
-    frames = list(_docs(sf_dir, ["lang", "n_chars"])
-                  .map_batches(partial, batch_format="pyarrow")
-                  .iter_batches(batch_format="pandas"))
+    hist = _lang_chars_hist(sf_dir)
     cols = ["lang", "n_docs", "med_chars", "mad_chars", "n_outliers"]
-    if not frames:
+    if hist.empty:
         return pd.DataFrame({c: pd.Series([], dtype="object" if c == "lang"
                                           else "int64") for c in cols})
-    hist = pd.concat(frames, ignore_index=True) \
-        .groupby(["lang", "n_chars"], dropna=False)["cnt"].sum().reset_index()
 
     def wmedian(vals: np.ndarray, cnts: np.ndarray) -> int:
         order = np.argsort(vals, kind="stable")
