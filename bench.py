@@ -232,7 +232,8 @@ def run_bench() -> dict:
                      "range_sort_audit", "late_event_counts",
                      "funnel_counts", "label_centroids",
                      "term_cooccurrence", "schema_union_stats",
-                     "length_outliers", "order_asof_next"]}
+                     "length_outliers", "order_asof_next",
+                     "view_purchase_conversion"]}
     ray.shutdown()
     return result
 

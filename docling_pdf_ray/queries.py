@@ -4825,6 +4825,85 @@ GROUP BY v.lang ORDER BY v.lang
 """
 
 
+CONV_WINDOW_DAYS = 7    # attribution window: purchase within 7d of a view
+
+
+def q_view_purchase_conversion(sf_dir: str, n_buckets: int = 32):
+    """ATTRIBUTION-WINDOW CONVERSION — users with a purchase within
+    ``CONV_WINDOW_DAYS`` of a PRECEDING view (the time-constrained
+    sequential pattern; note greedy earliest-match is WRONG here — an
+    early view can age out while a later view converts — so the
+    semantics are exists-pair: ∃(view v, purchase p) with
+    v.ts ≤ p.ts ≤ v.ts + W, which reduces to "some purchase whose
+    LATEST preceding view is within W", i.e. a per-user backward
+    as-of + window filter). Only view/purchase rows survive the
+    pre-filter before the ONE user-bucketed shuffle; each bucket runs
+    a single vectorized ``merge_asof`` grouped by user and emits
+    (viewers, converted) count partials — users partition cleanly
+    across buckets, so per-bucket distinct counts sum exactly."""
+    import pandas as pd
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch.column("user_id")),
+            pc.is_in(batch.column("event_type"),
+                     value_set=pa.array(["view", "purchase"])))
+        t = batch.filter(keep)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "event_type": t.column("event_type"),
+                         "_bucket": pa.array(np.mod(uid, n_buckets)
+                                             .astype(np.int64))})
+
+    win = pd.Timedelta(days=CONV_WINDOW_DAYS)
+
+    def convert(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["event_type"] == "view"].sort_values("ts", kind="mergesort")
+        p = g[g["event_type"] == "purchase"].sort_values("ts",
+                                                         kind="mergesort")
+        n_viewers = int(v["user_id"].nunique())
+        if v.empty or p.empty:
+            return pd.DataFrame({"p_viewers": [n_viewers],
+                                 "p_converted": [0]})
+        v = v[["user_id", "ts"]].assign(view_ts=lambda d: d["ts"])
+        m = pd.merge_asof(p[["user_id", "ts"]], v,
+                          on="ts", by="user_id", direction="backward",
+                          tolerance=win)
+        # merge_asof(on=ts) matches the latest view ≤ each purchase ts
+        # within the tolerance window; a non-null match = conversion
+        conv = m.loc[m["view_ts"].notna(), "user_id"].nunique()
+        return pd.DataFrame({"p_viewers": [n_viewers],
+                             "p_converted": [int(conv)]})
+
+    parts = pd.concat(list(
+        _rd().read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type"])
+        .map_batches(prefilter, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(convert, batch_format="pandas")
+        .iter_batches(batch_format="pandas")), ignore_index=True)
+    return pd.DataFrame({
+        "n_viewers": pd.Series([int(parts["p_viewers"].sum())], dtype="int64"),
+        "n_converted": pd.Series([int(parts["p_converted"].sum())],
+                                 dtype="int64")})
+
+
+SQL_VIEW_PURCHASE_CONVERSION = f"""
+WITH v AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+), p AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), conv AS (
+  SELECT DISTINCT p.user_id FROM p JOIN v ON v.user_id = p.user_id
+   AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL {CONV_WINDOW_DAYS} DAY
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM v) AS BIGINT) AS n_viewers,
+       CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -4899,6 +4978,7 @@ QUERIES = {
     "schema_union_stats": q_schema_union_stats,
     "length_outliers": q_length_outliers,
     "order_asof_next": q_order_asof_next,
+    "view_purchase_conversion": q_view_purchase_conversion,
 }
 
 ORACLE_SQL = {
@@ -4967,4 +5047,5 @@ ORACLE_SQL = {
     "schema_union_stats": SQL_SCHEMA_UNION_STATS,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "order_asof_next": SQL_ORDER_ASOF_NEXT,
+    "view_purchase_conversion": SQL_VIEW_PURCHASE_CONVERSION,
 }

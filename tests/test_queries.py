@@ -71,7 +71,7 @@ def test_all_oracle_keys_have_queries():
     "sequence_packing", "domain_cap", "link_pagerank", "range_sort_audit",
     "late_event_counts", "funnel_counts", "label_centroids",
     "term_cooccurrence", "schema_union_stats", "length_outliers",
-    "order_asof_next",
+    "order_asof_next", "view_purchase_conversion",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
@@ -1444,6 +1444,63 @@ def test_length_outliers_hostile_distribution(ray_session, tmp_path):
     try:
         DataContext.get_current().target_max_block_size = 4 * 1024
         got2 = Q.q_length_outliers(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got2, got)
+
+
+def test_view_purchase_conversion_hostile_windows(ray_session, tmp_path):
+    """Exists-pair window semantics where greedy earliest-match would
+    be WRONG: a user whose first view ages out but a later view
+    converts must count; purchases before any view must not; exact
+    boundary (purchase at view + exactly 7d) counts on both engines;
+    null users excluded; block-layout invariant."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    day = np.timedelta64(1, "D")
+    base = np.datetime64("2024-06-01T00:00:00", "us")
+    rows = [
+        # u1: early view ages out, later view converts (greedy trap)
+        (1, "view", base), (1, "purchase", base + 10 * day),
+        (1, "view", base + 5 * day),
+        # u2: purchase BEFORE any view → no conversion
+        (2, "purchase", base), (2, "view", base + 1 * day),
+        # u3: exact boundary — purchase at view + 7d exactly → counts
+        (3, "view", base), (3, "purchase", base + 7 * day),
+        # u4: view only
+        (4, "view", base),
+        # null user noise
+        (None, "view", base), (None, "purchase", base + 1 * day),
+    ]
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us"))})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    got = Q.q_view_purchase_conversion(str(d))
+    assert got["n_viewers"].tolist() == [4]
+    assert got["n_converted"].tolist() == [2]     # u1 (late view) + u3
+    want = duckdb.connect().execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet');"
+        + Q.SQL_VIEW_PURCHASE_CONVERSION).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    from ray.data.context import DataContext
+
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 1024
+        got2 = Q.q_view_purchase_conversion(str(d))
     finally:
         DataContext.get_current().target_max_block_size = old
     pd.testing.assert_frame_equal(got2, got)
