@@ -112,6 +112,58 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def decode_pam(payload: bytes) -> np.ndarray:
+    """Decode a binary PAM (P7 — Netpbm's arbitrary-map format; DEPTH
+    1 grayscale or 3 RGB, maxval ≤ 255) into an (H, W, 3) uint8 array
+    (grayscale channel-replicated like PGM) — the third real image
+    codec, pure stdlib/numpy. Header = ascii `KEY value` lines up to
+    ``ENDHDR``; TUPLTYPE is advisory (DEPTH decides the layout).
+    Raises ValueError on anything malformed."""
+    if not payload.startswith(b"P7"):
+        raise ValueError("not a P7 PAM payload")
+    end = payload.find(b"ENDHDR\n")
+    if end < 0:
+        raise ValueError("PAM header missing ENDHDR")
+    vals: dict[str, str] = {}
+    for ln in payload[:end].decode("ascii").splitlines()[1:]:
+        ln = ln.split("#", 1)[0].strip()
+        parts = ln.split()
+        if len(parts) >= 2:
+            vals[parts[0]] = parts[1]
+    w = int(vals.get("WIDTH", 0))
+    h = int(vals.get("HEIGHT", 0))
+    depth = int(vals.get("DEPTH", 0))
+    maxval = int(vals.get("MAXVAL", 0))
+    if w <= 0 or h <= 0 or depth not in (1, 3) or not 0 < maxval <= 255:
+        raise ValueError(
+            f"unsupported PAM geometry {w}x{h} depth={depth} maxval={maxval}")
+    pos = end + len(b"ENDHDR\n")
+    need = w * h * depth
+    raster = payload[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PAM raster")
+    a = np.frombuffer(raster, dtype=np.uint8, count=need).reshape(h, w, depth)
+    return np.repeat(a, 3, axis=2) if depth == 1 else a
+
+
+def encode_pam(img: np.ndarray, depth: int = 3) -> bytes:
+    """Inverse of :func:`decode_pam` (test fixture / synth corpus);
+    ``depth=1`` writes the BT.601 luminance like :func:`encode_pgm`."""
+    if depth == 1:
+        if img.ndim == 3:
+            img = (img.astype(np.float32)
+                   @ np.array([0.299, 0.587, 0.114], dtype=np.float32)) \
+                .round().clip(0, 255).astype(np.uint8)
+        h, w = img.shape
+        tupl = b"GRAYSCALE"
+    else:
+        h, w = img.shape[:2]
+        tupl = b"RGB"
+    hdr = (b"P7\nWIDTH %d\nHEIGHT %d\nDEPTH %d\nMAXVAL 255\n"
+           b"TUPLTYPE %s\nENDHDR\n" % (w, h, depth, tupl))
+    return hdr + img.astype(np.uint8).tobytes()
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Real nearest-neighbor resize via numpy fancy indexing (the
     decode → resize → feature chain every image pipeline needs)."""
@@ -304,7 +356,7 @@ class MediaFeatureStage:
     """Actor-pool stage: decode + feature-extract media payloads.
 
     Payloads in self-contained formats decode FOR REAL (P6 PPM / P5
-    PGM / BMP images
+    PGM / P7 PAM / BMP images
     — decode → 64×64 nearest-neighbor resize → pixel statistics;
     PCM16 WAV audio — decode → energy envelope; RVID raw video —
     decode → deterministic even-spaced frame sample → per-frame
@@ -329,11 +381,14 @@ class MediaFeatureStage:
         # the task in the default mode — it falls through to the stub
         # arm like any other undecodable payload (strict mode raises)
         try:
-            if kind == "image" and payload.startswith((b"P6", b"P5", b"BM")):
+            if kind == "image" and payload.startswith((b"P6", b"P5", b"P7",
+                                                       b"BM")):
                 if payload.startswith(b"P6"):
                     img = decode_ppm(payload)
                 elif payload.startswith(b"P5"):
                     img = decode_pgm(payload)
+                elif payload.startswith(b"P7"):
+                    img = decode_pam(payload)
                 else:
                     img = decode_bmp(payload)
                 h, w = img.shape[:2]
@@ -405,9 +460,14 @@ def synth_media_dataset(n: int = 64, seed: int = 5):
             img = np_rng.randint(0, 256, size=(rng.randint(8, 48),
                                                rng.randint(8, 48), 3),
                                  dtype=np.uint8)
-            # alternate the two real image codecs so both decode arms
-            # run through the actor pool
-            payload = encode_ppm(img) if i % 6 == 0 else encode_bmp(img)
+            # rotate the three real image codecs so every decode arm
+            # runs through the actor pool
+            if i % 18 == 0:
+                payload = encode_ppm(img)
+            elif i % 18 == 3:
+                payload = encode_pam(img)
+            else:
+                payload = encode_bmp(img)
         elif kind == "audio":
             np_rng = np.random.RandomState(seed * 2000 + i)
             x = np_rng.standard_normal(rng.randint(800, 4000)).astype(np.float32) * 0.2

@@ -221,3 +221,37 @@ def test_pgm_decode_roundtrip_and_feature_parity():
         return out.column("feature")[0].as_py()
 
     assert feats(encode_pgm(gray)) == feats(encode_ppm(img))
+
+
+def test_pam_decode_roundtrip_and_feature_parity():
+    """P7 PAM (r3, third real image codec): RGB depth-3 round-trips
+    exactly; depth-1 grayscale channel-replicates and its features
+    match the PGM path on the same luminance; comment/whitespace
+    header quirks parse; malformed payloads raise."""
+    import numpy as np
+    import pytest
+
+    from docling_pdf_ray.functions.multimodal import (
+        decode_pam, decode_pgm, encode_pam, encode_pgm, image_features)
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert (decode_pam(encode_pam(img)) == img).all()
+
+    # grayscale: PAM depth-1 must equal the PGM decode of the same image
+    g_pam = decode_pam(encode_pam(img, depth=1))
+    g_pgm = decode_pgm(encode_pgm(img))
+    assert (g_pam == g_pgm).all()
+    assert np.allclose(image_features(g_pam), image_features(g_pgm))
+
+    # header with a comment line and advisory TUPLTYPE
+    hdr = (b"P7\n# crawler artifact\nWIDTH 2\nHEIGHT 1\nDEPTH 3\n"
+           b"MAXVAL 255\nTUPLTYPE RGB\nENDHDR\n" + bytes(6))
+    assert decode_pam(hdr).shape == (1, 2, 3)
+
+    for bad in [b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 3\nMAXVAL 255\nENDHDR\n",
+                b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 2\nMAXVAL 255\nENDHDR\n" + bytes(4),
+                b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 3\nMAXVAL 65535\nENDHDR\n" + bytes(12),
+                b"P6 not a pam"]:
+        with pytest.raises(ValueError):
+            decode_pam(bad)
