@@ -46,6 +46,30 @@ def punct_char_counts(texts: list[str | None]) -> np.ndarray:
         dtype=np.int64, count=len(texts))
 
 
+def md5_hex_col(col) -> "pa.Array":
+    """Vectorized :func:`md5_hex` over an Arrow string column: cast to
+    binary (the string's utf-8 buffer — no per-row ``str.encode``),
+    hash each DISTINCT payload once (``pd.factorize``, hash-based) and
+    reconstruct the row stream by code — the ``dedup.md5_u64``
+    unique-inverse pattern (r3 verdict #6). Nulls stay null (SQL
+    ``md5(NULL) IS NULL``). Byte-identical to :func:`md5_hex`
+    (pinned by test)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    vals = np.asarray(col.cast(pa.large_binary()).to_pylist(), dtype=object)
+    codes, uniq = pd.factorize(vals, use_na_sentinel=True)
+    hx = np.array([hashlib.md5(u).hexdigest() for u in uniq], dtype=object)
+    out = np.empty(len(vals), dtype=object)
+    mask = codes >= 0
+    out[mask] = hx[codes[mask]]
+    out[~mask] = None
+    return pa.array(out, pa.string())
+
+
 def md5_hex(texts: list[str | None]) -> list[str | None]:
     """Content fingerprint == DuckDB md5(text): None → None (SQL
     md5(NULL) IS NULL — hashing None as '' would silently merge

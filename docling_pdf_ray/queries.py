@@ -66,6 +66,17 @@ def _driver_combine(partials_ds, by: list[str], aggs: dict[str, tuple[str, str]]
     return out[by + list(aggs)]
 
 
+def _collect_pd(partials_ds):
+    """iter_batches → ONE pandas frame, or ``None`` on a zero-batch
+    input (``pd.concat([])`` raises ValueError; callers return their
+    typed empty frame instead — ADVICE r3). Only for partials/results
+    already reduced to driver-sized rows."""
+    import pandas as pd
+
+    frames = list(partials_ds.iter_batches(batch_format="pandas"))
+    return pd.concat(frames, ignore_index=True) if frames else None
+
+
 # ================================================================ extraction
 
 def q_extract_pages(sf_dir: str):
@@ -207,8 +218,7 @@ def q_doc_fingerprints(sf_dir: str):
     def fp(batch: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(ftext.md5_hex(batch.column("text").to_pylist()),
-                                    pa.string()),
+            "fingerprint": ftext.md5_hex_col(batch.column("text")),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -227,8 +237,7 @@ def q_dedup_exact(sf_dir: str):
 
     def hashes(batch: pa.Table) -> pa.Table:
         t = pa.table({
-            "text_hash": pa.array(ftext.md5_hex(batch.column("text").to_pylist()),
-                                  pa.string()),
+            "text_hash": ftext.md5_hex_col(batch.column("text")),
             "doc_id": batch.column("doc_id"),
         })
         # null text has no content to dedup (and Ray's sort-based
@@ -754,31 +763,99 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-def q_order_coverage(sf_dir: str):
-    """SEMI/ANTI join via broadcast key set (ray_guide pattern): the
-    orders key set ships once through the object store; each customer
-    batch partitions against it locally — no shuffle. One-row summary
-    so the result is never an empty frame."""
+def q_order_coverage(sf_dir: str, n_buckets: int = 64):
+    """SEMI + ANTI join coverage WITHOUT an O(build-keys) driver object
+    (r4, rebuilt on the Bloom survivor co-shuffle the r3 verdict asked
+    for — the q_bloom_semi_join machinery with both polarities):
+
+    (1) the build side (orders' customer keys) streams once into
+    per-batch partial Bloom bitmaps, OR-merged on the driver — the only
+    driver-side build object is the FIXED-SIZE bitmap; (2) each probe
+    (customer) batch splits against the broadcast bitmap: definite
+    misses are counted 'without' immediately (exact — Bloom filters
+    have no false negatives), while bloom-MAYBE keys ride a narrow
+    (key, count) co-shuffle with the build keys; (3) each bucket counts
+    true hits ('with') vs false positives ('without'); the per-bucket
+    counter rows (≤ n_buckets + blocks rows total) combine on the
+    driver. One-row summary so the result is never an empty frame."""
     import pandas as pd
-    import pyarrow.parquet as pq
     import ray
 
-    key_arr = pc.unique(pq.read_table(f"{sf_dir}/orders.parquet",
-                                      columns=["o_custkey"]).column("o_custkey"))
-    ref = ray.put(key_arr)   # arrow array: zero-copy from the object store
+    from .functions import sketch as sk
+    from .functions.joins import _bucket_of
 
-    def part(batch: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        hits = pc.sum(pc.cast(pc.is_in(batch.column("c_custkey"),
-                                       value_set=ks), pa.int64())).as_py() or 0
-        return pa.table({"p_with": pa.array([hits], pa.int64()),
-                         "p_without": pa.array([batch.num_rows - hits], pa.int64())})
+    build = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey"]).materialize()
 
-    partials = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        bm = sk.bloom_add_hashes(sk.bloom_new(_BLOOM_BITS),
+                                 sk.mix64(keys.astype(np.uint64)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bm = sk.bloom_new(_BLOOM_BITS)
+    for b in build.map_batches(bloom_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for payload in b.column("bm").to_pylist():
+            bm = sk.bloom_merge(bm, np.frombuffer(payload, dtype=np.uint8))
+    bm_ref = ray.put(bm)
+
+    def _rows(keys: pa.Array, pn: np.ndarray, side: int,
+              miss: int = 0) -> pa.Table:
+        t = pa.table({"k": keys,
+                      "pn": pa.array(pn, pa.int64()),
+                      "p_miss": pa.nulls(len(keys), pa.int64()),
+                      "_side": pa.array(np.full(len(keys), side, np.int8))})
+        t = t.append_column("_bucket", _bucket_of(t.column("k"), n_buckets))
+        if miss:
+            # one counter row per batch for the definite bloom misses
+            t = pa.concat_tables([t, pa.table({
+                "k": pa.array([0], pa.int64()),
+                "pn": pa.nulls(1, pa.int64()),
+                "p_miss": pa.array([miss], pa.int64()),
+                "_side": pa.array([2], pa.int8()),
+                "_bucket": pa.array([0], pa.int32())})])
+        return t
+
+    def build_keys(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch.column("o_custkey"))
+        return _rows(keys, np.zeros(len(keys), np.int64), 0)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        _bm = ray.get(bm_ref)
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        maybe = sk.bloom_might_contain(_bm, sk.mix64(keys.astype(np.uint64)))
+        n_miss = int(len(keys) - maybe.sum())
+        surv = batch.filter(pa.array(maybe))
+        agg = pa.table({"k": surv.column("c_custkey")}) \
+            .group_by("k").aggregate([([], "count_all")])
+        return _rows(agg.column("k"),
+                     agg.column("count_all").to_numpy(zero_copy_only=False)
+                     .astype(np.int64), 1, miss=n_miss)
+
+    probe_ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
                                   columns=["c_custkey"]) \
-        .map_batches(part, batch_format="pyarrow")
-    df = pd.concat(list(partials.iter_batches(batch_format="pandas")),
-                   ignore_index=True)
+        .map_batches(probe, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("_side")
+        miss = pc.sum(g.filter(pc.equal(side, 2)).column("p_miss")).as_py() or 0
+        bkeys = pc.unique(g.filter(pc.equal(side, 0)).column("k"))
+        pr = g.filter(pc.equal(side, 1))
+        hit_mask = pc.is_in(pr.column("k"), value_set=bkeys)
+        hits = pc.sum(pc.if_else(hit_mask, pr.column("pn"), 0)).as_py() or 0
+        fps = pc.sum(pc.if_else(pc.invert(hit_mask),
+                                pr.column("pn"), 0)).as_py() or 0
+        return pa.table({"p_with": pa.array([hits], pa.int64()),
+                         "p_without": pa.array([fps + miss], pa.int64())})
+
+    parts = build.map_batches(build_keys, batch_format="pyarrow") \
+        .union(probe_ds) \
+        .groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+    frames = list(parts.iter_batches(batch_format="pandas"))
+    df = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"p_with": pd.Series([], dtype="int64"),
+                      "p_without": pd.Series([], dtype="int64")})
     return pd.DataFrame({"with_orders": [int(df["p_with"].sum())],
                          "without_orders": [int(df["p_without"].sum())]})
 
@@ -1275,16 +1352,26 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
     from .functions import dedup as dd
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids, bands, hashes = [], [], []
+        # band-triple explosion is vectorized (r4, per the r3 verdict):
+        # the per-band blake2b digests stay a bounded 16-wide loop per
+        # doc inside band_hashes, but the (doc_id, band, band_hash)
+        # rows materialize via np.repeat/np.tile, no per-row appends
         texts = batch.column("text").to_pylist()
-        for i, sig in zip(batch.column("doc_id").to_pylist(),
-                          dd.minhash_signatures(texts)):
-            if sig is None:       # empty shingle set: no bands emitted
-                continue
-            for b, h in enumerate(dd.band_hashes(sig)):
-                ids.append(i)
-                bands.append(b)
-                hashes.append(h)
+        all_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig_list = dd.minhash_signatures(texts)
+        valid = np.array([s is not None for s in sig_list], dtype=bool)
+        n = int(valid.sum())     # empty shingle sets emit no bands
+        if n == 0:
+            ids = np.array([], dtype=np.int64)
+            bands = np.array([], dtype=np.int32)
+            hashes = np.array([], dtype=np.int64)
+        else:
+            ids = np.repeat(all_ids[valid].astype(np.int64), dd.NUM_BANDS)
+            bands = np.tile(np.arange(dd.NUM_BANDS, dtype=np.int32), n)
+            hashes = np.fromiter(
+                (h for s, ok in zip(sig_list, valid) if ok
+                 for h in dd.band_hashes(s)),
+                dtype=np.int64, count=n * dd.NUM_BANDS)
         t = pa.table({"doc_id": pa.array(ids, pa.int64()),
                       "band": pa.array(bands, pa.int32()),
                       "band_hash": pa.array(hashes, pa.int64())})
@@ -1307,12 +1394,22 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
 _EMPTY_PAIRS_COLS = ("doc_id_a", "doc_id_b", "jacc_num", "jacc_den")
 
 
-def _verify_jaccard_pairs(docs, cand_pd, threshold: float):
+def _verify_jaccard_pairs(docs, cand_pd, threshold: float,
+                          n_buckets: int = 32):
     """Shared distributed exact-Jaccard verify over a candidate-pair
-    frame (columns a, b): broadcast the candidate id-set, fetch ONLY
-    candidate texts via a distributed is_in filter (never a full
-    driver scan), then verify pairs in parallel with per-doc shingle
-    caching. The only driver-side objects are O(candidates)."""
+    frame (columns a, b), restructured r4 as a bucketed PAIR/TEXT
+    CO-SHUFFLE (the r3 verdict's #1 ask): each pair is assigned a
+    verify bucket; the driver broadcasts only a narrow INT routing map
+    (candidate doc_id → buckets that need its text, O(2·pairs) int64s);
+    a map_batches stage over the corpus replicates each CANDIDATE
+    text's row into exactly the buckets that reference it; pairs and
+    texts then co-locate through ONE groupby exchange and each bucket
+    verifies locally with a per-bucket shingle cache. Candidate TEXTS
+    flow worker-to-worker through the object store — they never
+    materialize on the driver (pinned by
+    ``test_verify_stage_driver_holds_no_texts``). Driver-side objects:
+    the pair frame itself and the int routing map — both O(pairs), the
+    documented contract of the detection stages that produce them."""
     from fractions import Fraction
 
     import pandas as pd
@@ -1326,50 +1423,85 @@ def _verify_jaccard_pairs(docs, cand_pd, threshold: float):
     if cand_pd.empty:
         return empty
 
-    need = pa.array(sorted(set(cand_pd["a"]).union(cand_pd["b"])), pa.int64())
-    need_ref = ray.put(need)
+    a = cand_pd["a"].to_numpy(np.int64)
+    b = cand_pd["b"].to_numpy(np.int64)
+    # deterministic pair → bucket (Knuth multiplicative mix so a skewed
+    # id range still spreads); any deterministic function is correct —
+    # the bucket only decides WHERE a pair is verified
+    bk = (((a.astype(np.uint64) * np.uint64(_KNUTH))
+           ^ b.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
 
-    def pick(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("doc_id"),
-                                     value_set=ray.get(need_ref)))
+    # routing map: doc_id → np.array of buckets needing its text.
+    # Narrow ints only (no text), O(2·pairs) before dedup.
+    route = pd.DataFrame({"doc_id": np.concatenate([a, b]),
+                          "_bucket": np.concatenate([bk, bk])}) \
+        .drop_duplicates()
+    bmap = {int(d): g["_bucket"].to_numpy(np.int32)
+            for d, g in route.groupby("doc_id")}
+    need = pa.array(sorted(bmap), pa.int64())
+    route_ref = ray.put((need, bmap))
 
-    picked = docs.map_batches(pick, batch_format="pyarrow").to_pandas()
-    texts_ref = ray.put(dict(zip(picked["doc_id"],
-                                 picked["text"].fillna(""))))
+    _F = [("a", pa.int64()), ("b", pa.int64()), ("doc_id", pa.int64()),
+          ("text", pa.large_string()), ("_bucket", pa.int32()),
+          ("_side", pa.int8())]
 
-    def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
-        # shingle each candidate doc ONCE per batch, not once per pair:
-        # a star-linked mass-dup bucket would otherwise re-shingle the
+    def _conform(cols: dict) -> pa.Table:
+        n = len(cols.get("_bucket", []))
+        return pa.table({name: (pa.array(cols[name], typ) if name in cols
+                                else pa.nulls(n, typ)) for name, typ in _F})
+
+    def route_texts(batch: pa.Table) -> pa.Table:
+        nd, bm = ray.get(route_ref)
+        t = batch.filter(pc.is_in(batch.column("doc_id"), value_set=nd))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = np.asarray(
+            pc.fill_null(t.column("text"), "").to_pylist(), dtype=object)
+        # loop bounded by THIS BATCH's candidate rows (not the corpus)
+        bks = [bm[int(i)] for i in ids]
+        counts = np.array([len(x) for x in bks], dtype=np.int64)
+        return _conform({
+            "doc_id": np.repeat(ids, counts),
+            "text": np.repeat(texts, counts),
+            "_bucket": (np.concatenate(bks) if bks
+                        else np.array([], dtype=np.int32)),
+            "_side": np.ones(int(counts.sum()), dtype=np.int8)})
+
+    pairs_t = _conform({"a": a, "b": b, "_bucket": bk,
+                        "_side": np.zeros(len(a), dtype=np.int8)})
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("_side")
+        tx_rows = g.filter(pc.equal(side, 1))
+        tx = dict(zip(tx_rows.column("doc_id").to_pylist(),
+                      tx_rows.column("text").to_pylist()))
+        pr = g.filter(pc.equal(side, 0))
+        # shingle each doc ONCE per bucket, not once per pair: a
+        # star-linked mass-dup bucket would otherwise re-shingle the
         # anchor text O(pairs) times
         sh: dict[int, set] = {}
 
         def shingles(i: int) -> set:
             if i not in sh:
-                sh[i] = dd.word_shingles(tx[i])
+                sh[i] = dd.word_shingles(tx.get(i) or "")
             return sh[i]
 
         rows = []
-        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
-            sa, sb = shingles(a), shingles(b)
+        for pa_, pb in zip(pr.column("a").to_pylist(),
+                           pr.column("b").to_pylist()):
+            sa, sb = shingles(pa_), shingles(pb)
             num = len(sa & sb)
             den = len(sa) + len(sb) - num
             if num * fr.denominator >= fr.numerator * den:
-                rows.append((a, b, num, den))
+                rows.append((pa_, pb, num, den))
         return pa.table({"doc_id_a": pa.array([r[0] for r in rows], pa.int64()),
                          "doc_id_b": pa.array([r[1] for r in rows], pa.int64()),
                          "jacc_num": pa.array([r[2] for r in rows], pa.int64()),
                          "jacc_den": pa.array([r[3] for r in rows], pa.int64())})
 
-    # from_arrow would make ONE block → ONE verify task (measured r3:
-    # 4.7 s serial on 1.2M sf0.1 candidates); split into ~25k-pair
-    # blocks so the verify fans out across the cluster. Per-task doc
-    # re-shingling is bounded by the task's own candidate set and
-    # amortized by the per-batch cache below.
-    chunk = 25_000
-    out = _rd().from_pandas(
-        [cand_pd.iloc[i:i + chunk] for i in range(0, len(cand_pd), chunk)]) \
-        .map_batches(verify, batch_format="pyarrow").to_pandas()
+    both = docs.map_batches(route_texts, batch_format="pyarrow") \
+        .union(_rd().from_arrow(pairs_t))
+    out = both.groupby("_bucket") \
+        .map_groups(verify_bucket, batch_format="pyarrow").to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
@@ -2831,9 +2963,8 @@ def q_stratified_fixed_sample(sf_dir: str, n: int = FIXED_SAMPLE_N):
 
     partials = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
         partial, batch_format="pyarrow")
-    cand = pd.concat(list(partials.iter_batches(batch_format="pandas")),
-                     ignore_index=True)
-    if cand.empty:
+    cand = _collect_pd(partials)
+    if cand is None or cand.empty:
         return pd.DataFrame({"lang": pd.Series([], dtype="object"),
                              "sample_rank": pd.Series([], dtype="int64"),
                              "doc_id": pd.Series([], dtype="int64"),
@@ -2912,9 +3043,12 @@ def q_running_totals(sf_dir: str):
             .aggregate([("cents", "sum")]) \
             .rename_columns(["_bucket", "event_type", "p_cents"])
 
-    parts = pd.concat(list(ds.map_batches(partial, batch_format="pyarrow")
-                           .iter_batches(batch_format="pandas")),
-                      ignore_index=True)
+    parts = _collect_pd(ds.map_batches(partial, batch_format="pyarrow"))
+    if parts is None:     # zero-batch input (ADVICE r3): typed empty frame
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "running_cents": pd.Series([], dtype="int64")})
     offs: dict = {}
     agg = parts.groupby(["event_type", "_bucket"], sort=True)["p_cents"].sum()
     for etype, s in agg.groupby(level=0):
@@ -3818,9 +3952,12 @@ def q_sequence_packing(sf_dir: str):
         return batch.group_by("_bucket").aggregate([("n_chars", "sum")]) \
             .rename_columns(["_bucket", "p_chars"])
 
-    parts = pd.concat(list(ds.map_batches(partial, batch_format="pyarrow")
-                           .iter_batches(batch_format="pandas")),
-                      ignore_index=True)
+    frames = list(ds.map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas"))
+    if not frames:       # zero-batch input (ADVICE r3): typed empty frame
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "pack_id", "pack_off")})
+    parts = pd.concat(frames, ignore_index=True)
     per_bucket = parts.groupby("_bucket", sort=True)["p_chars"].sum()
     carry = per_bucket.cumsum().shift(1, fill_value=0)
     off_ref = ray.put({int(k): int(v) for k, v in carry.items()})
@@ -3834,9 +3971,11 @@ def q_sequence_packing(sf_dir: str):
         g["pack_off"] = excl % PACK_BUDGET
         return g[["doc_id", "pack_id", "pack_off"]]
 
-    out = ds.groupby("_bucket").map_groups(scan_group, batch_format="pandas") \
-        .to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # O(corpus)-row result: returned LAZY and unsorted (ADVICE r3 —
+    # the gate's value hash is row-order-insensitive; a driver-side
+    # to_pandas + sort here was a driver-memory and serial-sort hot
+    # spot at bench scale). Consumers needing order sort downstream.
+    return ds.groupby("_bucket").map_groups(scan_group, batch_format="pandas")
 
 
 SQL_SEQUENCE_PACKING = f"""
@@ -3966,10 +4105,9 @@ def q_top_terms_approx(sf_dir: str, k: int = 20):
             "counts": pa.array([list(mg_c)], pa.list_(pa.int64())),
             "cms": pa.array([cms.tobytes()], pa.binary())})
 
-    parts = pd.concat(
-        list(_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
-             .iter_batches(batch_format="pandas")), ignore_index=True)
-    if parts.empty:
+    parts = _collect_pd(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"))
+    if parts is None or parts.empty:
         return pd.DataFrame({"term": pd.Series([], dtype="object"),
                              "df_est": pd.Series([], dtype="int64")})
     cand, _ = sk.mg_combine(
@@ -4341,9 +4479,12 @@ def q_late_event_counts(sf_dir: str):
             .aggregate([("ts_us", "max")]) \
             .rename_columns(["_day", "p_max"])
 
-    parts = pd.concat(list(ds.map_batches(up_partial, batch_format="pyarrow")
-                           .iter_batches(batch_format="pandas")),
-                      ignore_index=True)
+    parts = _collect_pd(ds.map_batches(up_partial, batch_format="pyarrow"))
+    if parts is None:     # zero-batch input (ADVICE r3): typed empty frame
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "n_late": pd.Series([], dtype="int64"),
+            "n_total": pd.Series([], dtype="int64")})
     day_max = parts.groupby("_day", sort=True)["p_max"].max()
     carry_vals = np.concatenate(
         [[WM_SENTINEL], np.maximum.accumulate(day_max.to_numpy(np.int64))[:-1]]) \
@@ -4876,12 +5017,14 @@ def q_view_purchase_conversion(sf_dir: str, n_buckets: int = 32):
         return pd.DataFrame({"p_viewers": [n_viewers],
                              "p_converted": [int(conv)]})
 
-    parts = pd.concat(list(
+    parts = _collect_pd(
         _rd().read_parquet(f"{sf_dir}/events.parquet",
                            columns=["user_id", "ts", "event_type"])
         .map_batches(prefilter, batch_format="pyarrow")
-        .groupby("_bucket").map_groups(convert, batch_format="pandas")
-        .iter_batches(batch_format="pandas")), ignore_index=True)
+        .groupby("_bucket").map_groups(convert, batch_format="pandas"))
+    if parts is None:     # zero-batch input (ADVICE r3): zero counters
+        return pd.DataFrame({"n_viewers": pd.Series([0], dtype="int64"),
+                             "n_converted": pd.Series([0], dtype="int64")})
     return pd.DataFrame({
         "n_viewers": pd.Series([int(parts["p_viewers"].sum())], dtype="int64"),
         "n_converted": pd.Series([int(parts["p_converted"].sum())],
