@@ -258,6 +258,59 @@ def test_bucketed_range_join_semantics(ray_session):
     assert out["lt"].dtype.kind == "i" and out["rv"].dtype.kind == "i"
 
 
+def test_range_join_skew_salt_and_chunking_identical_output(ray_session):
+    """r4 skew defense for the range join: a hostile celebrity key
+    (one key carrying most of both sides) must produce IDENTICAL
+    output (a) unsalted, (b) salted via the detect_hot_keys plan, and
+    (c) with a tiny max_chunk_rows forcing many per-bucket cross-
+    product slices — against a plain pandas reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_pdf_ray.functions.joins import (bucketed_range_join,
+                                                 detect_hot_keys)
+
+    rng = np.random.RandomState(3)
+    n_l, n_r = 400, 120
+    # key 7 is the celebrity: ~70% of left rows, ~half the right rows
+    lk = np.where(rng.rand(n_l) < 0.7, 7, rng.randint(0, 12, n_l))
+    rk = np.where(rng.rand(n_r) < 0.5, 7, rng.randint(0, 12, n_r))
+    lt = rng.randint(0, 1000, n_l)
+    rt = rng.randint(0, 1000, n_r)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()), "lt": pa.array(lt, pa.int64()),
+        "lid": pa.array(np.arange(n_l), pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk, pa.int64()), "rt": pa.array(rt, pa.int64()),
+        "rid": pa.array(np.arange(n_r), pa.int64())}))
+
+    ldf = pd.DataFrame({"k": lk, "lt": lt, "lid": np.arange(n_l)})
+    rdf = pd.DataFrame({"k": rk, "rt": rt, "rid": np.arange(n_r)})
+    m = ldf.merge(rdf, on="k")
+    want = m[(m["rt"] >= m["lt"] - 25) & (m["rt"] <= m["lt"] + 25)]
+    want = want.sort_values(["lid", "rid"]).reset_index(drop=True)
+
+    def run(**kw):
+        out = bucketed_range_join(left, right, key="k", ts_left="lt",
+                                  ts_right="rt", lower=-25, upper=25,
+                                  n_buckets=8, **kw).to_pandas()
+        return out[["k", "lt", "lid", "rt", "rid"]].astype("int64") \
+            .sort_values(["lid", "rid"]).reset_index(drop=True)
+
+    plain = run()
+    assert len(plain) == len(want) > 500
+    pd.testing.assert_frame_equal(plain, want[plain.columns],
+                                  check_dtype=False)
+    hot = detect_hot_keys(left, "k", min_rows=50, n_subbuckets=4)
+    assert 7 in hot, "celebrity key must be detected"
+    pd.testing.assert_frame_equal(run(salt=hot), plain)
+    # chunked cross product: worst case forces ~per-row slices
+    pd.testing.assert_frame_equal(run(max_chunk_rows=64), plain)
+    pd.testing.assert_frame_equal(run(salt=hot, max_chunk_rows=64), plain)
+
+
 def test_join_int64_above_2_53_survives_na_padding(ray_session):
     """Regression (advice r2): a left/asof join whose NA-padding used to
     upcast int64 payloads to float64 corrupted values above 2^53
