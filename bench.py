@@ -233,7 +233,8 @@ def run_bench() -> dict:
                      "funnel_counts", "label_centroids",
                      "term_cooccurrence", "schema_union_stats",
                      "length_outliers", "order_asof_next",
-                     "view_purchase_conversion"]}
+                     "view_purchase_conversion", "host_links",
+                     "extract_audit"]}
     ray.shutdown()
     return result
 

@@ -200,6 +200,37 @@ class HtmlExtract:
     spans: list[dict]    # {start, end, kind}
     tables: list[dict]   # {content, page}
     images: list[dict]   # {description, page}
+    links: list[str]     # absolute out-links from non-stripped subtrees
+
+
+def collect_links(root: _Node) -> list[str]:
+    """Main-content out-link inventory (r4 — the anchor-span → edge
+    operator's source): every ``<a href>`` with an ABSOLUTE http(s)
+    href, in document order, from NON-STRIPPED subtrees only. Anchors
+    inside boilerplate (nav/header/footer/aside — ``STRIP_TAGS``) are
+    excluded by the same rule that strips their text: a link graph
+    built from navigation chrome measures the site template, not the
+    document. Relative hrefs are excluded (no base-url resolution in
+    this corpus — host extraction needs an authority). Duplicates are
+    preserved (a page linking a host twice is two edges; consumers
+    aggregate). Independent of the block KEEP decision: a link-only
+    block is dropped from ``full_text`` by link-density pruning yet
+    still contributes its anchors — link evidence and text evidence
+    are different signals."""
+    out: list[str] = []
+
+    def walk(n: _Node) -> None:
+        for c in n.children:
+            if isinstance(c, str) or c.tag in STRIP_TAGS:
+                continue
+            if c.tag == "a":
+                href = c.attrs.get("href", "")
+                if href.startswith(("http://", "https://")):
+                    out.append(href)
+            walk(c)
+
+    walk(root)
+    return out
 
 
 def _keep(cfg: PipelineConfig, text_len: int, link_len: int, tags: int) -> bool:
@@ -313,4 +344,5 @@ def extract_main_content(html_bytes: bytes,
         parts.append(b.rendered)
         spans.append({"start": pos, "end": pos + len(b.rendered), "kind": b.kind})
         pos += len(b.rendered)
-    return HtmlExtract("\n\n".join(parts), spans, tables, images)
+    return HtmlExtract("\n\n".join(parts), spans, tables, images,
+                       collect_links(root))

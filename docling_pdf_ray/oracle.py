@@ -373,6 +373,9 @@ def _flatten(url: str, method: str | None, data: dict[str, Any],
         "spans": data.get("spans", []),
         "tables": data.get("tables", []),
         "images": images,
+        # absolute out-links (HTML branch; [] on the PDF/fallback
+        # paths — SPDF payloads carry no hyperlinks)
+        "links": data.get("links", []),
         "word_count": data.get("word_count"),
         "character_count": data.get("character_count"),
         "total_pages": len(data.get("pages", [])),      # :340 — quirk preserved
@@ -388,7 +391,8 @@ def _fail(url: str, error: str) -> dict[str, Any]:
     return {
         "url": url, "extraction_successful": False, "extraction_method": None,
         "full_text": None, "pages": None, "spans": None, "tables": None,
-        "images": None, "word_count": None, "character_count": None,
+        "images": None, "links": None,
+        "word_count": None, "character_count": None,
         "total_pages": None, "has_tables": None, "has_images": None,
         "error": error, "warning": None,
     }
@@ -453,6 +457,7 @@ def extract_html(url: str, data: bytes, cfg: PipelineConfig) -> dict[str, Any]:
             "spans": ex.spans,
             "tables": ex.tables,
             "images": ex.images,
+            "links": ex.links,
             "word_count": len(ex.full_text.split()),
             "character_count": len(ex.full_text),
         }

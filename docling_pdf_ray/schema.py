@@ -55,6 +55,11 @@ EXTRACTED_SCHEMA = pa.schema([
     pa.field("spans", pa.list_(SPAN_STRUCT)),           # north-star span offsets
     pa.field("tables", pa.list_(TABLE_STRUCT)),         # pdf_extractor.py:395-401
     pa.field("images", pa.list_(IMAGE_STRUCT)),         # pdf_extractor.py:404-410
+    # absolute out-links from NON-boilerplate subtrees (HTML branch
+    # only; [] on the PDF paths, null on failure rows) — the anchor
+    # spans the north-star's link/graph consumers read (htmlx.py
+    # collect_links; feeds the host_links edge table + link_pagerank)
+    pa.field("links", pa.list_(pa.string())),
     pa.field("word_count", pa.int64()),                 # pdf_extractor.py:456
     pa.field("character_count", pa.int64()),            # pdf_extractor.py:457
     pa.field("total_pages", pa.int32()),                # pdf_extractor.py:340

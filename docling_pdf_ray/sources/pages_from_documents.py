@@ -22,22 +22,38 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.dedup import split_ws
 from ..payload import build
 from ..schema import PAGES_SCHEMA
 
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
 
+N_HOSTS = 64        # synthetic host space: page url host = h{doc_id % 64}
+LINKS_PER_DOC = 3   # absolute out-links embedded per html page (r4)
+
 
 def _wrap_html(doc_id: int, text: str) -> bytes:
     esc = _html.escape(text)
-    # paragraphs of ~40 words, deterministic
-    words = esc.split()
+    # paragraphs of ~40 words, deterministic. ASCII-ws split (split_ws)
+    # so the chunk boundaries are expressible in the RE2/DuckDB mirrors
+    # (str.split is Unicode-ws; identical on this ASCII corpus, and the
+    # explicit class makes the equivalence structural, not coincidental)
+    words = split_ws(esc)
     paras = [" ".join(words[i:i + 40]) for i in range(0, len(words), 40)] or [""]
     body = "\n".join(f"<p>{p}</p>" for p in paras)
     nav = "".join(f'<a href="/s{i}">sec {i}</a> ' for i in range(6))
+    # deterministic cross-host references: the REAL link evidence the
+    # extractor's collect_links harvests (absolute hrefs in the main
+    # content). The block itself is boilerplate-shaped (pure links,
+    # 17 chars) so the keep rules drop it from full_text — link
+    # evidence and text evidence stay independent signals.
+    refs = " ".join(
+        f'<a href="https://h{(doc_id * 7 + 13 * k + 1) % N_HOSTS}.example'
+        f'/ref/{doc_id}-{k}">ref {k}</a>' for k in range(LINKS_PER_DOC))
     return (f"<!DOCTYPE html><html><head><title>doc {doc_id}</title>"
             f"<style>body{{margin:0}}</style></head><body>"
-            f"<nav>{nav}</nav><article><h1>Document {doc_id}</h1>{body}</article>"
+            f"<nav>{nav}</nav><article><h1>Document {doc_id}</h1>{body}"
+            f'<p class="refs">{refs}</p></article>'
             f"<footer><p>footer {nav}</p></footer></body></html>").encode()
 
 
@@ -71,7 +87,9 @@ def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     langs = batch.column("lang").to_pylist()
     srcs = batch.column("source").to_pylist()
-    urls = [f"https://corpus.example/{s}/{i}" for s, i in zip(srcs, ids)]
+    # host varies with doc_id (a crawl spans many hosts — degenerate
+    # single-host urls would make every host-level operator trivial)
+    urls = [f"https://h{i % N_HOSTS}.example/{s}/{i}" for s, i in zip(srcs, ids)]
     tss = np.asarray(ids, dtype=np.int64) * 1_000_000 + EPOCH_US
     payloads = [_payload(i, t or "") for i, t in zip(ids, texts)]
     return pa.Table.from_arrays([

@@ -179,3 +179,32 @@ def test_image_inside_inline_element_reported():
             'and more prose following it</div></body></html>').encode()
     ex = extract_main_content(html, CFG)
     assert [i["description"] for i in ex.images] == ["a chart"]
+
+
+def test_collect_links_contract():
+    """r4 link harvest: absolute http(s) hrefs only, document order,
+    duplicates preserved, stripped subtrees (nav/footer/script)
+    excluded, nested anchors both collected, keep-rule independence
+    (a pruned link-only block still contributes its anchors)."""
+    html = (
+        '<html><head><script>var x="<a href=https://ghost.example/x>"'
+        '</script></head><body>'
+        '<nav><a href="https://navhost.example/a">nav</a>'
+        '<a href="/rel">rel</a></nav>'
+        '<article>'
+        f'<p>{LOREM}<a href="https://one.example/p1">one</a></p>'
+        '<p><a href="https://two.example/x">x</a> '
+        '<a href="https://two.example/x">x again</a></p>'
+        '<div><a href="https://outer.example/o">'
+        '<a href="https://inner.example/i">i</a></a></div>'
+        '<a href="ftp://no.example/f">ftp</a>'
+        '</article>'
+        '<footer><a href="https://foothost.example/f">foot</a></footer>'
+        '</body></html>').encode()
+    ex = extract_main_content(html, CFG)
+    assert ex.links == [
+        "https://one.example/p1",
+        "https://two.example/x", "https://two.example/x",
+        "https://outer.example/o", "https://inner.example/i"]
+    # the link-only <p> was pruned from full_text yet contributed links
+    assert "x again" not in ex.full_text

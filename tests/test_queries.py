@@ -1337,11 +1337,13 @@ def test_cms_never_underestimates_and_mg_superset_on_hostile_stream():
 
 
 def test_link_pagerank_hostile_graph_and_block_invariance(ray_session, tmp_path):
-    """Integer fixed-point PageRank must agree with the unrolled SQL
-    on a HOSTILE graph (sparse doc_ids → hosts of wildly different
-    sizes, dangling dst-only hosts, zero-indegree hosts) and be
+    """Integer fixed-point PageRank over the REAL extracted link graph
+    (r4) must agree with the unrolled SQL on a HOSTILE corpus (sparse
+    doc_ids → hosts of wildly different sizes; non-html docs make some
+    hosts dst-only danglers or zero-indegree; empty/short texts) and be
     invariant to block partitioning (integer flows are associative —
-    any layout must produce bit-identical ranks)."""
+    any layout must produce bit-identical ranks). The engine side
+    genuinely synthesizes pages and PARSES them for anchors."""
     import duckdb
     import numpy as np
     import pyarrow as pa
@@ -1351,8 +1353,13 @@ def test_link_pagerank_hostile_graph_and_block_invariance(ray_session, tmp_path)
 
     rng = np.random.RandomState(23)
     ids = np.sort(rng.choice(np.arange(0, 4000), size=800, replace=False))
-    t = pa.table({"doc_id": pa.array(ids[rng.permutation(len(ids))],
-                                     pa.int64())})
+    perm = rng.permutation(len(ids))
+    texts = ["lorem ipsum " * (int(i) % 30) for i in ids]   # some empty
+    t = pa.table({
+        "doc_id": pa.array(ids[perm], pa.int64()),
+        "text": pa.array([texts[j] for j in perm], pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["cc"] * len(ids), pa.string())})
     d = tmp_path / "sf"
     d.mkdir()
     pq.write_table(t, d / "documents.parquet")
