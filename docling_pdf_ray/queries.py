@@ -1572,15 +1572,19 @@ def _verify_jaccard_pairs(docs, cand_pd, threshold: float,
     bk = (((a.astype(np.uint64) * np.uint64(_KNUTH))
            ^ b.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
 
-    # routing map: doc_id → np.array of buckets needing its text.
-    # Narrow ints only (no text), O(2·pairs) before dedup.
+    # routing map: doc_id → buckets needing its text, as a CSR triple
+    # (sorted doc ids, indptr, bucket stream) of plain numpy arrays —
+    # narrow ints only (no text), O(2·pairs) before dedup, zero-copy
+    # out of the object store, and the per-batch lookup below is pure
+    # searchsorted/repeat vectorization (no dict rebuild per batch)
     route = pd.DataFrame({"doc_id": np.concatenate([a, b]),
                           "_bucket": np.concatenate([bk, bk])}) \
-        .drop_duplicates()
-    bmap = {int(d): g["_bucket"].to_numpy(np.int32)
-            for d, g in route.groupby("doc_id")}
-    need = pa.array(sorted(bmap), pa.int64())
-    route_ref = ray.put((need, bmap))
+        .drop_duplicates().sort_values(["doc_id", "_bucket"])
+    r_ids = route["doc_id"].to_numpy(np.int64)
+    need, counts = np.unique(r_ids, return_counts=True)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    route_ref = ray.put((need, indptr,
+                         route["_bucket"].to_numpy(np.int32)))
 
     _F = [("a", pa.int64()), ("b", pa.int64()), ("doc_id", pa.int64()),
           ("text", pa.large_string()), ("_bucket", pa.int32()),
@@ -1592,20 +1596,27 @@ def _verify_jaccard_pairs(docs, cand_pd, threshold: float,
                                 else pa.nulls(n, typ)) for name, typ in _F})
 
     def route_texts(batch: pa.Table) -> pa.Table:
-        nd, bm = ray.get(route_ref)
-        t = batch.filter(pc.is_in(batch.column("doc_id"), value_set=nd))
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nd, indp, bks_all = ray.get(route_ref)
+        ids_all = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nd, ids_all)
+        pos_c = np.minimum(pos, len(nd) - 1) if len(nd) else pos
+        mask = (pos < len(nd)) & (nd[pos_c] == ids_all)
+        t = batch.filter(pa.array(mask))
+        ids = ids_all[mask]
         texts = np.asarray(
             pc.fill_null(t.column("text"), "").to_pylist(), dtype=object)
-        # loop bounded by THIS BATCH's candidate rows (not the corpus)
-        bks = [bm[int(i)] for i in ids]
-        counts = np.array([len(x) for x in bks], dtype=np.int64)
+        p = pos[mask]
+        cnt = indp[p + 1] - indp[p]
+        total = int(cnt.sum())
+        # vectorized multi-slice gather of each id's bucket run
+        starts = np.repeat(indp[p], cnt)
+        local = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         return _conform({
-            "doc_id": np.repeat(ids, counts),
-            "text": np.repeat(texts, counts),
-            "_bucket": (np.concatenate(bks) if bks
-                        else np.array([], dtype=np.int32)),
-            "_side": np.ones(int(counts.sum()), dtype=np.int8)})
+            "doc_id": np.repeat(ids, cnt),
+            "text": np.repeat(texts, cnt),
+            "_bucket": bks_all[starts + local] if total
+            else np.array([], dtype=np.int32),
+            "_side": np.ones(total, dtype=np.int8)})
 
     pairs_t = _conform({"a": a, "b": b, "_bucket": bk,
                         "_side": np.zeros(len(a), dtype=np.int8)})
