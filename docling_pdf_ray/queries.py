@@ -371,27 +371,51 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
 """
 
 
-def q_dedup_exact(sf_dir: str):
+def q_dedup_exact(sf_dir: str, n_buckets: int = 64):
     """Exact dedup: hash-partition on content hash, keep min doc_id
     per group (SURVEY §2.7 / training-data dedup #1). The heavy text
-    column never shuffles — only (hash, doc_id) pairs do."""
+    column never shuffles — only (hash, doc_id) pairs do, plus a
+    per-batch PRE-COMBINE so at most one (hash, min, count) row per
+    batch-distinct hash enters the exchange (on a duplicate-heavy
+    corpus the shuffle carries far less than one row per doc). r4: the
+    exchange is ONE bucketed groupby (md5 prefix → bucket) with a
+    vectorized per-bucket final combine, replacing Ray's sort-based
+    Aggregate whose global sort cost ~2-4 s fixed at any size; a
+    hash's every partial lands in its one bucket, so the per-bucket
+    min/sum is final. Result returns LAZY and unsorted (the gate's
+    value hash is row-order-insensitive). Null text has no content to
+    dedup — dropped on both sides (SQL mirrors WHERE text IS NOT
+    NULL)."""
+    import pandas as pd
 
     def hashes(batch: pa.Table) -> pa.Table:
         t = pa.table({
             "text_hash": ftext.md5_hex_col(batch.column("text")),
             "doc_id": batch.column("doc_id"),
         })
-        # null text has no content to dedup (and Ray's sort-based
-        # shuffle groupby rejects null string keys) — dropped on both
-        # sides (SQL mirrors with WHERE text IS NOT NULL)
-        return t.filter(pc.is_valid(t.column("text_hash")))
+        t = t.filter(pc.is_valid(t.column("text_hash")))
+        g = t.group_by("text_hash").aggregate(
+            [("doc_id", "min"), ([], "count_all")]) \
+            .rename_columns(["text_hash", "p_min", "p_n"])
+        # md5 is uniform: the first two hex chars are an unbiased
+        # bucket key, no second hashing pass needed
+        bk = pc.cast(pa.array(
+            [int(h[:2], 16) % n_buckets for h in
+             g.column("text_hash").to_pylist()], pa.int32()), pa.int32())
+        return g.append_column("_bucket", bk)
 
-    from ray.data.aggregate import Count, Min
+    def combine(g: pd.DataFrame) -> pa.Table:
+        a = g.groupby("text_hash", sort=False).agg(
+            keep_doc_id=("p_min", "min"), n_copies=("p_n", "sum")) \
+            .reset_index()
+        return pa.table({
+            "text_hash": pa.array(a["text_hash"], pa.string()),
+            "keep_doc_id": pa.array(a["keep_doc_id"].to_numpy(np.int64)),
+            "n_copies": pa.array(a["n_copies"].to_numpy(np.int64))})
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(hashes, batch_format="pyarrow")
-    return ds.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"),
-        Count(alias_name="n_copies")).sort("text_hash")
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(hashes, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(combine, batch_format="pandas")
 
 
 SQL_DEDUP_EXACT = """
