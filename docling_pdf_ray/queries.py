@@ -4353,8 +4353,10 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
       combiner pattern: only (bucket × distinct-dst) narrow rows are
       new each round).
 
-    A final exchange turns the last contributions into ranks. Total:
-    extraction + T+2 executions, each a single narrow shuffle."""
+    A final exchange turns the last contributions into ranks, and the
+    state-build exchange fuses round 1's contributions (r_0 is
+    uniformly BASE — no rank lookup exists yet). Total: extraction +
+    T+1 executions, each a single narrow shuffle."""
     import pandas as pd
 
     from .functions.joins import _bucket_of
@@ -4393,20 +4395,33 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
     def build_state(g: pd.DataFrame) -> pa.Table:
         # per src-bucket: exact multi-edge weights + out-degrees, plus
         # candidate zero rows for every endpoint seen here (duplicates
-        # across buckets are harmless by the Σ+0 argument above)
+        # across buckets are harmless by the Σ+0 argument above).
+        # Round-1 contributions are FUSED in (r4): r_0 is uniformly
+        # BASE (the SQL's r0 CTE), so c_1 = w·(BASE//deg) needs no rank
+        # lookup — this saves one whole exchange vs a separate first
+        # superstep.
         e = g.groupby(["node", "dst"], as_index=False)["pw"].sum() \
             .rename(columns={"pw": "w"})
         deg = e.groupby("node")["w"].sum().rename("deg")
         e = e.join(deg, on="node")
         nodes = np.unique(np.concatenate([
             e["node"].to_numpy(object), e["dst"].to_numpy(object)]))
-        return pa.concat_tables([
+        pieces = [
             _state_table(e["node"].to_numpy(object),
                          e["dst"].to_numpy(object),
                          e["w"].to_numpy(np.int64),
                          e["deg"].to_numpy(np.int64), None),
             _state_table(nodes, None, None, None,
-                         np.zeros(len(nodes), dtype=np.int64))])
+                         np.zeros(len(nodes), dtype=np.int64))]
+        if len(e):
+            c = e["w"].to_numpy(np.int64) \
+                * (PR_BASE // e["deg"].to_numpy(np.int64))
+            out = pd.DataFrame({"node": e["dst"].to_numpy(object),
+                                "c": c}).groupby("node", as_index=False)["c"].sum()
+            pieces.append(_state_table(out["node"].to_numpy(object),
+                                       None, None, None,
+                                       out["c"].to_numpy(np.int64)))
+        return pa.concat_tables(pieces)
 
     state = _extracted_tasks_ds(sf_dir) \
         .map_batches(edge_partial, batch_format="pyarrow") \
@@ -4444,7 +4459,10 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
                                        out["c"].to_numpy(np.int64)))
         return pa.concat_tables(pieces)
 
-    for _ in range(PR_ITERS):
+    # build already emitted round-1 contributions, so T-1 supersteps +
+    # the final rank exchange complete the T iterations: T+1 exchanges
+    # total after extraction
+    for _ in range(PR_ITERS - 1):
         state = state.groupby("_bucket") \
             .map_groups(superstep, batch_format="pandas").materialize()
 
