@@ -234,7 +234,7 @@ def run_bench() -> dict:
                      "term_cooccurrence", "schema_union_stats",
                      "length_outliers", "order_asof_next",
                      "view_purchase_conversion", "host_links",
-                     "extract_audit"]}
+                     "extract_audit", "paragraph_dedup"]}
     ray.shutdown()
     return result
 

@@ -424,6 +424,140 @@ FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
+PARA_WORDS = 20     # words per paragraph chunk (C4 uses 3-sentence spans;
+#                     this corpus has no sentence marks, so fixed word
+#                     windows over the shared ASCII-ws token stream)
+_POS_BITS = 20      # paragraph-index bits in the position code: supports
+#                     2^20 paragraphs (~21M words) per doc and 2^43 docs
+
+
+def q_paragraph_dedup(sf_dir: str, n_buckets: int = 64):
+    """PARAGRAPH-LEVEL exact dedup with FIRST-OCCURRENCE retention —
+    the C4/RefinedWeb intra-corpus repeated-span rule (C4: "discard all
+    but one of any three-sentence span occurring more than once"),
+    reported per document as (n_paras, n_dup) where n_dup counts the
+    paragraphs that would be dropped because an identical paragraph
+    appears earlier in corpus order (doc_id, then in-doc position).
+
+    Dataflow (100-TB shape): documents never move — each batch explodes
+    locally into (md5-hi, md5-lo, pos) triples, 24 bytes per paragraph
+    occurrence, where pos = doc_id·2^20 + index encodes global order in
+    one int64. Exchange 1 buckets by hash (a paragraph's every
+    occurrence lands in one bucket, so the per-bucket min-pos is the
+    global first occurrence); each bucket emits per-doc partial counts.
+    Exchange 2 buckets those narrow partials by doc and sums. Exact
+    first-occurrence semantics needs every occurrence in the exchange
+    (a batch-level pre-combine would lose the per-occurrence dup flag),
+    so the shuffle carries exactly one 24-byte row per paragraph — the
+    floor for this operator. 128-bit hashing (both md5 halves) keeps
+    hash-equality == string-equality at 10^12-paragraph scale, where a
+    64-bit key would produce dozens of false merges. Zero-word docs
+    emit no paragraphs and are absent from the result (the SQL's
+    generate_series(1, 0) mirrors this). Result returns LAZY and
+    unsorted (the gate's value hash is row-order-insensitive)."""
+    import hashlib
+
+    import pandas as pd
+
+    def paras(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""), pattern=_dedup.WS_PATTERN)
+        flat = pc.list_flatten(words).to_pandas().to_numpy()
+        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        empty = pa.table({"h_hi": pa.array([], pa.uint64()),
+                          "h_lo": pa.array([], pa.uint64()),
+                          "pos": pa.array([], pa.int64()),
+                          "_bucket": pa.array([], pa.int32())})
+        if len(flat) == 0:
+            return empty
+        # in-doc word index without a Python loop: subtract each
+        # parent run's start offset
+        n = len(flat)
+        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        run_len = np.diff(np.r_[starts, n])
+        widx = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len)
+        pidx = widx // PARA_WORDS
+        # paragraph strings: one join per paragraph (not per word)
+        joined = pd.Series(flat).groupby(
+            [parent, pidx], sort=True).agg(" ".join)
+        keys = joined.index
+        para_parent = keys.get_level_values(0).to_numpy(np.int64)
+        para_idx = keys.get_level_values(1).to_numpy(np.int64)
+        uniq, inv = np.unique(joined.to_numpy(), return_inverse=True)
+        dig = [hashlib.md5(s.encode()).digest() for s in uniq]
+        hi = np.fromiter((int.from_bytes(d[:8], "big") for d in dig),
+                         np.uint64, len(uniq))[inv]
+        lo = np.fromiter((int.from_bytes(d[8:], "big") for d in dig),
+                         np.uint64, len(uniq))[inv]
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)[para_parent]
+        pos = (doc_ids << _POS_BITS) + para_idx + 1
+        return pa.table({
+            "h_hi": pa.array(hi), "h_lo": pa.array(lo),
+            "pos": pa.array(pos),
+            "_bucket": pa.array((hi % n_buckets).astype(np.int32))})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        pos = g["pos"].to_numpy(np.int64)
+        first = g.groupby(["h_hi", "h_lo"], sort=False)["pos"] \
+            .transform("min").to_numpy(np.int64)
+        a = pd.DataFrame({"doc_id": pos >> _POS_BITS,
+                          "dup": (pos != first).astype(np.int64)}) \
+            .groupby("doc_id", sort=False) \
+            .agg(p_paras=("dup", "size"), p_dup=("dup", "sum")) \
+            .reset_index()
+        doc = a["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "p_paras": pa.array(a["p_paras"].to_numpy(np.int64)),
+            "p_dup": pa.array(a["p_dup"].to_numpy(np.int64)),
+            "_dbucket": pa.array((doc % n_buckets).astype(np.int32))})
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        a = g.groupby("doc_id", sort=False) \
+            .agg(n_paras=("p_paras", "sum"), n_dup=("p_dup", "sum")) \
+            .reset_index()
+        return pa.table({
+            "doc_id": pa.array(a["doc_id"].to_numpy(np.int64)),
+            "n_paras": pa.array(a["n_paras"].to_numpy(np.int64)),
+            "n_dup": pa.array(a["n_dup"].to_numpy(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(paras, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(combine, batch_format="pandas") \
+        .groupby("_dbucket").map_groups(final, batch_format="pandas")
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '{_dedup.WS_PATTERN}'), x -> x <> '') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1,
+                CAST(ceil(len(ws) / {PARA_WORDS}.0) AS BIGINT))) AS i
+  FROM w
+), p AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ws, (i-1)*{PARA_WORDS} + 1,
+                                    i*{PARA_WORDS}), ' ') AS para
+  FROM c
+), m AS (
+  SELECT doc_id, i,
+         min(doc_id * {1 << _POS_BITS} + i) OVER (PARTITION BY para) AS fp
+  FROM p
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN doc_id * {1 << _POS_BITS} + i > fp
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_size_histogram(sf_dir: str):
     """Byte-size bucketing (the skew-analysis primitive behind §4.3)."""
 
@@ -5305,6 +5439,7 @@ QUERIES = {
     "view_purchase_conversion": q_view_purchase_conversion,
     "host_links": q_host_links,
     "extract_audit": q_extract_audit,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 
 ORACLE_SQL = {
@@ -5376,4 +5511,5 @@ ORACLE_SQL = {
     "view_purchase_conversion": SQL_VIEW_PURCHASE_CONVERSION,
     "host_links": SQL_HOST_LINKS,
     "extract_audit": SQL_EXTRACT_AUDIT,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
 }

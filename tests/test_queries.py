@@ -72,6 +72,7 @@ def test_all_oracle_keys_have_queries():
     "late_event_counts", "funnel_counts", "label_centroids",
     "term_cooccurrence", "schema_union_stats", "length_outliers",
     "order_asof_next", "view_purchase_conversion",
+    "host_links", "extract_audit", "paragraph_dedup",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
