@@ -234,7 +234,8 @@ def run_bench() -> dict:
                      "term_cooccurrence", "schema_union_stats",
                      "length_outliers", "order_asof_next",
                      "view_purchase_conversion", "host_links",
-                     "extract_audit", "paragraph_dedup"]}
+                     "extract_audit", "paragraph_dedup",
+                     "paragraph_dedup_apply"]}
     ray.shutdown()
     return result
 

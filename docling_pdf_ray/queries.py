@@ -431,6 +431,54 @@ _POS_BITS = 20      # paragraph-index bits in the position code: supports
 #                     2^20 paragraphs (~21M words) per doc and 2^43 docs
 
 
+def _para_positions(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Explode a (doc_id, text) batch into one narrow row per
+    paragraph occurrence: (md5-hi, md5-lo, pos, hash-bucket), where
+    pos = doc_id·2^POS_BITS + 1-based index encodes global corpus
+    order in one int64. Shared by the paragraph-dedup count and apply
+    operators; the text itself never leaves the batch."""
+    import hashlib
+
+    import pandas as pd
+
+    words = pc.split_pattern_regex(
+        pc.fill_null(batch.column("text"), ""), pattern=_dedup.WS_PATTERN)
+    flat = pc.list_flatten(words).to_pandas().to_numpy()
+    parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+    keep = flat != ""
+    flat, parent = flat[keep], parent[keep]
+    if len(flat) == 0:
+        return pa.table({"h_hi": pa.array([], pa.uint64()),
+                         "h_lo": pa.array([], pa.uint64()),
+                         "pos": pa.array([], pa.int64()),
+                         "_bucket": pa.array([], pa.int32())})
+    # in-doc word index without a Python loop: subtract each parent
+    # run's start offset
+    n = len(flat)
+    starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+    run_len = np.diff(np.r_[starts, n])
+    widx = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len)
+    pidx = widx // PARA_WORDS
+    # paragraph strings: one join per paragraph (not per word)
+    joined = pd.Series(flat).groupby([parent, pidx], sort=True).agg(" ".join)
+    keys = joined.index
+    para_parent = keys.get_level_values(0).to_numpy(np.int64)
+    para_idx = keys.get_level_values(1).to_numpy(np.int64)
+    uniq, inv = np.unique(joined.to_numpy(), return_inverse=True)
+    dig = [hashlib.md5(s.encode()).digest() for s in uniq]
+    hi = np.fromiter((int.from_bytes(d[:8], "big") for d in dig),
+                     np.uint64, len(uniq))[inv]
+    lo = np.fromiter((int.from_bytes(d[8:], "big") for d in dig),
+                     np.uint64, len(uniq))[inv]
+    doc_ids = batch.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)[para_parent]
+    pos = (doc_ids << _POS_BITS) + para_idx + 1
+    return pa.table({
+        "h_hi": pa.array(hi), "h_lo": pa.array(lo),
+        "pos": pa.array(pos),
+        "_bucket": pa.array((hi % n_buckets).astype(np.int32))})
+
+
 def q_paragraph_dedup(sf_dir: str, n_buckets: int = 64):
     """PARAGRAPH-LEVEL exact dedup with FIRST-OCCURRENCE retention —
     the C4/RefinedWeb intra-corpus repeated-span rule (C4: "discard all
@@ -455,49 +503,10 @@ def q_paragraph_dedup(sf_dir: str, n_buckets: int = 64):
     emit no paragraphs and are absent from the result (the SQL's
     generate_series(1, 0) mirrors this). Result returns LAZY and
     unsorted (the gate's value hash is row-order-insensitive)."""
-    import hashlib
-
     import pandas as pd
 
     def paras(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern_regex(
-            pc.fill_null(batch.column("text"), ""), pattern=_dedup.WS_PATTERN)
-        flat = pc.list_flatten(words).to_pandas().to_numpy()
-        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
-        keep = flat != ""
-        flat, parent = flat[keep], parent[keep]
-        empty = pa.table({"h_hi": pa.array([], pa.uint64()),
-                          "h_lo": pa.array([], pa.uint64()),
-                          "pos": pa.array([], pa.int64()),
-                          "_bucket": pa.array([], pa.int32())})
-        if len(flat) == 0:
-            return empty
-        # in-doc word index without a Python loop: subtract each
-        # parent run's start offset
-        n = len(flat)
-        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
-        run_len = np.diff(np.r_[starts, n])
-        widx = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len)
-        pidx = widx // PARA_WORDS
-        # paragraph strings: one join per paragraph (not per word)
-        joined = pd.Series(flat).groupby(
-            [parent, pidx], sort=True).agg(" ".join)
-        keys = joined.index
-        para_parent = keys.get_level_values(0).to_numpy(np.int64)
-        para_idx = keys.get_level_values(1).to_numpy(np.int64)
-        uniq, inv = np.unique(joined.to_numpy(), return_inverse=True)
-        dig = [hashlib.md5(s.encode()).digest() for s in uniq]
-        hi = np.fromiter((int.from_bytes(d[:8], "big") for d in dig),
-                         np.uint64, len(uniq))[inv]
-        lo = np.fromiter((int.from_bytes(d[8:], "big") for d in dig),
-                         np.uint64, len(uniq))[inv]
-        doc_ids = batch.column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.int64)[para_parent]
-        pos = (doc_ids << _POS_BITS) + para_idx + 1
-        return pa.table({
-            "h_hi": pa.array(hi), "h_lo": pa.array(lo),
-            "pos": pa.array(pos),
-            "_bucket": pa.array((hi % n_buckets).astype(np.int32))})
+        return _para_positions(batch, n_buckets)
 
     def combine(g: pd.DataFrame) -> pa.Table:
         pos = g["pos"].to_numpy(np.int64)
@@ -555,6 +564,121 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
        CAST(sum(CASE WHEN doc_id * {1 << _POS_BITS} + i > fp
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_paragraph_dedup_apply(sf_dir: str, n_buckets: int = 64):
+    """The WRITE PATH of paragraph-level dedup: rewrite every document
+    with its globally-duplicated paragraphs removed (first occurrence
+    in (doc_id, position) corpus order survives) and emit
+    (doc_id, clean_hash, n_kept, clean_chars) — the md5 pins the
+    rewritten text byte-exactly against the SQL mirror.
+
+    Two exchanges, both the minimum the semantics admit: (1) the
+    24-byte-per-paragraph hash exchange decides global first
+    occurrences and emits ONLY the drop list — (doc_id, paragraph
+    index) for duplicated occurrences, typically a small fraction of
+    the corpus; (2) the drop lists co-shuffle with the document texts
+    into the same doc-hash buckets (schema-padded union — texts move
+    exactly once, which IS the rewrite's write path) and each bucket
+    rebuilds its documents locally. The drop list stays a small int
+    (< 2^POS_BITS), immune to the float64-padding precision trap that
+    int64 ids above 2^53 would hit. All documents appear in the
+    result; zero-paragraph docs (null/empty text) rewrite to '' (the
+    SQL LEFT JOIN + coalesce mirrors this). Result returns LAZY."""
+    import hashlib
+
+    import pandas as pd
+
+    def drops(g: pd.DataFrame) -> pa.Table:
+        pos = g["pos"].to_numpy(np.int64)
+        first = g.groupby(["h_hi", "h_lo"], sort=False)["pos"] \
+            .transform("min").to_numpy(np.int64)
+        dup = pos[pos != first]
+        doc = dup >> _POS_BITS
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "text": pa.nulls(len(dup), pa.string()),
+            "drop_i": pa.array(dup & ((1 << _POS_BITS) - 1)),
+            "_dbucket": pa.array((doc % n_buckets).astype(np.int32))})
+
+    def docs_side(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "text": pc.fill_null(batch.column("text"), "").combine_chunks(),
+            "drop_i": pa.nulls(len(doc), pa.int64()),
+            "_dbucket": pa.array((doc % n_buckets).astype(np.int32))})
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        d = g[g["drop_i"].notna()]
+        dmap: dict[int, set] = {}
+        for did, i in zip(d["doc_id"].to_numpy(np.int64),
+                          d["drop_i"].to_numpy(np.float64).astype(np.int64)):
+            dmap.setdefault(did, set()).add(i)
+        t = g[g["text"].notna()]
+        out_id, out_hash, out_kept, out_chars = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_numpy(np.int64), t["text"]):
+            ws = _dedup.split_ws(txt)
+            gone = dmap.get(did, ())
+            kept = [" ".join(ws[j:j + PARA_WORDS])
+                    for j in range(0, len(ws), PARA_WORDS)
+                    if j // PARA_WORDS + 1 not in gone]
+            clean = " ".join(kept)
+            out_id.append(did)
+            out_hash.append(hashlib.md5(clean.encode()).hexdigest())
+            out_kept.append(len(kept))
+            out_chars.append(len(clean))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "clean_hash": pa.array(out_hash, pa.string()),
+            "n_kept": pa.array(out_kept, pa.int64()),
+            "clean_chars": pa.array(out_chars, pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    drop_rows = docs.map_batches(
+        lambda b: _para_positions(b, n_buckets), batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(drops, batch_format="pandas")
+    both = docs.map_batches(docs_side, batch_format="pyarrow") \
+        .union(drop_rows)
+    return both.groupby("_dbucket").map_groups(
+        rebuild, batch_format="pandas")
+
+
+SQL_PARAGRAPH_DEDUP_APPLY = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '{_dedup.WS_PATTERN}'), x -> x <> '') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1,
+                CAST(ceil(len(ws) / {PARA_WORDS}.0) AS BIGINT))) AS i
+  FROM w
+), p AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ws, (i-1)*{PARA_WORDS} + 1,
+                                    i*{PARA_WORDS}), ' ') AS para
+  FROM c
+), m AS (
+  SELECT doc_id, i, para,
+         min(doc_id * {1 << _POS_BITS} + i) OVER (PARTITION BY para) AS fp
+  FROM p
+), k AS (
+  SELECT doc_id,
+         coalesce(string_agg(para, ' ' ORDER BY i)
+                  FILTER (WHERE doc_id * {1 << _POS_BITS} + i = fp),
+                  '') AS clean,
+         count(*) FILTER (WHERE doc_id * {1 << _POS_BITS} + i = fp)
+           AS n_kept
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id, md5(coalesce(k.clean, '')) AS clean_hash,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(length(coalesce(k.clean, '')) AS BIGINT) AS clean_chars
+FROM documents d LEFT JOIN k USING (doc_id) ORDER BY d.doc_id
 """
 
 
@@ -5440,6 +5564,7 @@ QUERIES = {
     "host_links": q_host_links,
     "extract_audit": q_extract_audit,
     "paragraph_dedup": q_paragraph_dedup,
+    "paragraph_dedup_apply": q_paragraph_dedup_apply,
 }
 
 ORACLE_SQL = {
@@ -5512,4 +5637,5 @@ ORACLE_SQL = {
     "host_links": SQL_HOST_LINKS,
     "extract_audit": SQL_EXTRACT_AUDIT,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
 }
