@@ -3696,6 +3696,118 @@ ORDER BY ngram
 """
 
 
+BIGRAM_TOP_K = 500          # "model" size for the coverage score
+
+
+def q_bigram_coverage(sf_dir: str, top_k: int = BIGRAM_TOP_K,
+                      n_buckets: int = 32):
+    """LM-LITE QUALITY SIGNAL: per language, the fraction of word-
+    bigram occurrences covered by the corpus's exact top-K bigrams —
+    a cheap proxy for the n-gram-LM log-likelihood filters used on
+    web crawls (high coverage = typical phrasing; low = garbled or
+    off-distribution text). Reported as exact integer sums
+    (covered, total) so both sides are order-independent.
+
+    Phase 1 (train the "model"): exact global top-K WITHOUT a
+    vocabulary-sized materialization — per-batch bigram value_counts
+    pre-combine, ONE bucketed exchange keyed by bigram hash (every
+    occurrence of a bigram lands in one bucket, so per-bucket sums are
+    final), per-bucket LOCAL top-K by (count desc, bigram asc) — the
+    global top-K restricted to a bucket is a subset of that bucket's
+    local top-K, so merging the ≤ buckets·K survivors on the driver is
+    exact. Driver state is O(buckets · K), never O(vocabulary).
+    Phase 2 (score): broadcast the ≤ K winning bigrams once via
+    ``ray.put``; zero-shuffle per-batch per-lang (covered, total)
+    partials → tiny driver combine. Deterministic tie-break at the K
+    boundary (count desc, bigram asc) is shared with the SQL."""
+    import ray
+    import pandas as pd
+
+    docs = _docs(sf_dir, ["text", "lang"])
+    CAND_EMPTY = pa.table({"bigram": pa.array([], pa.string()),
+                           "p_cnt": pa.array([], pa.int64()),
+                           "_bucket": pa.array([], pa.int32())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return CAND_EMPTY
+        grams = _dedup.ngram_stream_vec(t.column("text").combine_chunks(), 2)
+        if len(grams) == 0:
+            return CAND_EMPTY
+        vc = pd.Series(grams).value_counts(sort=False)
+        items = vc.index.to_numpy().astype(object)
+        bk = (_dedup.md5_u64(items) % n_buckets).astype(np.int32)
+        return pa.table({"bigram": pa.array(items, pa.string()),
+                         "p_cnt": pa.array(vc.to_numpy(np.int64)),
+                         "_bucket": pa.array(bk)})
+
+    def local_topk(g: pd.DataFrame) -> pa.Table:
+        a = g.groupby("bigram", sort=False)["p_cnt"].sum().reset_index()
+        a = a.sort_values(["p_cnt", "bigram"],
+                          ascending=[False, True]).head(top_k)
+        return pa.table({"bigram": pa.array(a["bigram"], pa.string()),
+                         "cnt": pa.array(a["p_cnt"].to_numpy(np.int64))})
+
+    cand = _collect_pd(
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(local_topk, batch_format="pandas"))
+    if cand is None or cand.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "covered_bigrams": pd.Series([], dtype="int64"),
+                             "total_bigrams": pd.Series([], dtype="int64")})
+    winners = cand.sort_values(["cnt", "bigram"],
+                               ascending=[False, True]).head(top_k)
+    ref = ray.put(frozenset(winners["bigram"]))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        top = ray.get(ref)
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "p_cov": pa.array([], pa.int64()),
+                             "p_tot": pa.array([], pa.int64())})
+        grams, parents = _dedup.ngram_stream_vec(
+            t.column("text").combine_chunks(), 2, return_parents=True)
+        langs = t.column("lang").to_pandas().to_numpy()[parents] \
+            if len(grams) else np.array([], dtype=object)
+        d = pd.DataFrame({
+            "lang": langs,
+            "cov": pd.Series(grams).isin(top).to_numpy(np.int64)
+            if len(grams) else np.array([], np.int64)})
+        a = d.groupby("lang", dropna=False, sort=False) \
+            .agg(p_cov=("cov", "sum"), p_tot=("cov", "size")).reset_index()
+        return pa.table({"lang": pa.array(a["lang"], pa.string()),
+                         "p_cov": pa.array(a["p_cov"].to_numpy(np.int64)),
+                         "p_tot": pa.array(a["p_tot"].to_numpy(np.int64))})
+
+    partials = docs.map_batches(score_partial, batch_format="pyarrow")
+    return _driver_combine(partials, ["lang"], {
+        "covered_bigrams": ("p_cov", "sum"),
+        "total_bigrams": ("p_tot", "sum")})
+
+
+SQL_BIGRAM_COVERAGE = f"""
+WITH base AS (
+  SELECT lang, list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'),
+                           w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT lang, unnest(list_transform(generate_series(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1])) AS bigram
+  FROM base WHERE len(words) >= 2
+), top AS (
+  SELECT bigram FROM g GROUP BY bigram
+  ORDER BY count(*) DESC, bigram LIMIT {BIGRAM_TOP_K}
+)
+SELECT lang,
+       CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM top)
+                THEN 1 ELSE 0 END) AS BIGINT) AS covered_bigrams,
+       CAST(count(*) AS BIGINT) AS total_bigrams
+FROM g GROUP BY lang ORDER BY lang
+"""
+
+
 WINNOW_K = 3                # k-gram width, words
 WINNOW_W = 4                # winnowing window, grams
 
@@ -5565,6 +5677,7 @@ QUERIES = {
     "extract_audit": q_extract_audit,
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_dedup_apply": q_paragraph_dedup_apply,
+    "bigram_coverage": q_bigram_coverage,
 }
 
 ORACLE_SQL = {
@@ -5638,4 +5751,5 @@ ORACLE_SQL = {
     "extract_audit": SQL_EXTRACT_AUDIT,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
+    "bigram_coverage": SQL_BIGRAM_COVERAGE,
 }
