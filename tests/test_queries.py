@@ -446,6 +446,58 @@ def test_balanced_sample_hash_agrees_with_sql_on_hostile_doc_ids(ray_session):
                                   want[["doc_id", "lang"]], check_dtype=True)
 
 
+def test_paragraph_dedup_hostile_corpus_matches_duckdb(ray_session):
+    """First-occurrence semantics on a corpus built to break it:
+    duplicate paragraphs shared across docs in REVERSED id order (the
+    global min must win, not encounter order), intra-doc repeats (the
+    doc's own earlier copy wins), chunk-boundary sizes (exactly 20/21/
+    40 words), null/empty/whitespace-only texts (zero paragraphs —
+    absent from the count result, rewritten to '' in apply), NBSP
+    inside words (ASCII split must NOT break on it), and a paragraph
+    duplicated at different in-doc positions."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.queries import (
+        SQL_PARAGRAPH_DEDUP, SQL_PARAGRAPH_DEDUP_APPLY, q_paragraph_dedup,
+        q_paragraph_dedup_apply)
+
+    para_a = " ".join(f"a{i}" for i in range(20))
+    para_b = " ".join(f"b{i}" for i in range(20))
+    texts = [
+        para_b + " " + para_a,            # doc 0: two full chunks
+        para_a + " tail words here",      # doc 1: a-dup + short tail
+        None,                             # doc 2: null
+        "",                               # doc 3: empty
+        " \t\n ",                         # doc 4: whitespace only
+        "solo",                           # doc 5: single word
+        para_a + " " + para_a,            # doc 6: intra-doc repeat
+        "x y " + para_b,             # doc 7: NBSP word + b-dup
+        " ".join(f"c{i}" for i in range(21)),  # doc 8: 21 words
+    ]
+    # reversed ids: the SMALLEST doc_id is the LAST row written, so a
+    # reader that confuses encounter order with corpus order fails
+    ids = list(range(len(texts) - 1, -1, -1))
+    texts = list(reversed(texts))
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())}),
+            os.path.join(d, "documents.parquet"))
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        for q, sql in ((q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+                       (q_paragraph_dedup_apply, SQL_PARAGRAPH_DEDUP_APPLY)):
+            got = _normalize(_to_pandas(q(d)))
+            want = _normalize(con.execute(sql).fetchdf())
+            pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                          check_exact=True)
+
+
 def test_dedup_tokenizer_agrees_with_re2_on_unicode_whitespace():
     """split_ws (the shared dedup tokenizer) must agree with DuckDB's
     RE2 on NON-ASCII whitespace: Python str.split() breaks on
