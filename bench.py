@@ -235,7 +235,8 @@ def run_bench() -> dict:
                      "length_outliers", "order_asof_next",
                      "view_purchase_conversion", "host_links",
                      "extract_audit", "paragraph_dedup",
-                     "paragraph_dedup_apply", "bigram_coverage"]}
+                     "paragraph_dedup_apply", "bigram_coverage",
+                     "domain_split_counts"]}
     ray.shutdown()
     return result
 

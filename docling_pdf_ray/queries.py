@@ -4019,6 +4019,69 @@ FROM assigned GROUP BY split, lang ORDER BY split, lang
 """
 
 
+def q_domain_split_counts(sf_dir: str):
+    """LEAKAGE-FREE train/val/test split: the split key is the
+    DOMAIN (`source`), not the document — every doc of a domain lands
+    in the same split, so near-duplicate pages within a site can never
+    straddle the train/test boundary (the contamination mode a
+    doc-level split like ``corpus_split_counts`` permits by design;
+    both are standard, this is the eval-hygiene variant). Assignment
+    is the repo's standardized cross-engine content hash (md5 top-64
+    bits — ``dedup.md5_u64``; DuckDB computes the identical value)
+    thresholded at exact integer cutpoints of 2^64, so any worker on
+    any engine assigns identically with no RNG state. Row-local
+    predicate, ZERO shuffle: per-batch (split, lang) partials →
+    driver combine. Null domains coalesce to '' on both sides."""
+    import pandas as pd
+
+    t_train = np.uint64((1 << 64) * SPLIT_TRAIN_NUM // 10)
+    t_val = np.uint64((1 << 64) * SPLIT_VAL_NUM // 20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.fill_null(batch.column("source"), "") \
+            .to_pandas().to_numpy().astype(object)
+        h = _dedup.md5_u64(src)
+        split = np.where(h < t_train, "train",
+                         np.where(h < t_val, "val", "test"))
+        df = pd.DataFrame({
+            "split": split,
+            "lang": batch.column("lang").to_pandas(),
+            "n_chars": batch.column("n_chars").to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby(["split", "lang"], as_index=False, dropna=False) \
+            .agg(p_n=("n_chars", "size"), p_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = _driver_combine(
+        _docs(sf_dir, ["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["split", "lang"],
+        {"n_docs": ("p_n", "sum"), "sum_chars": ("p_chars", "sum")},
+        sort_by=["split", "lang"])
+    return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+
+SQL_DOMAIN_SPLIT_COUNTS = f"""
+WITH hashed AS (
+  SELECT lang, n_chars,
+         CAST('0x' || substr(md5(coalesce(source, '')), 1, 16) AS UBIGINT)
+           AS h
+  FROM documents
+), assigned AS (
+  SELECT CASE WHEN h < CAST('{(1 << 64) * SPLIT_TRAIN_NUM // 10}' AS UBIGINT)
+                THEN 'train'
+              WHEN h < CAST('{(1 << 64) * SPLIT_VAL_NUM // 20}' AS UBIGINT)
+                THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM hashed
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 def q_doc_cume_dist(sf_dir: str):
     """Per-document DISTRIBUTION POSITION — cume_dist of n_chars
     within each lang, the window function behind percentile-based
@@ -5678,6 +5741,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_dedup_apply": q_paragraph_dedup_apply,
     "bigram_coverage": q_bigram_coverage,
+    "domain_split_counts": q_domain_split_counts,
 }
 
 ORACLE_SQL = {
@@ -5752,4 +5816,5 @@ ORACLE_SQL = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
     "bigram_coverage": SQL_BIGRAM_COVERAGE,
+    "domain_split_counts": SQL_DOMAIN_SPLIT_COUNTS,
 }

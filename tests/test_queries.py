@@ -73,7 +73,7 @@ def test_all_oracle_keys_have_queries():
     "term_cooccurrence", "schema_union_stats", "length_outliers",
     "order_asof_next", "view_purchase_conversion",
     "host_links", "extract_audit", "paragraph_dedup",
-    "paragraph_dedup_apply", "bigram_coverage",
+    "paragraph_dedup_apply", "bigram_coverage", "domain_split_counts",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
