@@ -151,6 +151,24 @@ def _host_of(col) -> pa.Array:
         col, pattern=r"^https?://([^/]+).*$", replacement=r"\1")
 
 
+def _host_edge_counts(batch: pa.Table, names: tuple) -> pa.Table:
+    """Per-batch (src_host, dst_host, count) partial from the
+    extractor's ``links`` column — the SINGLE derivation both
+    ``host_links`` and ``link_pagerank`` consume, so the two queries
+    always describe the same graph (host normalization or scheme
+    handling can never silently desynchronize them). PDF rows carry
+    links=[] and failure rows null; both contribute nothing
+    (list_flatten skips them)."""
+    links = batch.column("links").combine_chunks()
+    urls = batch.column("url").combine_chunks()
+    flat = pc.list_flatten(links)
+    parent = pc.list_parent_indices(links)
+    return pa.table({names[0]: _host_of(pc.take(urls, parent)),
+                     names[1]: _host_of(flat)}) \
+        .group_by([names[0], names[1]]).aggregate([([], "count_all")]) \
+        .rename_columns(list(names))
+
+
 def q_host_links(sf_dir: str):
     """ANCHOR-SPAN → EDGE TABLE (the r3 verdict's #4 ask): the
     (src_host, dst_host, n_links) host graph from the extractor's REAL
@@ -163,19 +181,10 @@ def q_host_links(sf_dir: str):
     sees that arithmetic, it parses the HTML. Per-batch partials
     pre-aggregate to (hosts × hosts)-bounded rows; only those narrow
     counters reach the driver combine — the text and payloads never
-    move. PDF rows carry links=[] and failure rows null; both
-    contribute nothing (list_flatten skips them)."""
+    move."""
 
     def edges(batch: pa.Table) -> pa.Table:
-        links = batch.column("links").combine_chunks()
-        urls = batch.column("url").combine_chunks()
-        flat = pc.list_flatten(links)
-        parent = pc.list_parent_indices(links)
-        t = pa.table({"src_host": _host_of(pc.take(urls, parent)),
-                      "dst_host": _host_of(flat)})
-        return t.group_by(["src_host", "dst_host"]) \
-            .aggregate([([], "count_all")]) \
-            .rename_columns(["src_host", "dst_host", "p_n"])
+        return _host_edge_counts(batch, ("src_host", "dst_host", "p_n"))
 
     partials = _extracted_tasks_ds(sf_dir) \
         .map_batches(edges, batch_format="pyarrow")
@@ -264,8 +273,8 @@ WITH w AS (
   FROM w LEFT JOIN a USING (doc_id)
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(wc) AS BIGINT) AS total_words,
-       CAST(sum(cc) AS BIGINT) AS total_chars,
+       CAST(coalesce(sum(wc), 0) AS BIGINT) AS total_words,
+       CAST(coalesce(sum(cc), 0) AS BIGINT) AS total_chars,
        CAST(count(*) * 3 AS BIGINT) AS total_links
 FROM d
 """
@@ -371,6 +380,9 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
 """
 
 
+_HEX_BYTES = pa.array([format(i, "02x") for i in range(256)], pa.string())
+
+
 def q_dedup_exact(sf_dir: str, n_buckets: int = 64):
     """Exact dedup: hash-partition on content hash, keep min doc_id
     per group (SURVEY §2.7 / training-data dedup #1). The heavy text
@@ -398,11 +410,13 @@ def q_dedup_exact(sf_dir: str, n_buckets: int = 64):
             [("doc_id", "min"), ([], "count_all")]) \
             .rename_columns(["text_hash", "p_min", "p_n"])
         # md5 is uniform: the first two hex chars are an unbiased
-        # bucket key, no second hashing pass needed
-        bk = pc.cast(pa.array(
-            [int(h[:2], 16) % n_buckets for h in
-             g.column("text_hash").to_pylist()], pa.int32()), pa.int32())
-        return g.append_column("_bucket", bk)
+        # bucket key, no second hashing pass needed; hex→byte is a
+        # vectorized 256-entry index_in, no per-row Python
+        pref = pc.utf8_slice_codeunits(g.column("text_hash"), 0, 2)
+        byte = pc.index_in(pref, value_set=_HEX_BYTES) \
+            .to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "_bucket", pa.array((byte % n_buckets).astype(np.int32)))
 
     def combine(g: pd.DataFrame) -> pa.Table:
         a = g.groupby("text_hash", sort=False).agg(
@@ -1275,12 +1289,10 @@ def q_order_coverage(sf_dir: str, n_buckets: int = 64):
     parts = build.map_batches(build_keys, batch_format="pyarrow") \
         .union(probe_ds) \
         .groupby("_bucket").map_groups(merge, batch_format="pyarrow")
-    frames = list(parts.iter_batches(batch_format="pandas"))
-    df = pd.concat(frames, ignore_index=True) if frames else \
-        pd.DataFrame({"p_with": pd.Series([], dtype="int64"),
-                      "p_without": pd.Series([], dtype="int64")})
-    return pd.DataFrame({"with_orders": [int(df["p_with"].sum())],
-                         "without_orders": [int(df["p_without"].sum())]})
+    df = _collect_pd(parts)
+    w, wo = (0, 0) if df is None else (int(df["p_with"].sum()),
+                                       int(df["p_without"].sum()))
+    return pd.DataFrame({"with_orders": [w], "without_orders": [wo]})
 
 
 SQL_ORDER_COVERAGE = """
@@ -4561,12 +4573,10 @@ def q_sequence_packing(sf_dir: str):
         return batch.group_by("_bucket").aggregate([("n_chars", "sum")]) \
             .rename_columns(["_bucket", "p_chars"])
 
-    frames = list(ds.map_batches(partial, batch_format="pyarrow")
-                  .iter_batches(batch_format="pandas"))
-    if not frames:       # zero-batch input (ADVICE r3): typed empty frame
+    parts = _collect_pd(ds.map_batches(partial, batch_format="pyarrow"))
+    if parts is None:    # zero-batch input (ADVICE r3): typed empty frame
         return pd.DataFrame({c: pd.Series([], dtype="int64")
                              for c in ("doc_id", "pack_id", "pack_off")})
-    parts = pd.concat(frames, ignore_index=True)
     per_bucket = parts.groupby("_bucket", sort=True)["p_chars"].sum()
     carry = per_bucket.cumsum().shift(1, fill_value=0)
     off_ref = ray.put({int(k): int(v) for k, v in carry.items()})
@@ -4795,14 +4805,7 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
     from .functions.joins import _bucket_of
 
     def edge_partial(batch: pa.Table) -> pa.Table:
-        links = batch.column("links").combine_chunks()
-        urls = batch.column("url").combine_chunks()
-        flat = pc.list_flatten(links)
-        parent = pc.list_parent_indices(links)
-        g = pa.table({"node": _host_of(pc.take(urls, parent)),
-                      "dst": _host_of(flat)}) \
-            .group_by(["node", "dst"]).aggregate([([], "count_all")]) \
-            .rename_columns(["node", "dst", "pw"])
+        g = _host_edge_counts(batch, ("node", "dst", "pw"))
         return g.append_column("_bucket", _bucket_of(g.column("node"),
                                                      n_buckets))
 
@@ -4901,6 +4904,10 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
 
     final = state.groupby("_bucket") \
         .map_groups(_ranks_of, batch_format="pandas").to_pandas()
+    if final.empty:     # link-free corpus (no HTML / no absolute
+        #                 anchors): typed empty, not a KeyError
+        return pd.DataFrame({"node": pd.Series([], dtype="object"),
+                             "r": pd.Series([], dtype="int64")})
     final = final.sort_values("node").reset_index(drop=True)
     return final.astype({"r": "int64"})
 

@@ -446,6 +446,42 @@ def test_balanced_sample_hash_agrees_with_sql_on_hostile_doc_ids(ray_session):
                                   want[["doc_id", "lang"]], check_dtype=True)
 
 
+def test_link_free_corpus_pagerank_and_audit(ray_session):
+    """A corpus with NO html-routed docs (every doc_id % 10 > 5) has an
+    empty extracted link graph: link_pagerank must return a typed
+    empty frame (not KeyError: 'node') and extract_audit must agree
+    with its SQL mirror (engine 0s vs SQL NULL-sum was a live
+    divergence — both confirmed by review repro, r4)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray.queries import (
+        SQL_EXTRACT_AUDIT, q_extract_audit, q_link_pagerank)
+
+    ids = [6, 7, 8, 9, 16, 17]          # all PDF/fallback-routed
+    with tempfile.TemporaryDirectory(dir="/tmp") as d:
+        texts = [f"word stream {i}" for i in ids]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["s"] * len(ids), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+            os.path.join(d, "documents.parquet"))
+        pr = _to_pandas(q_link_pagerank(d))
+        assert list(pr.columns) == ["node", "r"] and len(pr) == 0
+        got = _normalize(_to_pandas(q_extract_audit(d)))
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        want = _normalize(con.execute(SQL_EXTRACT_AUDIT).fetchdf())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
 def test_paragraph_dedup_hostile_corpus_matches_duckdb(ray_session):
     """First-occurrence semantics on a corpus built to break it:
     duplicate paragraphs shared across docs in REVERSED id order (the
