@@ -53,12 +53,27 @@ def _docs(sf_dir: str, columns, narrow_exchange: bool = False):
     exchanges."""
     path = f"{sf_dir}/documents.parquet"
     if narrow_exchange:
-        import os
-
-        blocks = max(4, int(-(-os.path.getsize(path) // (8 << 20))))
         return _rd().read_parquet(path, columns=columns,
-                                  override_num_blocks=blocks)
+                                  override_num_blocks=_exchange_blocks(sf_dir))
     return _rd().read_parquet(path, columns=columns)
+
+
+def _exchange_blocks(sf_dir: str) -> int:
+    """Partition count for narrow-partial exchanges, sized to the
+    corpus (~8 MB of source file bytes per partition, floor 4). A
+    sort-based exchange inherits its partition count from its input
+    blocks, and its fixed cost grows superlinearly with that count —
+    so a compute-heavy map stage can keep cpu-count parallelism while
+    a ``repartition`` coalesce (no shuffle) re-blocks its NARROW
+    partial output before the groupby (measured r4: a 64-block
+    groupby over 80k narrow rows costs 0.45 s vs 0.17 s for
+    repartition(8)+groupby of the same data). Size-based counts stay
+    honest at 100 TB — partitions scale with bytes, only the
+    toy-scale over-partitioning goes away."""
+    import os
+
+    return max(4, int(-(-os.path.getsize(f"{sf_dir}/documents.parquet")
+                        // (8 << 20))))
 
 
 def _driver_combine(partials_ds, by: list[str], aggs: dict[str, tuple[str, str]],
@@ -1840,17 +1855,20 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
                          "b": pa.array([p[1] for p in pairs], pa.int64())})
 
     docs = _docs_with_planted_dups(sf_dir)
+    xb = _exchange_blocks(sf_dir)
     cand_pd = docs.map_batches(sigs, batch_format="pyarrow") \
+        .repartition(xb) \
         .groupby("_bucket").map_groups(hot_pairs, batch_format="pandas") \
         .to_pandas().drop_duplicates()          # small: candidates only
-    return _verify_jaccard_pairs(docs, cand_pd, threshold)
+    return _verify_jaccard_pairs(docs, cand_pd, threshold, xblocks=xb)
 
 
 _EMPTY_PAIRS_COLS = ("doc_id_a", "doc_id_b", "jacc_num", "jacc_den")
 
 
 def _verify_jaccard_pairs(docs, cand_pd, threshold: float,
-                          n_buckets: int = 32):
+                          n_buckets: int = 32,
+                          xblocks: int | None = None):
     """Shared distributed exact-Jaccard verify over a candidate-pair
     frame (columns a, b), restructured r4 as a bucketed PAIR/TEXT
     CO-SHUFFLE (the r3 verdict's #1 ask): each pair is assigned a
@@ -1966,6 +1984,8 @@ def _verify_jaccard_pairs(docs, cand_pd, threshold: float,
 
     both = docs.map_batches(route_texts, batch_format="pyarrow") \
         .union(_rd().from_arrow(pairs_t))
+    if xblocks:         # coalesce the narrow routed rows pre-exchange
+        both = both.repartition(xblocks)
     out = both.groupby("_bucket") \
         .map_groups(verify_bucket, batch_format="pyarrow").to_pandas()
     if out.empty:
