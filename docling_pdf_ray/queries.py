@@ -58,7 +58,7 @@ def _docs(sf_dir: str, columns, narrow_exchange: bool = False):
     return _rd().read_parquet(path, columns=columns)
 
 
-def _exchange_blocks(sf_dir: str) -> int:
+def _exchange_blocks(sf_dir: str, table: str = "documents") -> int:
     """Partition count for narrow-partial exchanges, sized to the
     corpus (~8 MB of source file bytes per partition, floor 4). A
     sort-based exchange inherits its partition count from its input
@@ -72,7 +72,7 @@ def _exchange_blocks(sf_dir: str) -> int:
     toy-scale over-partitioning goes away."""
     import os
 
-    return max(4, int(-(-os.path.getsize(f"{sf_dir}/documents.parquet")
+    return max(4, int(-(-os.path.getsize(f"{sf_dir}/{table}.parquet")
                         // (8 << 20))))
 
 
@@ -957,7 +957,8 @@ def q_user_sessions(sf_dir: str, n_buckets: int = 64):
                          "n_sessions": pa.array(
                              starts.reindex(counts.index).values, pa.int64())})
 
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+                            override_num_blocks=_exchange_blocks(sf_dir, "events"))
     out = ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(sessions_bucket, batch_format="pandas")
     return out.sort("user_id")
@@ -1323,6 +1324,7 @@ def q_order_coverage(sf_dir: str, n_buckets: int = 64):
 
     parts = build.map_batches(build_keys, batch_format="pyarrow") \
         .union(probe_ds) \
+        .repartition(_exchange_blocks(sf_dir, "orders")) \
         .groupby("_bucket").map_groups(merge, batch_format="pyarrow")
     df = _collect_pd(parts)
     w, wo = (0, 0) if df is None else (int(df["p_with"].sum()),
@@ -2315,6 +2317,7 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3,
 
     pairs = _docs_with_planted_dups(sf_dir) \
         .map_batches(fps, batch_format="pyarrow") \
+        .repartition(_exchange_blocks(sf_dir)) \
         .groupby("_bucket").map_groups(hot_pairs, batch_format="pandas") \
         .to_pandas()
     if pairs.empty:
@@ -2463,8 +2466,9 @@ def q_embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.95):
         return pd.DataFrame({"vec_id_a": np.asarray(out_a, dtype=np.int64),
                              "vec_id_b": np.asarray(out_b, dtype=np.int64)})
 
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"])
+    ds = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=_exchange_blocks(sf_dir, "embeddings"))
     pairs = ds.map_batches(_plant_embeddings, batch_format="pyarrow") \
         .map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
@@ -2619,8 +2623,10 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3, n_buckets: int = 64):
         g = g[g["rank"] <= k].drop(columns=["_ratio"])
         return g[["doc_id", "rank", "term", "tf", "df"]]
 
+    xb = _exchange_blocks(sf_dir) * 4     # term explosion amplifies bytes
     out = _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(explode, batch_format="pyarrow") \
+        .repartition(xb) \
         .groupby("_bucket").map_groups(attach_df, batch_format="pandas") \
         .map_batches(rebucket, batch_format="pyarrow") \
         .groupby("_dbucket").map_groups(topk, batch_format="pandas") \
@@ -2897,6 +2903,7 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 400_000.0,
 
     out = build.map_batches(build_keys, batch_format="pyarrow") \
         .union(probe_ds) \
+        .repartition(_exchange_blocks(sf_dir, "orders")) \
         .groupby("_bucket").map_groups(merge, batch_format="pyarrow") \
         .to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True) \
@@ -4483,6 +4490,7 @@ def q_incremental_dedup(sf_dir: str, n_buckets: int = 64,
     out = _driver_combine(
         build.map_batches(build_rows, batch_format="pyarrow")
         .union(probe)
+        .repartition(_exchange_blocks(sf_dir))
         .groupby("_bucket").map_groups(merge, batch_format="pyarrow"),
         ["lang"], {"n_new": ("p_new", "sum"), "n_dup": ("p_dup", "sum")},
         sort_by=["lang"])
