@@ -236,7 +236,8 @@ def detect_hot_keys(ds, key: str, min_rows: int, n_subbuckets: int = 8,
 
 
 def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
-                       how: str = "inner", salt: dict | None = None):
+                       how: str = "inner", salt: dict | None = None,
+                       exchange_blocks: int | None = None):
     """left ⋈ right on ``key`` → Dataset of merged rows (left columns
     then right columns, SQL null semantics: null keys never match).
     Non-key column names must be disjoint across the sides. Supported
@@ -288,12 +289,25 @@ def bucketed_hash_join(left_ds, right_ds, key: str, n_buckets: int = 64,
             merged = pd.concat([merged, *extras], ignore_index=True)
         return _to_schema_table(merged, fields)
 
+    both = _maybe_coalesce(both, exchange_blocks)
     return both.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def _maybe_coalesce(both, exchange_blocks: int | None):
+    """Optional pre-exchange coalesce: the sort-based groupby exchange
+    inherits its partition count from the unioned input blocks, and its
+    fixed cost grows with that count — callers that know the joined
+    data's byte size (e.g. queries sizing from source parquet bytes via
+    ``_exchange_blocks``) pass a block count so the exchange runs over
+    few fat partitions instead of both sides' read granularity. ``None``
+    keeps the input partitioning untouched."""
+    return both.repartition(exchange_blocks) if exchange_blocks else both
 
 
 def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
                        ts_right: str, n_buckets: int = 64,
-                       direction: str = "backward"):
+                       direction: str = "backward",
+                       exchange_blocks: int | None = None):
     """As-of join (ray_guide pattern): for each left row, the LATEST
     right row with the same ``key`` and ``ts_right <= ts_left``
     (``direction='backward'``, the default) or the EARLIEST right row
@@ -332,13 +346,15 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts_left: str,
                 merged = pd.concat([merged, l_null], ignore_index=True)
         return _to_schema_table(merged, fields)
 
+    both = _maybe_coalesce(both, exchange_blocks)
     return both.groupby("_bucket").map_groups(asof, batch_format="pyarrow")
 
 
 def bucketed_range_join(left_ds, right_ds, key: str, ts_left: str,
                         ts_right: str, lower, upper, n_buckets: int = 64,
                         salt: dict | None = None,
-                        max_chunk_rows: int = 1 << 20):
+                        max_chunk_rows: int = 1 << 20,
+                        exchange_blocks: int | None = None):
     """RANGE (interval) join: inner-join rows with equal ``key`` where
     ``ts_left + lower <= ts_right <= ts_left + upper`` (both bounds
     inclusive; pass e.g. ``lower=-pd.Timedelta(days=7), upper=
@@ -389,4 +405,5 @@ def bucketed_range_join(left_ds, right_ds, key: str, ts_left: str,
             else pieces[0]
         return _to_schema_table(out, fields)
 
+    both = _maybe_coalesce(both, exchange_blocks)
     return both.groupby("_bucket").map_groups(rjoin, batch_format="pyarrow")

@@ -1093,7 +1093,8 @@ def q_customer_order_full(sf_dir: str):
                                columns=["o_custkey", "o_orderkey"]) \
         .map_batches(as_key, batch_format="pyarrow")
 
-    joined = bucketed_hash_join(left, right, "c_custkey", how="full")
+    joined = bucketed_hash_join(left, right, "c_custkey", how="full",
+                                exchange_blocks=_exchange_blocks(sf_dir, "orders"))
 
     def partial(batch: pa.Table) -> pa.Table:
         seg, ok = batch.column("c_mktsegment"), batch.column("o_orderkey")
@@ -1144,7 +1145,8 @@ def _order_event_asof(sf_dir: str, direction: str, out_col: str):
                      batch_format="pyarrow")
     joined = bucketed_asof_join(events, orders, key="user_id",
                                 ts_left="ts", ts_right="o_orderdate",
-                                n_buckets=32, direction=direction)
+                                n_buckets=32, direction=direction,
+                                exchange_blocks=_exchange_blocks(sf_dir, "events"))
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table({"event_id": batch.column("event_id"),
@@ -1211,6 +1213,12 @@ def q_ship_window_counts(sf_dir: str):
                                          "o_orderpriority"])
     # predicate: o_orderdate ∈ [l_shipdate - 90d, l_shipdate]
     #          ⟺ l_shipdate ∈ [o_orderdate, o_orderdate + 90d]
+    # NO exchange coalesce here (unlike the equi/asof joins): the
+    # per-bucket range merge is compute-heavy (chunked per-key cross
+    # product), and the exchange's output partition count caps
+    # map_groups parallelism — coalescing to few fat blocks serialized
+    # the merge (measured sf0.1: 3.4 s -> 5.2 s). Exchange-bound joins
+    # coalesce; compute-bound joins keep read granularity.
     joined = bucketed_range_join(li, orders, key="o_orderkey",
                                  ts_left="l_shipdate", ts_right="o_orderdate",
                                  lower=-pd.Timedelta(days=90),
@@ -1658,7 +1666,8 @@ def q_order_priority_revenue(sf_dir: str):
         .map_batches(li_partial, batch_format="pyarrow")
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_orderkey", "o_orderpriority"])
-    joined = bucketed_hash_join(li, orders, key="o_orderkey", n_buckets=32)
+    joined = bucketed_hash_join(li, orders, key="o_orderkey", n_buckets=32,
+                                exchange_blocks=_exchange_blocks(sf_dir, "orders"))
 
     def post(batch: pa.Table) -> pa.Table:
         return batch.group_by("o_orderpriority").aggregate(
