@@ -5725,6 +5725,262 @@ SELECT CAST((SELECT count(DISTINCT user_id) FROM v) AS BIGINT) AS n_viewers,
 """
 
 
+# ============================================================ analytics (r4)
+
+def q_event_gaps(sf_dir: str, n_buckets: int = 64):
+    """LEAD analytic → rollup: per-user time-to-NEXT-event (any type),
+    attributed to the EARLIER event's type, summed per type. The
+    window function class (lag/lead over a partition) no other
+    registry entry exercises as a standalone operator. Scale shape =
+    the sessionization one: users hash-BUCKETED (narrow (user, ts,
+    type, id) rows are the only exchange; every user wholly inside one
+    bucket), per-bucket work is ONE vectorized mergesort + shift —
+    not a Python loop per user — and only (event_type × buckets)
+    partial counters reach the driver. Gaps are exact integer
+    microseconds on both sides (no float-sum trap); ``event_id``
+    breaks timestamp ties identically in pandas and the SQL window."""
+    import pandas as pd
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch.column("user_id"), n_buckets - 1),
+                    pa.int32())
+        return batch.append_column("_bucket", b)
+
+    def gaps_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g["ts"].shift(-1)
+        same = g["user_id"].eq(g["user_id"].shift(-1))
+        m = (same & nxt.notna()).to_numpy()
+        gap_us = ((nxt - g["ts"]) // pd.Timedelta(microseconds=1))
+        sub = pd.DataFrame({"event_type": g["event_type"].to_numpy()[m],
+                            "gap": gap_us.to_numpy()[m].astype("int64")})
+        agg = sub.groupby("event_type")["gap"].agg(["size", "sum"])
+        return pa.table({
+            "event_type": pa.array(agg.index.to_numpy(), pa.string()),
+            "p_n": pa.array(agg["size"].to_numpy(), pa.int64()),
+            "p_gap": pa.array(agg["sum"].to_numpy(), pa.int64())})
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+        override_num_blocks=_exchange_blocks(sf_dir, "events"))
+    partials = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(gaps_bucket, batch_format="pandas")
+    return _driver_combine(partials, ["event_type"],
+                           {"n_gaps": ("p_n", "sum"),
+                            "sum_gap_us": ("p_gap", "sum")})
+
+
+SQL_EVENT_GAPS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(date_diff('microsecond', ts, next_ts)) AS BIGINT)
+         AS sum_gap_us
+FROM (SELECT event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events) t
+WHERE next_ts IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_user_retention(sf_dir: str, n_buckets: int = 64):
+    """Day-over-day retention: per calendar day, distinct active users
+    and how many of them were also active the PREVIOUS day — the
+    DAU-retention rollup every corpus/event pipeline wants. Dataflow:
+    per-batch DISTINCT (user, day) pre-aggregation sheds repeat events
+    BEFORE the exchange (the only shuffled rows are the distinct
+    pairs), users are hash-bucketed so consecutive-day detection is a
+    local sort+shift per bucket, and only (day × buckets) counters
+    reach the driver. SQL mirror: self-join of the distinct pairs on
+    (user, day-1)."""
+    import pandas as pd
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "day": pc.floor_temporal(batch.column("ts"),
+                                               unit="day")})
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        b = pc.cast(pc.bit_wise_and(t.column("user_id"), n_buckets - 1),
+                    pa.int32())
+        return t.append_column("_bucket", b)
+
+    def retain_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        ret = (same & (g["day"] - g["day"].shift() == pd.Timedelta(days=1)))
+        agg = pd.DataFrame({"day": g["day"].to_numpy(),
+                            "r": ret.to_numpy().astype("int64")}) \
+            .groupby("day")["r"].agg(["size", "sum"])
+        return pa.table({"day": pa.array(agg.index, pa.timestamp("us")),
+                         "p_active": pa.array(agg["size"].to_numpy(), pa.int64()),
+                         "p_ret": pa.array(agg["sum"].to_numpy(), pa.int64())})
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+        override_num_blocks=_exchange_blocks(sf_dir, "events"))
+    partials = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(retain_bucket, batch_format="pandas")
+    return _driver_combine(partials, ["day"],
+                           {"n_active": ("p_active", "sum"),
+                            "n_retained": ("p_ret", "sum")})
+
+
+SQL_USER_RETENTION = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events)
+SELECT a.day, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(count(b.user_id) AS BIGINT) AS n_retained
+FROM du a LEFT JOIN du b
+  ON b.user_id = a.user_id AND b.day = a.day - INTERVAL 1 DAY
+GROUP BY a.day ORDER BY a.day
+"""
+
+
+def q_host_reciprocal(sf_dir: str, n_buckets: int = 16):
+    """Link-graph reciprocity over the REAL extracted host graph (the
+    `host_links` edges): how many distinct directed non-self edges
+    exist, how many of them are reciprocated (the reverse edge also
+    exists), and how many hosts self-link. The scale-honest shape for
+    a web-sized host graph: per-batch edge partials (from the shared
+    `_host_edge_counts` derivation) are keyed by their UNORDERED pair
+    {lo, hi} — both directions of a pair hash to the SAME bucket — so
+    reciprocity is decided locally per bucket with no driver edge set;
+    only 3 counters per bucket come back. Self-loop hosts route by
+    (h, h) and are counted distinct the same way."""
+    import pandas as pd
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        e = _host_edge_counts(batch, ("src", "dst", "p_n"))
+        src = e.column("src").combine_chunks()
+        dst = e.column("dst").combine_chunks()
+        lo = pc.min_element_wise(src, dst)
+        hi = pc.max_element_wise(src, dst)
+        d = np.where(pc.equal(src, dst).to_numpy(zero_copy_only=False), 2,
+                     np.where(pc.equal(src, lo).to_numpy(zero_copy_only=False),
+                              0, 1)).astype("int32")
+        key = pc.binary_join_element_wise(lo, hi, "|")
+        b = (_dedup.md5_u64(key.to_numpy(zero_copy_only=False))
+             & (n_buckets - 1)).astype("int32")
+        return pa.table({"lo": lo, "hi": hi, "dir": pa.array(d),
+                         "_bucket": pa.array(b)})
+
+    def recip_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["lo", "hi", "dir"])
+        selfm = g["dir"].to_numpy() == 2
+        n_self = int(g.loc[selfm, "lo"].nunique())
+        dirs = g[~selfm].groupby(["lo", "hi"])["dir"].nunique()
+        return pa.table({
+            "p_edges": pa.array([int(dirs.sum())], pa.int64()),
+            "p_recip": pa.array([int((dirs == 2).sum()) * 2], pa.int64()),
+            "p_self": pa.array([n_self], pa.int64())})
+
+    parts = _collect_pd(
+        _extracted_tasks_ds(sf_dir)
+        .map_batches(pair_key, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("_bucket").map_groups(recip_bucket, batch_format="pandas"))
+    z = {"n_edges": 0, "n_reciprocal": 0, "n_self": 0}
+    if parts is not None:
+        z = {"n_edges": int(parts["p_edges"].sum()),
+             "n_reciprocal": int(parts["p_recip"].sum()),
+             "n_self": int(parts["p_self"].sum())}
+    return pd.DataFrame({k: pd.Series([v], dtype="int64")
+                         for k, v in z.items()})
+
+
+SQL_HOST_RECIPROCAL = """
+WITH e AS (
+  SELECT DISTINCT
+         'h' || CAST(doc_id % 64 AS VARCHAR) || '.example' AS s,
+         'h' || CAST((doc_id * 7 + 13 * k + 1) % 64 AS VARCHAR)
+           || '.example' AS d
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+  WHERE doc_id % 10 <= 5
+), ne AS (SELECT s, d FROM e WHERE s <> d)
+SELECT CAST((SELECT count(*) FROM ne) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM ne a JOIN ne b
+             ON b.s = a.d AND b.d = a.s) AS BIGINT) AS n_reciprocal,
+       CAST((SELECT count(*) FROM e WHERE s = d) AS BIGINT) AS n_self
+"""
+
+
+def q_zipf_slope(sf_dir: str, top_n: int = 200):
+    """Rank-frequency (Zipf) slope of the corpus vocabulary: the
+    least-squares slope of ln(term_count) against ln(rank) over the
+    top-N terms — the corpus-health regression aggregate (natural text
+    sits near −1; boilerplate/spam corpora flatten or steepen it).
+    Dataflow = the inverted-index pattern: per-batch (term, count)
+    partials (total occurrences, not df — complements `top_terms`),
+    ONE distributed full-cardinality groupby over narrow pairs,
+    per-block local top-N partials merged exactly on the driver
+    (global top-N ⊆ union of block top-Ns), slope from the explicit
+    sum formula. Both sides quantize slope·1e6 to BIGINT and use the
+    identical (count DESC, term ASC) rank tie-break, so the result is
+    order-independent and float-trap-free."""
+    from collections import Counter
+
+    import pandas as pd
+
+    tok = _TERM_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t:
+                c.update(w.lower() for w in tok.findall(t))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def topn_partial(batch: pa.Table) -> pa.Table:
+        d = pa.table({"term": batch.column("term"),
+                      "n": batch.column("sum(n)")}).to_pandas()
+        d = d.sort_values(["n", "term"], ascending=[False, True]).head(top_n)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    cand_ds = _docs(sf_dir, ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").sum("n") \
+        .map_batches(topn_partial, batch_format="pyarrow")
+    cand = _collect_pd(cand_ds)
+    empty = pd.DataFrame({"n_terms": pd.Series([0], dtype="int64"),
+                          "slope_1e6": pd.Series([0], dtype="int64")})
+    if cand is None or len(cand) < 2:
+        return empty
+    cand = cand.sort_values(["n", "term"], ascending=[False, True]) \
+        .head(top_n)
+    y = np.log(cand["n"].to_numpy(dtype="float64"))
+    x = np.log(np.arange(1, len(cand) + 1, dtype="float64"))
+    n = float(len(cand))
+    slope = ((n * float(np.sum(x * y)) - float(np.sum(x)) * float(np.sum(y)))
+             / (n * float(np.sum(x * x)) - float(np.sum(x)) ** 2))
+    return pd.DataFrame({
+        "n_terms": pd.Series([len(cand)], dtype="int64"),
+        "slope_1e6": pd.Series([int(round(slope * 1e6))], dtype="int64")})
+
+
+SQL_ZIPF_SLOPE = """
+WITH toks AS (
+  SELECT unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                t -> lower(t))) AS term
+  FROM documents WHERE text IS NOT NULL
+), tc AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+  ORDER BY n DESC, term LIMIT 200
+), rk AS (
+  SELECT ln(CAST(n AS DOUBLE)) AS y,
+         ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)) AS x
+  FROM tc
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(round(1e6 * (count(*) * sum(x * y) - sum(x) * sum(y))
+                  / (count(*) * sum(x * x) - sum(x) * sum(x))) AS BIGINT)
+         AS slope_1e6
+FROM rk
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -5806,6 +6062,10 @@ QUERIES = {
     "paragraph_dedup_apply": q_paragraph_dedup_apply,
     "bigram_coverage": q_bigram_coverage,
     "domain_split_counts": q_domain_split_counts,
+    "event_gaps": q_event_gaps,
+    "user_retention": q_user_retention,
+    "host_reciprocal": q_host_reciprocal,
+    "zipf_slope": q_zipf_slope,
 }
 
 ORACLE_SQL = {
@@ -5881,4 +6141,8 @@ ORACLE_SQL = {
     "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
     "bigram_coverage": SQL_BIGRAM_COVERAGE,
     "domain_split_counts": SQL_DOMAIN_SPLIT_COUNTS,
+    "event_gaps": SQL_EVENT_GAPS,
+    "user_retention": SQL_USER_RETENTION,
+    "host_reciprocal": SQL_HOST_RECIPROCAL,
+    "zipf_slope": SQL_ZIPF_SLOPE,
 }

@@ -74,6 +74,7 @@ def test_all_oracle_keys_have_queries():
     "order_asof_next", "view_purchase_conversion",
     "host_links", "extract_audit", "paragraph_dedup",
     "paragraph_dedup_apply", "bigram_coverage", "domain_split_counts",
+    "event_gaps", "user_retention", "host_reciprocal", "zipf_slope",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
