@@ -236,7 +236,8 @@ def run_bench() -> dict:
                      "view_purchase_conversion", "host_links",
                      "extract_audit", "paragraph_dedup",
                      "paragraph_dedup_apply", "bigram_coverage",
-                     "domain_split_counts"]}
+                     "domain_split_counts", "event_gaps",
+                     "user_retention", "host_reciprocal", "zipf_slope"]}
     ray.shutdown()
     return result
 
