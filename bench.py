@@ -237,7 +237,8 @@ def run_bench() -> dict:
                      "extract_audit", "paragraph_dedup",
                      "paragraph_dedup_apply", "bigram_coverage",
                      "domain_split_counts", "event_gaps",
-                     "user_retention", "host_reciprocal", "zipf_slope"]}
+                     "user_retention", "host_reciprocal", "zipf_slope",
+                     "local_supplier_volume"]}
     ray.shutdown()
     return result
 

@@ -5981,6 +5981,110 @@ FROM rk
 """
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped star-join rollup — the deepest composed
+    relational pipeline in the registry (5 tables): two BROADCAST
+    dimension decorations (customer→nation on the orders side,
+    supplier→nation on the lineitem side; both dims are the
+    by-construction small sides, shipped once via ray.put as plain
+    Arrow tables and index_in/take-composed per batch), ONE bucketed
+    fact-fact hash join on orderkey, the local-supplier predicate
+    (cust_nation == supp_nation) applied inside the join output, and a
+    25-row driver combine. Scale notes: the date predicate is pushed
+    to the parquet read (row groups outside 1996 never leave storage),
+    lineitem pre-aggregates cents per (orderkey, supp_nation) so the
+    exchange carries partial sums, and revenue is exact integer cents
+    on both sides."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.joins import bucketed_hash_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    cust_ref = ray.put(cust)
+    supp_ref = ray.put(supp)
+
+    def o_nation(batch: pa.Table) -> pa.Table:
+        t = ray.get(cust_ref)
+        idx = pc.index_in(batch.column("o_custkey"),
+                          value_set=t.column("c_custkey").combine_chunks())
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "cust_nation": pc.take(t.column("c_nationkey").combine_chunks(),
+                                   idx)})
+
+    def l_partial(batch: pa.Table) -> pa.Table:
+        t = ray.get(supp_ref)
+        idx = pc.index_in(batch.column("l_suppkey"),
+                          value_set=t.column("s_suppkey").combine_chunks())
+        sn = pc.take(t.column("s_nationkey").combine_chunks(), idx)
+        cents = pc.cast(pc.round(
+            pc.multiply(pc.multiply(batch.column("l_extendedprice"),
+                                    pc.subtract(pa.scalar(1.0),
+                                                batch.column("l_discount"))),
+                        100.0), round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "supp_nation": sn, "cents": cents}) \
+            .group_by(["o_orderkey", "supp_nation"]) \
+            .aggregate([("cents", "sum")]) \
+            .rename_columns(["o_orderkey", "supp_nation", "cents"])
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= datetime(1996, 1, 1))
+                & (pads.field("o_orderdate") < datetime(1997, 1, 1)))) \
+        .map_batches(o_nation, batch_format="pyarrow")
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice", "l_discount"]) \
+        .map_batches(l_partial, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(li, orders, key="o_orderkey", n_buckets=32,
+                                exchange_blocks=_exchange_blocks(sf_dir,
+                                                                 "orders"))
+
+    def post(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("supp_nation"),
+                                  batch.column("cust_nation")))
+        return pa.table({"nk": b.column("supp_nation"),
+                         "cents": b.column("cents")}) \
+            .group_by("nk").aggregate([("cents", "sum")]) \
+            .rename_columns(["nk", "p_cents"])
+
+    partials = joined.map_batches(post, batch_format="pyarrow")
+    out = _driver_combine(partials, ["nk"],
+                          {"revenue_cents": ("p_cents", "sum")})
+    nd = dict(zip(nation.column("n_nationkey").to_pylist(),
+                  nation.column("n_name").to_pylist()))
+    out.insert(0, "n_name", out.pop("nk").map(nd))
+    return out.sort_values("n_name").reset_index(drop=True)[
+        ["n_name", "revenue_cents"]]
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -6066,6 +6170,7 @@ QUERIES = {
     "user_retention": q_user_retention,
     "host_reciprocal": q_host_reciprocal,
     "zipf_slope": q_zipf_slope,
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 ORACLE_SQL = {
@@ -6145,4 +6250,5 @@ ORACLE_SQL = {
     "user_retention": SQL_USER_RETENTION,
     "host_reciprocal": SQL_HOST_RECIPROCAL,
     "zipf_slope": SQL_ZIPF_SLOPE,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
 }
