@@ -238,7 +238,8 @@ def run_bench() -> dict:
                      "paragraph_dedup_apply", "bigram_coverage",
                      "domain_split_counts", "event_gaps",
                      "user_retention", "host_reciprocal", "zipf_slope",
-                     "local_supplier_volume"]}
+                     "local_supplier_volume", "event_transitions",
+                     "rolling_user_spend"]}
     ray.shutdown()
     return result
 

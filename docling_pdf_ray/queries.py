@@ -5981,6 +5981,125 @@ FROM rk
 """
 
 
+def q_event_transitions(sf_dir: str, n_buckets: int = 64):
+    """Markov transition counts over per-user event sequences: how
+    often event_type A is immediately followed by B for the same user
+    — the sequence-bigram operator session/funnel analyses build on.
+    Same bucketed-sequence shape as `event_gaps` (users co-located per
+    bucket, ONE vectorized sort+shift per bucket, (type × type ×
+    buckets) partial counters to the driver), with `event_id` breaking
+    timestamp ties identically to the SQL lead() window."""
+    import pandas as pd
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch.column("user_id"), n_buckets - 1),
+                    pa.int32())
+        return batch.append_column("_bucket", b)
+
+    def trans_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift(-1)).to_numpy()
+        sub = pd.DataFrame({
+            "from_type": g["event_type"].to_numpy()[same],
+            "to_type": g["event_type"].shift(-1).to_numpy()[same]})
+        agg = sub.groupby(["from_type", "to_type"]).size()
+        idx = agg.index
+        return pa.table({
+            "from_type": pa.array(idx.get_level_values(0), pa.string()),
+            "to_type": pa.array(idx.get_level_values(1), pa.string()),
+            "p_n": pa.array(agg.to_numpy(), pa.int64())})
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+        override_num_blocks=_exchange_blocks(sf_dir, "events"))
+    partials = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(trans_bucket, batch_format="pandas")
+    return _driver_combine(partials, ["from_type", "to_type"],
+                           {"n": ("p_n", "sum")})
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events) t
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_rolling_user_spend(sf_dir: str, n_buckets: int = 64):
+    """Trailing 7-day spend per purchase event — the RANGE-interval
+    window aggregate (peer-inclusive: all rows whose ts falls in
+    [ts−7d, ts] count, so duplicate timestamps make the result
+    order-independent, unlike a ROWS window). Dataflow: the purchase
+    predicate is pushed to the parquet read, users hash-bucket, and
+    the per-bucket window is FULLY vectorized with no per-user Python
+    loop — each user's timeline is displaced by user_rank × span so
+    ONE global searchsorted pair against the cumulative-cents array
+    respects user boundaries (adjacent users sit ≥ window+1 µs apart
+    in the displaced axis). O(N)-row result stays a lazy Dataset;
+    money is exact integer cents on both sides."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    WIN_US = 7 * 24 * 3600 * 1_000_000
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "ts": batch.column("ts"),
+                      "event_id": batch.column("event_id"),
+                      "cents": cents})
+        b = pc.cast(pc.bit_wise_and(t.column("user_id"), n_buckets - 1),
+                    pa.int32())
+        return t.append_column("_bucket", b)
+
+    def window_bucket(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_id": pa.array([], pa.int64()),
+                          "spend_7d_cents": pa.array([], pa.int64())})
+        if not len(g):
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        uid = g["user_id"].to_numpy()
+        uidx = np.cumsum(np.r_[0, (uid[1:] != uid[:-1]).astype("int64")])
+        rel = ts - ts.min()
+        span = int(rel.max()) + WIN_US + 2
+        adj = rel + uidx * span
+        cum = np.r_[0, np.cumsum(g["cents"].to_numpy(dtype="int64"))]
+        hi = np.searchsorted(adj, adj, side="right")
+        lo = np.searchsorted(adj, adj - WIN_US, side="left")
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+            "spend_7d_cents": pa.array(cum[hi] - cum[lo], pa.int64())})
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+        filter=pads.field("event_type") == "purchase",
+        override_num_blocks=_exchange_blocks(sf_dir, "events"))
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(window_bucket, batch_format="pandas")
+
+
+SQL_ROLLING_USER_SPEND = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS spend_7d_cents
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star-join rollup — the deepest composed
     relational pipeline in the registry (5 tables): two BROADCAST
@@ -6171,6 +6290,8 @@ QUERIES = {
     "host_reciprocal": q_host_reciprocal,
     "zipf_slope": q_zipf_slope,
     "local_supplier_volume": q_local_supplier_volume,
+    "event_transitions": q_event_transitions,
+    "rolling_user_spend": q_rolling_user_spend,
 }
 
 ORACLE_SQL = {
@@ -6251,4 +6372,6 @@ ORACLE_SQL = {
     "host_reciprocal": SQL_HOST_RECIPROCAL,
     "zipf_slope": SQL_ZIPF_SLOPE,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "rolling_user_spend": SQL_ROLLING_USER_SPEND,
 }

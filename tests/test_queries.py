@@ -75,7 +75,7 @@ def test_all_oracle_keys_have_queries():
     "host_links", "extract_audit", "paragraph_dedup",
     "paragraph_dedup_apply", "bigram_coverage", "domain_split_counts",
     "event_gaps", "user_retention", "host_reciprocal", "zipf_slope",
-    "local_supplier_volume",
+    "local_supplier_volume", "event_transitions", "rolling_user_spend",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
