@@ -239,7 +239,8 @@ def run_bench() -> dict:
                      "domain_split_counts", "event_gaps",
                      "user_retention", "host_reciprocal", "zipf_slope",
                      "local_supplier_volume", "event_transitions",
-                     "rolling_user_spend"]}
+                     "rolling_user_spend", "vocab_overlap",
+                     "lang_source_pivot"]}
     ray.shutdown()
     return result
 

@@ -6100,6 +6100,128 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_vocab_overlap(sf_dir: str, src_a: str = "src0", src_b: str = "src1"):
+    """Distributed SET OPERATION over two corpora's vocabularies:
+    |A∖B|, |B∖A|, |A∩B| for the distinct-term sets of two sources —
+    the union/intersect/except family expressed scale-first. The
+    source predicate is pushed to the parquet read; per-batch partials
+    carry (term, in_a, in_b) membership bits with each term emitted
+    once per batch; the vocabulary is unbounded so the term-level
+    OR-combine stays a distributed groupby (max of bits); per-block
+    category counters then reduce to ONE driver row. No term list ever
+    materializes on the driver."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Max
+
+    tok = _TERM_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a_terms: set = set()
+        b_terms: set = set()
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if t:
+                (a_terms if s == src_a else b_terms).update(
+                    w.lower() for w in tok.findall(t))
+        terms = list(a_terms | b_terms)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "in_a": pa.array([int(t in a_terms) for t in terms], pa.int64()),
+            "in_b": pa.array([int(t in b_terms) for t in terms], pa.int64())})
+
+    def count_cats(batch: pa.Table) -> pa.Table:
+        a = batch.column("max(in_a)").to_numpy(zero_copy_only=False)
+        b = batch.column("max(in_b)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_only_a": pa.array([int(((a == 1) & (b == 0)).sum())], pa.int64()),
+            "p_only_b": pa.array([int(((a == 0) & (b == 1)).sum())], pa.int64()),
+            "p_both": pa.array([int(((a == 1) & (b == 1)).sum())], pa.int64())})
+
+    parts = _collect_pd(
+        _rd().read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "source"],
+            filter=pads.field("source").isin([src_a, src_b]))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Max("in_a"), Max("in_b"))
+        .map_batches(count_cats, batch_format="pyarrow"))
+    z = {"n_only_a": 0, "n_only_b": 0, "n_both": 0}
+    if parts is not None:
+        z = {"n_only_a": int(parts["p_only_a"].sum()),
+             "n_only_b": int(parts["p_only_b"].sum()),
+             "n_both": int(parts["p_both"].sum())}
+    return pd.DataFrame({k: pd.Series([v], dtype="int64")
+                         for k, v in z.items()})
+
+
+SQL_VOCAB_OVERLAP = """
+WITH ta AS (
+  SELECT DISTINCT unnest(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t))) AS term
+  FROM documents WHERE source = 'src0' AND text IS NOT NULL
+), tb AS (
+  SELECT DISTINCT unnest(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t))) AS term
+  FROM documents WHERE source = 'src1' AND text IS NOT NULL
+)
+SELECT CAST((SELECT count(*) FROM ta
+             WHERE term NOT IN (SELECT term FROM tb)) AS BIGINT) AS n_only_a,
+       CAST((SELECT count(*) FROM tb
+             WHERE term NOT IN (SELECT term FROM ta)) AS BIGINT) AS n_only_b,
+       CAST((SELECT count(*) FROM ta
+             WHERE term IN (SELECT term FROM tb)) AS BIGINT) AS n_both
+"""
+
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_lang_source_pivot(sf_dir: str):
+    """PIVOT/crosstab: per-source language-distribution as a WIDE
+    table (one column per language + an `n_other` catch-all for
+    null/unknown) — the reshaping operator BI rollups need. Per-batch
+    (source, lang) count partials are the only thing that moves; the
+    pivot itself happens on the (sources × langs)-bounded driver
+    frame."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["source", "lang"]).aggregate(
+            [([], "count_all")]).rename_columns(["source", "lang", "p_n"])
+
+    df = _collect_pd(
+        _docs(sf_dir, ["source", "lang"], narrow_exchange=True)
+        .map_batches(partial, batch_format="pyarrow"))
+    cols = [f"n_{l}" for l in PIVOT_LANGS] + ["n_other"]
+    if df is None or df.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             **{c: pd.Series([], dtype="int64")
+                                for c in cols}})
+    df["lang"] = df["lang"].where(df["lang"].isin(PIVOT_LANGS), "other")
+    wide = df.pivot_table(index="source", columns="lang", values="p_n",
+                          aggfunc="sum", fill_value=0)
+    for l in list(PIVOT_LANGS) + ["other"]:
+        if l not in wide.columns:
+            wide[l] = 0
+    wide = wide[[*PIVOT_LANGS, "other"]].astype("int64")
+    wide.columns = cols
+    return wide.reset_index().sort_values("source").reset_index(drop=True)
+
+
+SQL_LANG_SOURCE_PIVOT = """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+       CAST(sum(CASE WHEN lang IS NULL
+                     OR lang NOT IN ('de', 'en', 'es', 'fr', 'zh')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star-join rollup — the deepest composed
     relational pipeline in the registry (5 tables): two BROADCAST
@@ -6292,6 +6414,8 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "event_transitions": q_event_transitions,
     "rolling_user_spend": q_rolling_user_spend,
+    "vocab_overlap": q_vocab_overlap,
+    "lang_source_pivot": q_lang_source_pivot,
 }
 
 ORACLE_SQL = {
@@ -6374,4 +6498,6 @@ ORACLE_SQL = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "rolling_user_spend": SQL_ROLLING_USER_SPEND,
+    "vocab_overlap": SQL_VOCAB_OVERLAP,
+    "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
 }
