@@ -6222,6 +6222,50 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_length_gini(sf_dir: str):
+    """EXACT Gini coefficient of the document-length distribution —
+    the inequality aggregate corpus-balance audits use — computed from
+    the shared one-pass `_lang_chars_hist` value histogram with NO
+    sort and NO shuffle, in PURE INTEGER arithmetic: with lengths
+    ranked ascending, Gini = Σ(2·rank − n − 1)·x / (n·Σx); the
+    numerator is rank-tie-invariant (the coefficient sum over a tie
+    block depends only on the block's rank span), so it is computed
+    per distinct value from (rank_start, rank_end) and is exactly
+    reproducible by the SQL window mirror. Returned as the integer
+    (n_docs, sum_chars, gini_num) triple — the float Gini is
+    gini_num / (n_docs·sum_chars), left to the caller so both sides
+    stay float-trap-free."""
+    import pandas as pd
+
+    hist = _lang_chars_hist(sf_dir)
+    empty = pd.DataFrame({"n_docs": pd.Series([0], dtype="int64"),
+                          "sum_chars": pd.Series([0], dtype="int64"),
+                          "gini_num": pd.Series([0], dtype="int64")})
+    if hist.empty:
+        return empty
+    g = hist.groupby("n_chars")["cnt"].sum().sort_index()
+    vals = g.index.to_numpy(dtype=np.int64)
+    cnt = g.to_numpy(dtype=np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    rn_start, rn_end = cum - cnt + 1, cum
+    gini_num = int(np.sum(vals * cnt * (rn_start + rn_end - n - 1)))
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "sum_chars": pd.Series([int(np.sum(vals * cnt))], dtype="int64"),
+        "gini_num": pd.Series([gini_num], dtype="int64")})
+
+
+SQL_LENGTH_GINI = """
+WITH d AS (SELECT n_chars AS x FROM documents WHERE n_chars IS NOT NULL),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM d)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+       CAST((SELECT sum(x) FROM d) AS BIGINT) AS sum_chars,
+       CAST((SELECT sum(x * (2 * rn - (SELECT count(*) FROM d) - 1))
+             FROM r) AS BIGINT) AS gini_num
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star-join rollup — the deepest composed
     relational pipeline in the registry (5 tables): two BROADCAST
@@ -6416,6 +6460,7 @@ QUERIES = {
     "rolling_user_spend": q_rolling_user_spend,
     "vocab_overlap": q_vocab_overlap,
     "lang_source_pivot": q_lang_source_pivot,
+    "length_gini": q_length_gini,
 }
 
 ORACLE_SQL = {
@@ -6500,4 +6545,5 @@ ORACLE_SQL = {
     "rolling_user_spend": SQL_ROLLING_USER_SPEND,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
+    "length_gini": SQL_LENGTH_GINI,
 }
