@@ -240,7 +240,8 @@ def run_bench() -> dict:
                      "user_retention", "host_reciprocal", "zipf_slope",
                      "local_supplier_volume", "event_transitions",
                      "rolling_user_spend", "vocab_overlap",
-                     "lang_source_pivot", "length_gini"]}
+                     "lang_source_pivot", "length_gini",
+                     "table_profile"]}
     ray.shutdown()
     return result
 

@@ -6266,6 +6266,92 @@ SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
 """
 
 
+PROFILE_COLS = ("doc_id", "lang", "n_chars", "source", "text")
+_PROFILE_NULL_SENTINEL = "\x00NULLS\x00"
+
+
+def q_table_profile(sf_dir: str):
+    """DATA-PROFILING operator: per-column null count + EXACT distinct
+    count for the documents table in ONE exchange — the schema-audit
+    primitive every ingest pipeline runs first. Per batch, each column
+    contributes its batch-DISTINCT values as narrow (col, val) rows
+    (ints cast to strings — any injective repr works, only
+    distinctness crosses the wire; TEXT is replaced by its 128-bit md5
+    hex so the corpus never shuffles, the paragraph-dedup discipline:
+    hash-equality == string-equality at 10¹²-doc scale) plus one
+    sentinel row carrying the batch null counter. A single distributed
+    groupby dedups values globally (value domains are unbounded ⇒ must
+    stay distributed); per-block counters then reduce to (columns)
+    driver rows."""
+    import hashlib
+
+    import pandas as pd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for c in PROFILE_COLS:
+            col = batch.column(c)
+            nn = col.null_count
+            nonnull = pc.drop_null(col)
+            if c == "text":
+                uniq = np.unique(nonnull.to_numpy(zero_copy_only=False))
+                vals = pa.array(
+                    [hashlib.md5(t.encode()).hexdigest() for t in uniq],
+                    pa.string())
+            else:
+                vals = pc.cast(pc.unique(nonnull), pa.string())
+            tabs.append(pa.table({
+                "col_name": pa.array([c] * len(vals), pa.string()),
+                "val": vals,
+                "p_nulls": pa.array([0] * len(vals), pa.int64())}))
+            if nn:
+                tabs.append(pa.table({
+                    "col_name": pa.array([c], pa.string()),
+                    "val": pa.array([_PROFILE_NULL_SENTINEL], pa.string()),
+                    "p_nulls": pa.array([nn], pa.int64())}))
+        return pa.concat_tables(tabs)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        is_val = pc.invert(pc.equal(batch.column("val"),
+                                    _PROFILE_NULL_SENTINEL))
+        t = pa.table({"col_name": batch.column("col_name"),
+                      "d": pc.cast(is_val, pa.int64()),
+                      "nl": batch.column("sum(p_nulls)")})
+        return t.group_by("col_name") \
+            .aggregate([("d", "sum"), ("nl", "sum")]) \
+            .rename_columns(["col_name", "p_distinct", "p_nulls"])
+
+    partials = _docs(sf_dir, list(PROFILE_COLS)) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["col_name", "val"]).sum("p_nulls") \
+        .map_batches(per_block, batch_format="pyarrow")
+    out = _driver_combine(partials, ["col_name"],
+                          {"n_nulls": ("p_nulls", "sum"),
+                           "n_distinct": ("p_distinct", "sum")})
+    return out
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'doc_id' AS col_name,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) - count(lang) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) - count(n_chars) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) - count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'text', CAST(count(*) - count(text) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT) FROM documents
+ORDER BY col_name
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star-join rollup — the deepest composed
     relational pipeline in the registry (5 tables): two BROADCAST
@@ -6461,6 +6547,7 @@ QUERIES = {
     "vocab_overlap": q_vocab_overlap,
     "lang_source_pivot": q_lang_source_pivot,
     "length_gini": q_length_gini,
+    "table_profile": q_table_profile,
 }
 
 ORACLE_SQL = {
@@ -6546,4 +6633,5 @@ ORACLE_SQL = {
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
     "length_gini": SQL_LENGTH_GINI,
+    "table_profile": SQL_TABLE_PROFILE,
 }

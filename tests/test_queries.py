@@ -76,7 +76,7 @@ def test_all_oracle_keys_have_queries():
     "paragraph_dedup_apply", "bigram_coverage", "domain_split_counts",
     "event_gaps", "user_retention", "host_reciprocal", "zipf_slope",
     "local_supplier_volume", "event_transitions", "rolling_user_spend",
-    "vocab_overlap", "lang_source_pivot", "length_gini",
+    "vocab_overlap", "lang_source_pivot", "length_gini", "table_profile",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
