@@ -241,7 +241,8 @@ def run_bench() -> dict:
                      "local_supplier_volume", "event_transitions",
                      "rolling_user_spend", "vocab_overlap",
                      "lang_source_pivot", "length_gini",
-                     "table_profile"]}
+                     "table_profile", "unigram_entropy",
+                     "order_size_histogram"]}
     ray.shutdown()
     return result
 

@@ -6352,6 +6352,110 @@ ORDER BY col_name
 """
 
 
+def q_unigram_entropy(sf_dir: str):
+    """Shannon entropy of the corpus unigram distribution — the
+    information-measure aggregate (a diversity/health signal: spammy
+    or templated corpora collapse it). H = ln(T) − Σc·ln(c)/T over the
+    term counts; dataflow = the inverted-index pattern (per-batch
+    (term, count) partials → ONE distributed vocab groupby → per-block
+    (Σc, Σc·ln c) partials → driver finish). The only float is the
+    single final expression, quantized ·1e6 to BIGINT on both sides
+    (absolute summation error is ~1e-5 of a rounding unit — far under
+    the flip threshold)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    tok = _TERM_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t:
+                c.update(w.lower() for w in tok.findall(t))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def ent_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        return pa.table({
+            "p_tokens": pa.array([int(c.sum())], pa.int64()),
+            "p_clnc": pa.array([float(np.sum(c * np.log(c)))], pa.float64())})
+
+    parts = _collect_pd(
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term").sum("n")
+        .map_batches(ent_partial, batch_format="pyarrow"))
+    empty = pd.DataFrame({"n_tokens": pd.Series([0], dtype="int64"),
+                          "entropy_1e6": pd.Series([0], dtype="int64")})
+    if parts is None or int(parts["p_tokens"].sum()) == 0:
+        return empty
+    t = int(parts["p_tokens"].sum())
+    h = float(np.log(t) - float(parts["p_clnc"].sum()) / t)
+    return pd.DataFrame({
+        "n_tokens": pd.Series([t], dtype="int64"),
+        "entropy_1e6": pd.Series([int(round(h * 1e6))], dtype="int64")})
+
+
+SQL_UNIGRAM_ENTROPY = """
+WITH toks AS (
+  SELECT unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                t -> lower(t))) AS term
+  FROM documents WHERE text IS NOT NULL
+), tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term)
+SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(round(1e6 * (ln(CAST(sum(c) AS DOUBLE))
+                         - sum(c * ln(CAST(c AS DOUBLE)))
+                           / CAST(sum(c) AS DOUBLE))) AS BIGINT)
+         AS entropy_1e6
+FROM tc
+"""
+
+
+def q_order_size_histogram(sf_dir: str, n_buckets: int = 32):
+    """Histogram OF an aggregate (the group-size distribution):
+    items-per-order → count of orders at each size — the fan-in
+    profiling query that sizes join/skew defenses. Two-level combine:
+    per-batch (orderkey, n) partials, ONE bucketed exchange co-locates
+    each order (key cardinality unbounded ⇒ distributed, same
+    discipline as dedup), per-bucket final counts collapse immediately
+    to a (size → n_orders) histogram partial, driver combines the
+    (sizes × buckets)-bounded rows."""
+    import pandas as pd
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("l_orderkey").aggregate([([], "count_all")]) \
+            .rename_columns(["l_orderkey", "p_n"])
+        b = pc.cast(pc.bit_wise_and(t.column("l_orderkey"), n_buckets - 1),
+                    pa.int32())
+        return t.append_column("_bucket", b)
+
+    def hist_bucket(g: pd.DataFrame) -> pa.Table:
+        sizes = g.groupby("l_orderkey")["p_n"].sum()
+        h = sizes.value_counts().sort_index()
+        return pa.table({
+            "n_items": pa.array(h.index.to_numpy(), pa.int64()),
+            "p_orders": pa.array(h.to_numpy(), pa.int64())})
+
+    partials = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                                  columns=["l_orderkey"]) \
+        .map_batches(li_partial, batch_format="pyarrow") \
+        .repartition(_exchange_blocks(sf_dir, "orders")) \
+        .groupby("_bucket").map_groups(hist_bucket, batch_format="pandas")
+    return _driver_combine(partials, ["n_items"],
+                           {"n_orders": ("p_orders", "sum")})
+
+
+SQL_ORDER_SIZE_HISTOGRAM = """
+WITH os AS (SELECT l_orderkey, count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey)
+SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+FROM os GROUP BY n_items ORDER BY n_items
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star-join rollup — the deepest composed
     relational pipeline in the registry (5 tables): two BROADCAST
@@ -6548,6 +6652,8 @@ QUERIES = {
     "lang_source_pivot": q_lang_source_pivot,
     "length_gini": q_length_gini,
     "table_profile": q_table_profile,
+    "unigram_entropy": q_unigram_entropy,
+    "order_size_histogram": q_order_size_histogram,
 }
 
 ORACLE_SQL = {
@@ -6634,4 +6740,6 @@ ORACLE_SQL = {
     "lang_source_pivot": SQL_LANG_SOURCE_PIVOT,
     "length_gini": SQL_LENGTH_GINI,
     "table_profile": SQL_TABLE_PROFILE,
+    "unigram_entropy": SQL_UNIGRAM_ENTROPY,
+    "order_size_histogram": SQL_ORDER_SIZE_HISTOGRAM,
 }
