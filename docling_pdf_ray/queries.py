@@ -5919,19 +5919,10 @@ def q_zipf_slope(sf_dir: str, top_n: int = 200):
     sum formula. Both sides quantize slope·1e6 to BIGINT and use the
     identical (count DESC, term ASC) rank tie-break, so the result is
     order-independent and float-trap-free."""
-    from collections import Counter
-
     import pandas as pd
 
-    tok = _TERM_RE
-
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            if t:
-                c.update(w.lower() for w in tok.findall(t))
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        return _term_count_partial(batch)
 
     def topn_partial(batch: pa.Table) -> pa.Table:
         d = pa.table({"term": batch.column("term"),
@@ -6352,6 +6343,22 @@ ORDER BY col_name
 """
 
 
+def _term_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (term, total count) partial over ALL token occurrences
+    — the vectorized front of `zipf_slope` and `unigram_entropy`
+    (shared so the two frequency statistics always describe the same
+    token stream): the Arrow `ascii_tokens_flat` contract tokenizer +
+    one np.unique, no per-doc Python regex loop."""
+    t = batch.filter(pc.is_valid(batch.column("text")))
+    if t.num_rows == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    flat, _ = ftext.ascii_tokens_flat(t.column("text"))
+    uniq, cnt = np.unique(flat, return_counts=True)
+    return pa.table({"term": pa.array(uniq, pa.string()),
+                     "n": pa.array(cnt, pa.int64())})
+
+
 def q_unigram_entropy(sf_dir: str):
     """Shannon entropy of the corpus unigram distribution — the
     information-measure aggregate (a diversity/health signal: spammy
@@ -6362,19 +6369,9 @@ def q_unigram_entropy(sf_dir: str):
     single final expression, quantized ·1e6 to BIGINT on both sides
     (absolute summation error is ~1e-5 of a rounding unit — far under
     the flip threshold)."""
-    from collections import Counter
-
     import pandas as pd
 
-    tok = _TERM_RE
-
-    def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            if t:
-                c.update(w.lower() for w in tok.findall(t))
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+    partial = _term_count_partial
 
     def ent_partial(batch: pa.Table) -> pa.Table:
         c = batch.column("sum(n)").to_numpy(zero_copy_only=False) \
