@@ -242,7 +242,8 @@ def run_bench() -> dict:
                      "rolling_user_spend", "vocab_overlap",
                      "lang_source_pivot", "length_gini",
                      "table_profile", "unigram_entropy",
-                     "order_size_histogram"]}
+                     "order_size_histogram", "rollup_counts",
+                     "source_dup_rate"]}
     ray.shutdown()
     return result
 

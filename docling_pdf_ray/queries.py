@@ -6453,6 +6453,110 @@ FROM os GROUP BY n_items ORDER BY n_items
 """
 
 
+def q_rollup_counts(sf_dir: str):
+    """GROUPING SETS / CUBE in ONE pass: doc counts at all four rollup
+    levels — (lang, source), (lang), (source), grand total — derived
+    from the FINEST-grain partials alone (the rollup lattice is pure
+    algebra over the (lang × source)-bounded driver frame; the corpus
+    is scanned once and only finest counters move). GROUPING markers
+    (g_lang/g_source) distinguish a rolled-up NULL from a real null
+    lang, exactly as SQL's GROUPING() does — coalescing to a sentinel
+    would silently merge the two."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all")]).rename_columns(["lang", "source", "p_n"])
+
+    df = _collect_pd(_docs(sf_dir, ["lang", "source"], narrow_exchange=True)
+                     .map_batches(partial, batch_format="pyarrow"))
+    cols = ["lang", "source", "g_lang", "g_source", "n"]
+    if df is None or df.empty:
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype="object"),
+            "source": pd.Series([], dtype="object"),
+            "g_lang": pd.Series([], dtype="int64"),
+            "g_source": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64")})
+    fine = df.groupby(["lang", "source"], dropna=False)["p_n"].sum() \
+        .reset_index(name="n")
+    by_lang = fine.groupby("lang", dropna=False)["n"].sum().reset_index()
+    by_src = fine.groupby("source", dropna=False)["n"].sum().reset_index()
+    total = pd.DataFrame({"n": [int(fine["n"].sum())]})
+    fine["g_lang"], fine["g_source"] = 0, 0
+    by_lang["source"], by_lang["g_lang"], by_lang["g_source"] = None, 0, 1
+    by_src["lang"], by_src["g_lang"], by_src["g_source"] = None, 1, 0
+    total["lang"], total["source"] = None, None
+    total["g_lang"], total["g_source"] = 1, 1
+    out = pd.concat([fine[cols], by_lang[cols], by_src[cols], total[cols]],
+                    ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT lang, source,
+       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+       CAST(GROUPING(source) AS BIGINT) AS g_source,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+ORDER BY g_lang, g_source, lang, source
+"""
+
+
+def q_source_dup_rate(sf_dir: str, n_buckets: int = 64):
+    """Cross-source duplication audit: of the corpus's DISTINCT texts,
+    how many appear in ≥2 different sources — the contamination signal
+    that decides whether dedup must run globally or can stay per-source.
+    Dataflow: texts never move — each batch emits distinct
+    (md5-hex, source) pairs (the 128-bit hash-equality == string-
+    equality discipline), ONE bucketed exchange co-locates each hash,
+    per-bucket nunique decides cross-sourceness, two counters per
+    bucket return."""
+    import pandas as pd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        h = ftext.md5_hex_col(t.column("text").combine_chunks())
+        t2 = pa.table({"h": h, "source": t.column("source")}) \
+            .group_by(["h", "source"]).aggregate([])
+        hh = _dedup.md5_u64(t2.column("h").to_numpy(zero_copy_only=False))
+        return t2.append_column(
+            "_bucket", pa.array((hh & (n_buckets - 1)).astype("int32")))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        ns = g.drop_duplicates(["h", "source"]).groupby("h")["source"] \
+            .nunique()
+        return pa.table({
+            "p_texts": pa.array([int(len(ns))], pa.int64()),
+            "p_cross": pa.array([int((ns >= 2).sum())], pa.int64())})
+
+    parts = _collect_pd(
+        _docs(sf_dir, ["text", "source"], narrow_exchange=True)
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+    z = {"n_texts": 0, "n_cross_source": 0}
+    if parts is not None:
+        z = {"n_texts": int(parts["p_texts"].sum()),
+             "n_cross_source": int(parts["p_cross"].sum())}
+    return pd.DataFrame({k: pd.Series([v], dtype="int64")
+                         for k, v in z.items()})
+
+
+SQL_SOURCE_DUP_RATE = """
+WITH t AS (
+  SELECT md5(text) AS h, source FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT h, count(DISTINCT source) AS ns FROM t GROUP BY h
+)
+SELECT CAST(count(*) AS BIGINT) AS n_texts,
+       CAST(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_source
+FROM d
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star-join rollup — the deepest composed
     relational pipeline in the registry (5 tables): two BROADCAST
@@ -6651,6 +6755,8 @@ QUERIES = {
     "table_profile": q_table_profile,
     "unigram_entropy": q_unigram_entropy,
     "order_size_histogram": q_order_size_histogram,
+    "rollup_counts": q_rollup_counts,
+    "source_dup_rate": q_source_dup_rate,
 }
 
 ORACLE_SQL = {
@@ -6739,4 +6845,6 @@ ORACLE_SQL = {
     "table_profile": SQL_TABLE_PROFILE,
     "unigram_entropy": SQL_UNIGRAM_ENTROPY,
     "order_size_histogram": SQL_ORDER_SIZE_HISTOGRAM,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
+    "source_dup_rate": SQL_SOURCE_DUP_RATE,
 }

@@ -77,7 +77,8 @@ def test_all_oracle_keys_have_queries():
     "event_gaps", "user_retention", "host_reciprocal", "zipf_slope",
     "local_supplier_volume", "event_transitions", "rolling_user_spend",
     "vocab_overlap", "lang_source_pivot", "length_gini", "table_profile",
-    "unigram_entropy", "order_size_histogram",
+    "unigram_entropy", "order_size_histogram", "rollup_counts",
+    "source_dup_rate",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
