@@ -6557,6 +6557,82 @@ FROM d
 """
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth curve over BIGRAMS: cumulative
+    distinct-bigram count at each doc-id decile of the corpus stream —
+    the diminishing-returns signal data-mixture planning reads
+    (bigrams, not unigrams: the synthetic word pool saturates
+    immediately while the bigram space keeps growing, so the curve has
+    shape). The first-occurrence trick from paragraph dedup applied to
+    n-grams: the global first sighting is min(doc_id), an associative
+    aggregate — per-batch (bigram, min) partials feed ONE distributed
+    vocab groupby (unbounded cardinality), each group block collapses
+    locally to a 10-bin decile histogram, and the driver cumsums ≤10
+    rows. No vocabulary ever materializes centrally."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "first_doc": pa.array([], pa.int64())})
+        grams, parent = _dedup.ngram_stream_vec(
+            t.column("text").combine_chunks(), 2, return_parents=True)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[parent]
+        s = pd.DataFrame({"term": grams, "first_doc": ids}) \
+            .groupby("term")["first_doc"].min()
+        return pa.table({"term": pa.array(s.index.to_numpy(), pa.string()),
+                         "first_doc": pa.array(s.to_numpy(), pa.int64())})
+
+    def dec_partial(batch: pa.Table) -> pa.Table:
+        fd = batch.column("min(first_doc)").to_numpy(zero_copy_only=False)
+        dec = (fd * 10 // n_docs).astype("int64")
+        h = np.bincount(dec, minlength=10)
+        keep = h > 0
+        return pa.table({
+            "decile": pa.array(np.arange(10, dtype="int64")[keep]),
+            "p_n": pa.array(h[keep].astype("int64"))})
+
+    hist = _driver_combine(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term").min("first_doc")
+        .map_batches(dec_partial, batch_format="pyarrow"),
+        ["decile"], {"n_new": ("p_n", "sum")})
+    hist["vocab_size"] = hist["n_new"].cumsum().astype("int64")
+    return hist[["decile", "vocab_size"]]
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'),
+                     w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1])) AS term
+  FROM base WHERE len(words) >= 2
+), f AS (
+  SELECT term, min(doc_id) AS first_doc FROM g GROUP BY term
+), b AS (
+  -- `//` floor division: DuckDB's `/` is FLOAT division and CAST
+  -- rounds, which would disagree with numpy's integer `//` at .5+
+  SELECT CAST(first_doc * 10 // (SELECT count(*) FROM documents)
+              AS BIGINT) AS decile,
+         count(*) AS n_new
+  FROM f GROUP BY 1
+)
+SELECT decile,
+       CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+FROM b ORDER BY decile
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star-join rollup — the deepest composed
     relational pipeline in the registry (5 tables): two BROADCAST
@@ -6757,6 +6833,7 @@ QUERIES = {
     "order_size_histogram": q_order_size_histogram,
     "rollup_counts": q_rollup_counts,
     "source_dup_rate": q_source_dup_rate,
+    "vocab_growth": q_vocab_growth,
 }
 
 ORACLE_SQL = {
@@ -6847,4 +6924,5 @@ ORACLE_SQL = {
     "order_size_histogram": SQL_ORDER_SIZE_HISTOGRAM,
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,
+    "vocab_growth": SQL_VOCAB_GROWTH,
 }
