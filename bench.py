@@ -243,7 +243,8 @@ def run_bench() -> dict:
                      "lang_source_pivot", "length_gini",
                      "table_profile", "unigram_entropy",
                      "order_size_histogram", "rollup_counts",
-                     "source_dup_rate", "vocab_growth"]}
+                     "source_dup_rate", "vocab_growth",
+                     "order_cohorts"]}
     ray.shutdown()
     return result
 

@@ -6633,6 +6633,63 @@ FROM b ORDER BY decile
 """
 
 
+def q_order_cohorts(sf_dir: str, n_buckets: int = 64):
+    """COHORT-RETENTION matrix: customers grouped by the month of
+    their FIRST order (the cohort), counted distinct in every month
+    they ordered again — the classic retention triangle. Customer
+    cardinality is unbounded, so the first-month discovery can't be a
+    driver lookup: orders co-shuffle by customer hash (narrow
+    (custkey, month) rows only), each bucket derives cohort = min
+    month and the distinct (customer, month) activity locally in one
+    vectorized pass, and only (cohort × month)-bounded counters reach
+    the driver."""
+    import pandas as pd
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c": batch.column("o_custkey"),
+            "m": pc.floor_temporal(batch.column("o_orderdate"),
+                                   unit="month")})
+        t = t.group_by(["c", "m"]).aggregate([])
+        b = pc.cast(pc.bit_wise_and(t.column("c"), n_buckets - 1),
+                    pa.int32())
+        return t.append_column("_bucket", b)
+
+    def cohort_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["c", "m"])
+        g = g.assign(cohort=g.groupby("c")["m"].transform("min"))
+        agg = g.groupby(["cohort", "m"]).size()
+        idx = agg.index
+        return pa.table({
+            "cohort_month": pa.array(idx.get_level_values(0),
+                                     pa.timestamp("us")),
+            "order_month": pa.array(idx.get_level_values(1),
+                                    pa.timestamp("us")),
+            "p_n": pa.array(agg.to_numpy(), pa.int64())})
+
+    partials = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        override_num_blocks=_exchange_blocks(sf_dir, "orders")) \
+        .map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(cohort_bucket, batch_format="pandas")
+    return _driver_combine(partials, ["cohort_month", "order_month"],
+                           {"n_customers": ("p_n", "sum")})
+
+
+SQL_ORDER_COHORTS = """
+WITH cm AS (
+  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+  FROM orders
+), f AS (
+  SELECT o_custkey, min(m) AS cohort FROM cm GROUP BY o_custkey
+)
+SELECT f.cohort AS cohort_month, cm.m AS order_month,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM cm JOIN f USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_local_supplier_volume(sf_dir: str):
     """TPC-H Q5-shaped star-join rollup — the deepest composed
     relational pipeline in the registry (5 tables): two BROADCAST
@@ -6834,6 +6891,7 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "source_dup_rate": q_source_dup_rate,
     "vocab_growth": q_vocab_growth,
+    "order_cohorts": q_order_cohorts,
 }
 
 ORACLE_SQL = {
@@ -6925,4 +6983,5 @@ ORACLE_SQL = {
     "rollup_counts": SQL_ROLLUP_COUNTS,
     "source_dup_rate": SQL_SOURCE_DUP_RATE,
     "vocab_growth": SQL_VOCAB_GROWTH,
+    "order_cohorts": SQL_ORDER_COHORTS,
 }

@@ -78,7 +78,7 @@ def test_all_oracle_keys_have_queries():
     "local_supplier_volume", "event_transitions", "rolling_user_spend",
     "vocab_overlap", "lang_source_pivot", "length_gini", "table_profile",
     "unigram_entropy", "order_size_histogram", "rollup_counts",
-    "source_dup_rate", "vocab_growth",
+    "source_dup_rate", "vocab_growth", "order_cohorts",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
