@@ -244,7 +244,8 @@ def run_bench() -> dict:
                      "table_profile", "unigram_entropy",
                      "order_size_histogram", "rollup_counts",
                      "source_dup_rate", "vocab_growth",
-                     "order_cohorts"]}
+                     "order_cohorts", "length_top_decile",
+                     "dup_degree_histogram"]}
     ray.shutdown()
     return result
 

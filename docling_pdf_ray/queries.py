@@ -6633,6 +6633,81 @@ FROM b ORDER BY decile
 """
 
 
+def q_length_top_decile_counts(sf_dir: str):
+    """Quantile-boundary composition: per-lang p90 length threshold
+    AND the count of docs at/above it, BOTH answered from the shared
+    one-pass `_lang_chars_hist` value histogram — the count is
+    n − cum(below-boundary), so the 'find the boundary then re-scan to
+    filter' second pass disappears entirely (at 100 TB that second
+    scan is the cost). Same exact percentile_disc rule as
+    `chars_quantiles` (smallest v with 100·cum ≥ p·n)."""
+    import pandas as pd
+
+    hist = _lang_chars_hist(sf_dir)
+    if hist.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "p90": pd.Series([], dtype="int64"),
+                             "n_top": pd.Series([], dtype="int64")})
+    out = []
+    for lang, g in hist.groupby("lang", sort=True, dropna=False):
+        g = g.sort_values("n_chars")
+        cum = g["cnt"].cumsum().to_numpy(dtype=np.int64)
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        n = int(cum[-1])
+        idx = int(np.searchsorted(cum * 100, 90 * n, side="left"))
+        below = int(cum[idx - 1]) if idx > 0 else 0
+        out.append({"lang": lang, "p90": int(vals[idx]),
+                    "n_top": n - below})
+    res = pd.DataFrame(out, columns=["lang", "p90", "n_top"])
+    return res.astype({"p90": "int64", "n_top": "int64"})
+
+
+SQL_LENGTH_TOP_DECILE = """
+WITH q AS (
+  SELECT lang,
+         CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p90
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
+)
+SELECT d.lang, q.p90, CAST(count(*) AS BIGINT) AS n_top
+FROM documents d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang
+WHERE d.n_chars >= q.p90
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_dup_degree_histogram(sf_dir: str, threshold: float = 0.7):
+    """Degree distribution of the near-dup pair graph — how many docs
+    have exactly d near-duplicates — the graph-shape profile that
+    decides the dedup-grouping strategy (a heavy tail ⇒ star-linking /
+    CC; a flat one ⇒ pairwise suffices). Composes the full distributed
+    minhash→LSH→verify pipeline; the degree/histogram math runs on the
+    O(near-dups) pair frame that family already materializes (its
+    stated driver contract)."""
+    import pandas as pd
+
+    pairs = q_minhash_near_dups(sf_dir, threshold)
+    if len(pairs) == 0:
+        return pd.DataFrame({"degree": pd.Series([], dtype="int64"),
+                             "n_docs": pd.Series([], dtype="int64")})
+    both = pd.concat([pairs["doc_id_a"], pairs["doc_id_b"]],
+                     ignore_index=True)
+    deg = both.value_counts().value_counts().sort_index()
+    return pd.DataFrame({
+        "degree": pd.Series(deg.index.to_numpy(), dtype="int64"),
+        "n_docs": pd.Series(deg.to_numpy(), dtype="int64")})
+
+
+SQL_DUP_DEGREE_HISTOGRAM = f"""
+WITH pairs AS ({SQL_MINHASH_NEAR_DUPS}),
+ends AS (SELECT doc_id_a AS doc_id FROM pairs
+         UNION ALL SELECT doc_id_b FROM pairs),
+deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
 def q_order_cohorts(sf_dir: str, n_buckets: int = 64):
     """COHORT-RETENTION matrix: customers grouped by the month of
     their FIRST order (the cohort), counted distinct in every month
@@ -6892,6 +6967,8 @@ QUERIES = {
     "source_dup_rate": q_source_dup_rate,
     "vocab_growth": q_vocab_growth,
     "order_cohorts": q_order_cohorts,
+    "length_top_decile": q_length_top_decile_counts,
+    "dup_degree_histogram": q_dup_degree_histogram,
 }
 
 ORACLE_SQL = {
@@ -6984,4 +7061,6 @@ ORACLE_SQL = {
     "source_dup_rate": SQL_SOURCE_DUP_RATE,
     "vocab_growth": SQL_VOCAB_GROWTH,
     "order_cohorts": SQL_ORDER_COHORTS,
+    "length_top_decile": SQL_LENGTH_TOP_DECILE,
+    "dup_degree_histogram": SQL_DUP_DEGREE_HISTOGRAM,
 }

@@ -79,6 +79,7 @@ def test_all_oracle_keys_have_queries():
     "vocab_overlap", "lang_source_pivot", "length_gini", "table_profile",
     "unigram_entropy", "order_size_histogram", "rollup_counts",
     "source_dup_rate", "vocab_growth", "order_cohorts",
+    "length_top_decile", "dup_degree_histogram",
 ])
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
