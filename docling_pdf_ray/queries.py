@@ -6708,6 +6708,46 @@ FROM deg GROUP BY degree ORDER BY degree
 """
 
 
+def q_source_mixture_weights(sf_dir: str):
+    """Temperature-scaled data-mixture weights (α = 0.5): the GPT-3 /
+    multilingual-LM sampling-weight operator — per-source doc counts
+    raised to α and normalized, so small sources are up-sampled
+    relative to their raw share. One zero-shuffle pass (per-batch
+    (source, count) partials, driver combine over the bounded source
+    set); √n is IEEE-correctly-rounded on both engines and the weight
+    is quantized ·1e6 to BIGINT, keeping the float window ~10 orders
+    of magnitude below the rounding quantum."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("source").aggregate([([], "count_all")]) \
+            .rename_columns(["source", "p_n"])
+
+    counts = _driver_combine(
+        _docs(sf_dir, ["source"], narrow_exchange=True)
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n_docs": ("p_n", "sum")})
+    if counts.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "weight_1e6": pd.Series([], dtype="int64")})
+    w = np.sqrt(counts["n_docs"].to_numpy(dtype="float64"))
+    counts["weight_1e6"] = np.array(
+        [int(round(1e6 * x / float(w.sum()))) for x in w], dtype="int64")
+    counts["n_docs"] = counts["n_docs"].astype("int64")
+    return counts[["source", "n_docs", "weight_1e6"]]
+
+
+SQL_SOURCE_MIXTURE_WEIGHTS = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(round(1e6 * sqrt(CAST(n AS DOUBLE))
+                  / (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM c))
+            AS BIGINT) AS weight_1e6
+FROM c ORDER BY source
+"""
+
+
 def q_order_cohorts(sf_dir: str, n_buckets: int = 64):
     """COHORT-RETENTION matrix: customers grouped by the month of
     their FIRST order (the cohort), counted distinct in every month
@@ -6969,6 +7009,7 @@ QUERIES = {
     "order_cohorts": q_order_cohorts,
     "length_top_decile": q_length_top_decile_counts,
     "dup_degree_histogram": q_dup_degree_histogram,
+    "source_mixture_weights": q_source_mixture_weights,
 }
 
 ORACLE_SQL = {
@@ -7063,4 +7104,5 @@ ORACLE_SQL = {
     "order_cohorts": SQL_ORDER_COHORTS,
     "length_top_decile": SQL_LENGTH_TOP_DECILE,
     "dup_degree_histogram": SQL_DUP_DEGREE_HISTOGRAM,
+    "source_mixture_weights": SQL_SOURCE_MIXTURE_WEIGHTS,
 }
