@@ -6909,6 +6909,103 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_canonical_url_dedup(sf_dir: str, n_buckets: int = 64):
+    """URL CANONICALIZATION + dedup — the crawl-frontier normalizer
+    every web corpus runs BEFORE content dedup (the reference is
+    handed already-fetched payloads, main.py:1-120 upload path, so it
+    has no URL layer; this is beyond-reference web-pipeline surface).
+    The corpus's URL spellings are synthesized as a pure function of
+    doc_id (tracking params, uppercase scheme/host, explicit :443,
+    trailing slash, fragment — the five spellings of one page, hosts
+    a pure function of doc_id//7 so each 7-run collapses to ONE
+    canonical); the ENGINE never sees that arithmetic — it
+    canonicalizes the strings for real through `urlnorm.canonicalize`
+    (five RE2 passes, all Arrow kernels) and the SQL mirror runs the
+    IDENTICAL rule strings through DuckDB's RE2 (`urlnorm.sql_canonical`
+    composes the oracle from the same constants, so the engines cannot
+    drift independently). Dataflow: urls are row-local → per-batch
+    (canonical, count) pre-combine → ONE bucketed exchange of narrow
+    pairs → per-bucket final sizes reduced to a (group_size → count)
+    histogram partial → driver combine over ≤7 sizes. Texts never
+    move; the driver holds O(distinct group sizes)."""
+    import pandas as pd
+
+    from .functions import urlnorm
+
+    def urls_of(ids: np.ndarray) -> pd.Series:
+        gq = ids // 7
+        hs = pd.Series(gq % 64).astype(str)
+        gs = pd.Series(gq).astype(str)
+        pre = pd.Series(np.where(ids % 5 == 2,
+                                 "HTTPS://H" + hs + ".EXAMPLE",
+                                 "https://h" + hs + ".example"))
+        pre = pre + np.where(ids % 11 == 0, ":443", "")
+        suf = pd.Series(np.select(
+            [ids % 5 == 1, ids % 5 == 3, ids % 5 == 4],
+            ["?utm_source=feed&utm_campaign=c", "/", "#sec"], ""))
+        # every 13th doc points at a genuinely distinct page (its own
+        # path): those stay singletons, their 7-run shrinks — the size
+        # histogram gets {1, 5, 6, 7, remainder} instead of one bar
+        solo = pd.Series(np.where(ids % 13 == 0,
+                                  "/x" + pd.Series(ids).astype(str), ""))
+        return pre + "/p/" + gs + solo + suf
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        curl = urlnorm.canonicalize(pa.array(urls_of(ids), pa.string()))
+        g = pa.table({"curl": curl}).group_by("curl") \
+            .aggregate([([], "count_all")]).rename_columns(["curl", "p_n"])
+        hh = _dedup.md5_u64(g.column("curl").to_numpy(zero_copy_only=False))
+        return g.append_column(
+            "_bucket", pa.array((hh & (n_buckets - 1)).astype("int32")))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        sizes = g.groupby("curl", sort=False)["p_n"].sum()
+        hist = sizes.value_counts()
+        return pa.table({
+            "n_variants": pa.array(hist.index.to_numpy(np.int64)),
+            "p_urls": pa.array(hist.to_numpy(np.int64))})
+
+    parts = _collect_pd(
+        _docs(sf_dir, ["doc_id"], narrow_exchange=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+    if parts is None:
+        return pd.DataFrame({"n_variants": pd.Series([], dtype="int64"),
+                             "n_urls": pd.Series([], dtype="int64")})
+    out = parts.groupby("n_variants", as_index=False)["p_urls"].sum() \
+        .rename(columns={"p_urls": "n_urls"})
+    out["n_urls"] = out["n_urls"].astype("int64")
+    return out.sort_values("n_variants").reset_index(drop=True)
+
+
+def _sql_canonical_url_dedup() -> str:
+    from .functions import urlnorm
+
+    return f"""
+WITH u AS (
+  SELECT (CASE WHEN doc_id % 5 = 2
+          THEN 'HTTPS://H' || CAST((doc_id // 7) % 64 AS VARCHAR) || '.EXAMPLE'
+          ELSE 'https://h' || CAST((doc_id // 7) % 64 AS VARCHAR) || '.example'
+          END)
+      || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+      || '/p/' || CAST(doc_id // 7 AS VARCHAR)
+      || (CASE WHEN doc_id % 13 = 0
+          THEN '/x' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      || (CASE doc_id % 5 WHEN 1 THEN '?utm_source=feed&utm_campaign=c'
+                          WHEN 3 THEN '/' WHEN 4 THEN '#sec' ELSE '' END)
+      AS url
+  FROM documents),
+c AS (SELECT {urlnorm.sql_canonical("url")} AS curl FROM u),
+g AS (SELECT curl, count(*) AS n FROM c GROUP BY curl)
+SELECT CAST(n AS BIGINT) AS n_variants, CAST(count(*) AS BIGINT) AS n_urls
+FROM g GROUP BY n ORDER BY n
+"""
+
+
+SQL_CANONICAL_URL_DEDUP = _sql_canonical_url_dedup()
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7010,6 +7107,7 @@ QUERIES = {
     "length_top_decile": q_length_top_decile_counts,
     "dup_degree_histogram": q_dup_degree_histogram,
     "source_mixture_weights": q_source_mixture_weights,
+    "canonical_url_dedup": q_canonical_url_dedup,
 }
 
 ORACLE_SQL = {
@@ -7105,4 +7203,5 @@ ORACLE_SQL = {
     "length_top_decile": SQL_LENGTH_TOP_DECILE,
     "dup_degree_histogram": SQL_DUP_DEGREE_HISTOGRAM,
     "source_mixture_weights": SQL_SOURCE_MIXTURE_WEIGHTS,
+    "canonical_url_dedup": SQL_CANONICAL_URL_DEDUP,
 }
