@@ -7006,6 +7006,88 @@ FROM g GROUP BY n ORDER BY n
 SQL_CANONICAL_URL_DEDUP = _sql_canonical_url_dedup()
 
 
+def q_crawl_snapshot_diff(sf_dir: str):
+    """CRAWL-SNAPSHOT DIFF (CDC between two crawl generations): which
+    pages were added, removed, changed, or unchanged between snapshot
+    OLD and snapshot NEW — the delta audit every incremental recrawl
+    publishes before the downstream pipeline decides what to
+    re-extract (the reference re-processes every upload
+    unconditionally, main.py:1-120; this is the incremental path a
+    100-TB corpus requires). The two snapshots are derived
+    deterministically from the documents table (OLD = doc_id%4≠3,
+    NEW = doc_id%4≠0, every 7th doc's content perturbed in NEW) but
+    the ENGINE treats them as what they are in production — two
+    independent parquet scans: each side reduces in place to narrow
+    (doc_id, content-hash) rows (text is hashed where it lives and
+    never shuffles), ONE bucketed FULL OUTER join co-locates each key,
+    and the per-row classification collapses to 4 counter partials
+    before the driver combine. Null text coalesces to '' pre-hash on
+    both engines so genuine presence is never mistaken for absence."""
+    import pandas as pd
+
+    from .functions.joins import bucketed_hash_join
+
+    def side(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = ids % 4 != (3 if which == "old" else 0)
+            t = batch.filter(pa.array(keep))
+            ids = ids[keep]
+            txt = pc.fill_null(t.column("text").combine_chunks(), "")
+            if which == "new":
+                bang = pc.if_else(pa.array(ids % 7 == 0), "!", "")
+                txt = pc.binary_join_element_wise(txt, bang, "")
+            return pa.table({"doc_id": t.column("doc_id"),
+                             f"h_{which}": ftext.md5_hex_col(txt)})
+        return f
+
+    blocks = _exchange_blocks(sf_dir)
+    old = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(side("old"), batch_format="pyarrow")
+    new = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(side("new"), batch_format="pyarrow")
+    joined = bucketed_hash_join(old, new, "doc_id", how="full",
+                                exchange_blocks=blocks)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ho, hn = batch.column("h_old"), batch.column("h_new")
+        cls = pc.if_else(
+            pc.is_null(ho), "added",
+            pc.if_else(pc.is_null(hn), "removed",
+                       pc.if_else(pc.not_equal(ho, hn),
+                                  "changed", "unchanged")))
+        return pa.table({"change_class": cls}) \
+            .group_by("change_class").aggregate([([], "count_all")]) \
+            .rename_columns(["change_class", "p_n"])
+
+    out = _driver_combine(joined.map_batches(classify,
+                                             batch_format="pyarrow"),
+                          ["change_class"], {"n_docs": ("p_n", "sum")})
+    if out.empty:
+        return pd.DataFrame({"change_class": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64")})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+SQL_CRAWL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 4 <> 3),
+new AS (
+  SELECT doc_id, md5(coalesce(text, '') ||
+         CASE WHEN doc_id % 7 = 0 THEN '!' ELSE '' END) AS h
+  FROM documents WHERE doc_id % 4 <> 0)
+SELECT CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS change_class,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7108,6 +7190,7 @@ QUERIES = {
     "dup_degree_histogram": q_dup_degree_histogram,
     "source_mixture_weights": q_source_mixture_weights,
     "canonical_url_dedup": q_canonical_url_dedup,
+    "crawl_snapshot_diff": q_crawl_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -7204,4 +7287,5 @@ ORACLE_SQL = {
     "dup_degree_histogram": SQL_DUP_DEGREE_HISTOGRAM,
     "source_mixture_weights": SQL_SOURCE_MIXTURE_WEIGHTS,
     "canonical_url_dedup": SQL_CANONICAL_URL_DEDUP,
+    "crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF,
 }
