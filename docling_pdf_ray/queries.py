@@ -7088,6 +7088,91 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_ngram_diversity(sf_dir: str, n_buckets: int = 64):
+    """DISTINCT-N DIVERSITY per source (the self-repetition signal of
+    generation-quality literature, applied corpus-side): distinct
+    bigrams / total bigrams for each source — templated or spammy
+    sources collapse toward 0, diverse prose stays high; mixture
+    planning reads this next to `source_mixture_weights`. Dataflow:
+    per-batch (source, bigram, count) partials (the shared
+    `ngram_stream_vec` tokenizer, one pandas groupby per batch — no
+    per-doc loop) → ONE bucketed exchange keyed on md5(term) (a term's
+    every partial lands in one bucket, so per-bucket distinct/total
+    per source are exact) → per-bucket (source, distinct, total)
+    counters → driver combine over the bounded source set. The only
+    float is the final ratio, floor-quantized ·1e6 on both engines
+    (floor of an identical IEEE division — no round-half mode to
+    disagree on). Null source coalesces to '' on both sides."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        cols = {"source": pa.string(), "term": pa.string(),
+                "p_n": pa.int64(), "_bucket": pa.int32()}
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], v) for k, v in cols.items()})
+        grams, parent = _dedup.ngram_stream_vec(
+            t.column("text").combine_chunks(), 2, return_parents=True)
+        src = pc.fill_null(t.column("source").combine_chunks(), "") \
+            .to_pandas().to_numpy()[parent]
+        g = pd.DataFrame({"source": src, "term": grams}) \
+            .groupby(["source", "term"], sort=False).size() \
+            .reset_index(name="p_n")
+        hh = _dedup.md5_u64(g["term"].to_numpy())
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "term": pa.array(g["term"], pa.string()),
+            "p_n": pa.array(g["p_n"].to_numpy(np.int64)),
+            "_bucket": pa.array((hh & (n_buckets - 1)).astype("int32"))})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("source", sort=False).agg(
+            p_d=("term", "nunique"), p_t=("p_n", "sum")).reset_index()
+        return pa.table({
+            "source": pa.array(s["source"], pa.string()),
+            "p_d": pa.array(s["p_d"].to_numpy(np.int64)),
+            "p_t": pa.array(s["p_t"].to_numpy(np.int64))})
+
+    out = _driver_combine(
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"),
+        ["source"], {"distinct_bigrams": ("p_d", "sum"),
+                     "total_bigrams": ("p_t", "sum")})
+    if out.empty:
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype="object"),
+             **{c: pd.Series([], dtype="int64") for c in
+                ("distinct_bigrams", "total_bigrams", "diversity_1e6")}})
+    d = out["distinct_bigrams"].to_numpy(dtype="float64")
+    t = out["total_bigrams"].to_numpy(dtype="float64")
+    out["diversity_1e6"] = np.floor(1e6 * d / t).astype("int64")
+    for c in ("distinct_bigrams", "total_bigrams"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_NGRAM_DIVERSITY = f"""
+WITH base AS (
+  SELECT coalesce(source, '') AS source,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'),
+                     w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT source, unnest(list_transform(generate_series(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1])) AS term
+  FROM base WHERE len(words) >= 2
+), s AS (
+  SELECT source, count(DISTINCT term) AS d, count(*) AS t
+  FROM g GROUP BY source
+)
+SELECT source, CAST(d AS BIGINT) AS distinct_bigrams,
+       CAST(t AS BIGINT) AS total_bigrams,
+       CAST(floor(1e6 * d / t) AS BIGINT) AS diversity_1e6
+FROM s ORDER BY source
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7191,6 +7276,7 @@ QUERIES = {
     "source_mixture_weights": q_source_mixture_weights,
     "canonical_url_dedup": q_canonical_url_dedup,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
+    "ngram_diversity": q_ngram_diversity,
 }
 
 ORACLE_SQL = {
@@ -7288,4 +7374,5 @@ ORACLE_SQL = {
     "source_mixture_weights": SQL_SOURCE_MIXTURE_WEIGHTS,
     "canonical_url_dedup": SQL_CANONICAL_URL_DEDUP,
     "crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF,
+    "ngram_diversity": SQL_NGRAM_DIVERSITY,
 }
