@@ -7173,6 +7173,95 @@ FROM s ORDER BY source
 """
 
 
+def q_length_word_corr(sf_dir: str):
+    """PEARSON CORRELATION as a mergeable-moment aggregate — the
+    missing member of the numeric-aggregate family (Gini, entropy,
+    quantiles, MAD all ship; corr is the classic two-column one): per
+    lang, corr(n_chars, word_count). Dataflow is the textbook
+    one-pass sufficient-statistics shape — each batch emits exact
+    integer (n, Σx, Σy, Σxy, Σx², Σy²) partials per lang (word counts
+    from the shared contract tokenizer, np.bincount over parent
+    indices — no per-doc loop), the driver combines the bounded lang
+    set, and the ONLY float is the final formula. Cross-engine float
+    discipline: numerator and variance terms are computed in EXACT
+    integer arithmetic (Python bigint / DuckDB HUGEINT — n·Σx²
+    overflows the 2^53 double window at sf0.1 already, so float
+    accumulation would silently diverge), converted to double once,
+    and floor-quantized ·1e6 (floor of identical IEEE doubles — no
+    round-half mode to disagree on). Zero-variance langs are emitted
+    with NULL corr on both engines. At 100-TB scale the int64 batch
+    partials hold (Σx² ≈ 4e17 < 2^63); past that the partials would
+    widen to the md5-u64 two-limb pattern."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        cols = ["lang", "p_n", "p_sx", "p_sy", "p_sxy", "p_sxx", "p_syy"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.string() if c == "lang"
+                                         else pa.int64()) for c in cols})
+        _, parent = ftext.ascii_tokens_flat(t.column("text"))
+        y = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = pc.fill_null(t.column("lang").combine_chunks(), "")
+        g = pd.DataFrame({
+            "lang": lang.to_pandas(), "p_n": 1, "p_sx": x, "p_sy": y,
+            "p_sxy": x * y, "p_sxx": x * x, "p_syy": y * y}) \
+            .groupby("lang", sort=False).sum().reset_index()
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         **{c: pa.array(g[c].to_numpy(np.int64))
+                            for c in cols[1:]}})
+
+    m = _driver_combine(
+        _docs(sf_dir, ["lang", "text", "n_chars"], narrow_exchange=True)
+        .map_batches(partial, batch_format="pyarrow"),
+        ["lang"], {c: (f"p_{c}", "sum")
+                   for c in ("n", "sx", "sy", "sxy", "sxx", "syy")})
+    if m.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "corr_1e6": pd.Series([], dtype="float64")})
+    import math
+
+    corr = []
+    for _, r in m.iterrows():
+        # exact bigint algebra; one float conversion at the end
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        num = n * sxy - sx * sy
+        d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        corr.append(
+            math.floor(1e6 * (float(num) / math.sqrt(float(d1 * d2))))
+            if d1 > 0 and d2 > 0 else None)
+    return pd.DataFrame({"lang": m["lang"],
+                         "n_docs": m["n"].astype("int64"),
+                         "corr_1e6": pd.array(corr, dtype="Int64")})
+
+
+SQL_LENGTH_WORD_CORR = """
+WITH t AS (
+  SELECT coalesce(lang, '') AS lang, n_chars AS x,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS y
+  FROM documents WHERE text IS NOT NULL
+), m AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM t GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(floor(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                             AS DOUBLE)))) AS BIGINT)
+            ELSE NULL END AS corr_1e6
+FROM m ORDER BY lang
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7277,6 +7366,7 @@ QUERIES = {
     "canonical_url_dedup": q_canonical_url_dedup,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "ngram_diversity": q_ngram_diversity,
+    "length_word_corr": q_length_word_corr,
 }
 
 ORACLE_SQL = {
@@ -7375,4 +7465,5 @@ ORACLE_SQL = {
     "canonical_url_dedup": SQL_CANONICAL_URL_DEDUP,
     "crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF,
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
+    "length_word_corr": SQL_LENGTH_WORD_CORR,
 }
