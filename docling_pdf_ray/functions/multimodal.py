@@ -186,6 +186,97 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return f
 
 
+def ahash64(img: np.ndarray) -> int:
+    """64-bit AVERAGE-HASH perceptual fingerprint (the classic aHash of
+    the image-dedup literature): grayscale → 8×8 nearest-neighbor
+    downsample → one bit per cell, set iff the cell is brighter than
+    the 64-cell mean. Near-duplicate images (recompression, small
+    edits, uniform brightness shifts that do not clip) land within a
+    small hamming distance; the banding + hamming-verify machinery the
+    text SimHash path uses applies unchanged. Pure numpy, exact float
+    comparisons on uint8-derived values — deterministic everywhere."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    small = resize_nearest(g, 8, 8)
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class ImageHashStage:
+    """Actor-pool stage: decode image payloads (REAL self-contained
+    codecs — PPM/PGM/PAM/BMP) → 64-bit perceptual hash. Undecodable
+    payloads (JPEG etc. — no codec in this container) raise in
+    ``strict`` mode or fall to a digest-derived pseudo-hash so the
+    banding/verify plumbing downstream still runs end-to-end. Output
+    is the narrow (media_id, ahash) table — payload bytes never leave
+    this stage, exactly the text-dedup discipline applied to media."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            p = p or b""
+            try:
+                if p.startswith(b"P6"):
+                    img = decode_ppm(p)
+                elif p.startswith(b"P5"):
+                    img = decode_pgm(p)
+                elif p.startswith(b"P7"):
+                    img = decode_pam(p)
+                elif p.startswith(b"BM"):
+                    img = decode_bmp(p)
+                else:
+                    raise NotImplementedError(
+                        "no codec for this payload in this environment")
+                h = ahash64(img)
+            except Exception:
+                if self.strict:
+                    raise
+                h = int.from_bytes(
+                    hashlib.blake2b(p, digest_size=8).digest(), "big")
+            out.append((mid, h))
+        return pa.table({
+            "media_id": pa.array([r[0] for r in out], pa.int64()),
+            # shift into int64 range (the simhash storage convention)
+            "ahash": pa.array([r[1] - (1 << 63) for r in out], pa.int64())})
+
+
+def synth_image_dedup_dataset(n: int = 128, seed: int = 7):
+    """Deterministic image table with PLANTED near-duplicates: every
+    5th row re-encodes the previous row's image with a uniform +2
+    brightness shift and two single-pixel ±1 edits — the recompression
+    -shaped perturbation aHash is built to survive (pixel values kept
+    ≤ 250 so the shift never clips). Codecs rotate so every real
+    decode arm runs. Ground truth: (5k+3, 5k+4) are near-dup pairs."""
+    import ray.data as rd
+
+    rows = []
+    prev_img = None
+    for i in range(n):
+        rng = np.random.RandomState(seed * 1000 + i)
+        if i % 5 == 4 and prev_img is not None:
+            img = np.clip(prev_img.astype(np.int16) + 2, 0, 250) \
+                .astype(np.uint8)
+            for _ in range(2):
+                y = rng.randint(img.shape[0])
+                x = rng.randint(img.shape[1])
+                img[y, x] = np.clip(img[y, x].astype(np.int16) + 1,
+                                    0, 250).astype(np.uint8)
+        else:
+            img = rng.randint(0, 251, size=(rng.randint(16, 40),
+                                            rng.randint(16, 40), 3),
+                              dtype=np.uint8)
+        prev_img = img
+        codec = (encode_bmp, encode_ppm, encode_pam)[i % 3]
+        rows.append({"media_id": i, "kind": "image",
+                     "payload": codec(img)})
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode an uncompressed 24-bit BMP (BI_RGB, BITMAPINFOHEADER or
     larger DIB) into an (H, W, 3) uint8 RGB array — pure numpy/struct,

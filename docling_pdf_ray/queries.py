@@ -7262,6 +7262,74 @@ FROM m ORDER BY lang
 """
 
 
+def q_image_phash_dups(sf_dir: str, max_hamming: int = 3,
+                       n_buckets: int = 64):
+    """IMAGE NEAR-DUP DETECTION — the multimodal column joins the
+    dedup family: decode (REAL PPM/PAM/BMP codecs, actor pool, small
+    batches per the binary-payload memory rule) → 64-bit perceptual
+    aHash → the SAME 4×16-bit band blocking + hamming verify the text
+    SimHash path uses (`dedup.simhash_bands` / `_hot_bucket_pairs` —
+    pigeonhole guarantees hamming<4 recall). Payload bytes never leave
+    the decode stage; only (media_id, ahash) and band triples shuffle.
+    Input is the deterministic planted-dup image table (scaled off the
+    sf's doc count — every 5th image is a +2-brightness two-pixel-edit
+    re-encode of its predecessor, the perturbation aHash is built to
+    survive). Rows-only driver check (pixel decode is not
+    SQL-expressible); recall/precision and determinism are pinned by
+    tests/test_multimodal.py."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from .functions import dedup as dd
+    from .functions import multimodal as mm
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n = int(min(2048, max(64, n_docs // 8)))
+    media = mm.synth_image_dedup_dataset(n=n)
+    hashes = media.map_batches(mm.ImageHashStage, batch_format="pyarrow",
+                               batch_size=32, concurrency=(1, 4),
+                               num_cpus=1)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids, bks, fps = [], [], []
+        for mid, fp_s in zip(batch.column("media_id").to_pylist(),
+                             batch.column("ahash").to_pylist()):
+            fp = fp_s + (1 << 63)
+            for bk in dd.simhash_bands(fp):
+                ids.append(mid)
+                bks.append(bk)
+                fps.append(fp_s)
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "band_key": pa.array(bks, pa.int64()),
+                      "fp": pa.array(fps, pa.int64())})
+        return t.append_column(
+            "_bucket", pc.cast(pc.bit_wise_and(t.column("band_key"),
+                                               n_buckets - 1), pa.int32()))
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        fp_of = dict(zip(g["doc_id"], g["fp"]))
+        out = []
+        for a, b in _hot_bucket_pairs(g, ["band_key"]):
+            h = dd.hamming64(fp_of[a] + (1 << 63), fp_of[b] + (1 << 63))
+            if h <= max_hamming:
+                out.append((a, b, h))
+        return pa.table({
+            "media_id_a": pa.array([r[0] for r in out], pa.int64()),
+            "media_id_b": pa.array([r[1] for r in out], pa.int64()),
+            "hamming": pa.array([r[2] for r in out], pa.int64())})
+
+    pairs = hashes.map_batches(bands, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(verify, batch_format="pandas") \
+        .to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"media_id_a": pd.Series([], dtype="int64"),
+                             "media_id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pairs.drop_duplicates(["media_id_a", "media_id_b"]) \
+        .sort_values(["media_id_a", "media_id_b"]).reset_index(drop=True)
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7367,6 +7435,7 @@ QUERIES = {
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "ngram_diversity": q_ngram_diversity,
     "length_word_corr": q_length_word_corr,
+    "image_phash_dups": q_image_phash_dups,
 }
 
 ORACLE_SQL = {

@@ -255,3 +255,57 @@ def test_pam_decode_roundtrip_and_feature_parity():
                 b"P6 not a pam"]:
         with pytest.raises(ValueError):
             decode_pam(bad)
+
+
+def test_ahash64_properties():
+    from docling_pdf_ray.functions.multimodal import ahash64, encode_bmp, decode_bmp
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 251, size=(24, 31, 3), dtype=np.uint8)
+    h = ahash64(img)
+    assert 0 <= h < (1 << 64)
+    # deterministic, codec-roundtrip stable
+    assert ahash64(decode_bmp(encode_bmp(img))) == h
+    # uniform non-clipping brightness shift is hash-invariant by design
+    assert ahash64(np.clip(img.astype(np.int16) + 4, 0, 255).astype(np.uint8)) == h
+    # a structurally different image is far away
+    other = rng.randint(0, 251, size=(24, 31, 3), dtype=np.uint8)
+    assert bin(h ^ ahash64(other)).count("1") > 10
+
+
+def test_image_phash_dedup_recall_and_precision(ray_session):
+    """Planted pairs (5k+3, 5k+4) are all recovered; no random pair
+    sneaks under the hamming threshold."""
+    from docling_pdf_ray.queries import q_image_phash_dups
+
+    pairs = q_image_phash_dups("/root/testdata/sf0.001")
+    got = set(zip(pairs["media_id_a"], pairs["media_id_b"]))
+    n = 64  # sf0.001: 500 docs // 8 floors to the 64 minimum
+    planted = {(5 * k + 3, 5 * k + 4) for k in range(n // 5)
+               if 5 * k + 4 < n}
+    assert planted <= got, planted - got
+    assert (pairs["hamming"] <= 3).all()
+    # precision: anything beyond the planted set must be a true
+    # hamming<=3 collision of the hashes themselves (verify re-check)
+    from docling_pdf_ray.functions.multimodal import (ImageHashStage,
+                                                      synth_image_dedup_dataset)
+    t = pa.concat_tables(list(
+        synth_image_dedup_dataset(n=n).map_batches(
+            ImageHashStage, batch_format="pyarrow", concurrency=2)
+        .iter_batches(batch_format="pyarrow")))
+    fp = dict(zip(t.column("media_id").to_pylist(),
+                  t.column("ahash").to_pylist()))
+    for a, b in got:
+        assert bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_image_hash_stage_strict_and_fallback():
+    from docling_pdf_ray.functions.multimodal import ImageHashStage
+
+    batch = pa.table({"media_id": pa.array([0], pa.int64()),
+                      "kind": pa.array(["image"]),
+                      "payload": pa.array([b"\xff\xd8jpeg-ish"], pa.binary())})
+    out = ImageHashStage(strict=False)(batch)
+    assert out.num_rows == 1  # digest fallback keeps the row
+    with pytest.raises(NotImplementedError):
+        ImageHashStage(strict=True)(batch)
