@@ -245,7 +245,10 @@ def run_bench() -> dict:
                      "order_size_histogram", "rollup_counts",
                      "source_dup_rate", "vocab_growth",
                      "order_cohorts", "length_top_decile",
-                     "dup_degree_histogram"]}
+                     "dup_degree_histogram", "source_mixture_weights",
+                     "canonical_url_dedup", "crawl_snapshot_diff",
+                     "ngram_diversity", "length_word_corr",
+                     "image_phash_dups"]}
     ray.shutdown()
     return result
 
