@@ -7330,6 +7330,121 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3,
         .sort_values(["media_id_a", "media_id_b"]).reset_index(drop=True)
 
 
+def q_bm25_topk(sf_dir: str, n_terms: int = 3, k: int = 10):
+    """BM25 RETRIEVAL — the missing IR primitive: top-k documents for
+    a query under Lucene-BM25 (k1=1.2, b=0.75, idf=ln(1+(N−df+½)/(df+½))
+    — always positive, so high-df query terms stay sane). The query is
+    the corpus's own top-`n_terms` document-frequency terms (fully
+    SQL-expressible, no literal leakage). Dataflow: the `top_terms`
+    inverted-index pass yields the query terms WITH their df; one
+    zero-shuffle partial pass yields (N, Σdl); both broadcast as a
+    handful of scalars — then scoring is ROW-LOCAL (a doc's text is
+    one row): vectorized tokenize, tf via masked bincount, per-term
+    contribution floor-quantized ·1e6 to int64 BEFORE the per-doc sum
+    (integer sums are order-independent — the float-sum trap never
+    opens), per-batch top-k partials, exact driver merge. Only docs
+    containing ≥1 query term score (both engines). The ln/division
+    expression tree is written identically on both sides (same libm,
+    same left-to-right order — the zipf/entropy precedent)."""
+    import pandas as pd
+
+    qt = q_top_terms(sf_dir, k=n_terms)
+    if qt.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score_1e6": pd.Series([], dtype="int64")})
+    terms = qt["term"].to_numpy()
+    dfs = qt["df"].to_numpy(dtype="float64")
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return pa.table({"p_n": pa.array([], pa.int64()),
+                             "p_dl": pa.array([], pa.int64())})
+        flat, _ = ftext.ascii_tokens_flat(t.column("text"))
+        return pa.table({"p_n": pa.array([t.num_rows], pa.int64()),
+                         "p_dl": pa.array([len(flat)], pa.int64())})
+
+    st = _collect_pd(_docs(sf_dir, ["text"], narrow_exchange=True)
+                     .map_batches(stats_partial, batch_format="pyarrow"))
+    if st is None or int(st["p_n"].sum()) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score_1e6": pd.Series([], dtype="int64")})
+    n_corpus = float(int(st["p_n"].sum()))
+    sdl = float(int(st["p_dl"].sum()))
+    idf = np.log(1.0 + (n_corpus - dfs + 0.5) / (dfs + 0.5))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_1e6": pa.array([], pa.int64())})
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
+        dl = np.bincount(parent, minlength=t.num_rows).astype(np.float64)
+        score = np.zeros(t.num_rows, dtype=np.int64)
+        hit = np.zeros(t.num_rows, dtype=bool)
+        for term, term_idf in zip(terms, idf):
+            tf = np.bincount(parent[flat == term],
+                             minlength=t.num_rows).astype(np.float64)
+            m = tf > 0
+            if not m.any():
+                continue
+            hit |= m
+            denom = tf[m] + 1.2 * (0.25 + 0.75 * dl[m] * n_corpus / sdl)
+            contrib = np.floor(
+                1e6 * ((term_idf * (tf[m] * 2.2)) / denom)).astype(np.int64)
+            score[m] += contrib
+        g = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)[hit],
+            "score_1e6": score[hit]}) \
+            .sort_values(["score_1e6", "doc_id"],
+                         ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = _collect_pd(_docs(sf_dir, ["doc_id", "text"],
+                              narrow_exchange=True)
+                        .map_batches(score_partial, batch_format="pyarrow"))
+    if parts is None or parts.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score_1e6": pd.Series([], dtype="int64")})
+    out = parts.sort_values(["score_1e6", "doc_id"],
+                            ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score_1e6"] = out["score_1e6"].astype("int64")
+    return out
+
+
+SQL_BM25_TOPK = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9]+'), t -> lower(t))) AS term
+  FROM documents WHERE text IS NOT NULL),
+docfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+q AS (SELECT term, df FROM docfreq ORDER BY df DESC, term LIMIT 3),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl
+  FROM (SELECT d.doc_id, coalesce(l.dl, 0) AS dl
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        LEFT JOIN dl l ON d.doc_id = l.doc_id)),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING (term) GROUP BY t.doc_id, t.term),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(1e6 * ((ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                            * (tf.tf * 2.2))
+              / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                                       * s.n / s.sdl)))) AS BIGINT) AS c
+  FROM tf JOIN q ON tf.term = q.term
+  JOIN dl l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_1e6
+FROM contrib GROUP BY doc_id
+ORDER BY score_1e6 DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7436,6 +7551,7 @@ QUERIES = {
     "ngram_diversity": q_ngram_diversity,
     "length_word_corr": q_length_word_corr,
     "image_phash_dups": q_image_phash_dups,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE_SQL = {
@@ -7535,4 +7651,5 @@ ORACLE_SQL = {
     "crawl_snapshot_diff": SQL_CRAWL_SNAPSHOT_DIFF,
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
     "length_word_corr": SQL_LENGTH_WORD_CORR,
+    "bm25_topk": SQL_BM25_TOPK,
 }
