@@ -7445,6 +7445,98 @@ ORDER BY score_1e6 DESC, doc_id LIMIT 10
 """
 
 
+def q_mixture_resample(sf_dir: str, n_buckets: int = 32):
+    """APPLY the temperature-scaled mixture: a deterministic per-source
+    quota resample — source s keeps quota_s = (K · w_s)/1e6 docs (K =
+    corpus/5; w_s the ·1e6-quantized α=0.5 weights from
+    `q_source_mixture_weights`, so the quota arithmetic is EXACT
+    INTEGER once the proven-identical weights exist — no second float
+    window opens). Selection inside a source is the sampling family's
+    `_KNUTH` multiplicative-hash order, ties by doc_id — reproducible
+    on any engine, no RNG state. Dataflow: weights from the
+    zero-shuffle count pass (bounded source set on the driver) →
+    ONE bucketed shuffle of narrow (source, doc_id, h) rows
+    co-locating each source → per-bucket vectorized rank (lexsort +
+    cumcount) and quota cut → (source, n_kept, kept-id checksum)
+    counters to the driver. The checksum pins the exact selected SET,
+    not just its size. At 100-TB source cardinality-per-group grows
+    unbounded; the refinement is the `range_sort_audit` trick — a
+    per-source histogram of h picks a cutoff so only boundary rows
+    need exact ranking (noted, not needed at gate scale)."""
+    import pandas as pd
+
+    w = q_source_mixture_weights(sf_dir)
+    if w.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "n_kept": pd.Series([], dtype="int64"),
+                             "kept_id_sum": pd.Series([], dtype="int64")})
+    k_total = int(w["n_docs"].sum()) // 5
+    quota = {s: (k_total * int(w6)) // 1_000_000
+             for s, w6 in zip(w["source"], w["weight_1e6"])}
+
+    m32 = np.int64(1 << 32)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d = np.mod(ids, m32).astype(np.uint64)
+        h = ((d * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
+        src = batch.column("source")
+        bk = _dedup.md5_u64(src.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "source": src, "doc_id": batch.column("doc_id"),
+            "h": pa.array(h),
+            "_bucket": pa.array((bk & (n_buckets - 1)).astype("int32"))})
+
+    def cut(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["source", "h", "doc_id"])
+        rn = g.groupby("source", sort=False).cumcount().to_numpy()
+        qs = g["source"].map(quota).to_numpy()
+        kept = g.loc[rn < qs]
+        a = kept.groupby("source", sort=False).agg(
+            p_n=("doc_id", "size"), p_sum=("doc_id", "sum")).reset_index()
+        return pa.table({"source": pa.array(a["source"], pa.string()),
+                         "p_n": pa.array(a["p_n"].to_numpy(np.int64)),
+                         "p_sum": pa.array(a["p_sum"].to_numpy(np.int64))})
+
+    out = _driver_combine(
+        _docs(sf_dir, ["doc_id", "source"], narrow_exchange=True)
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(cut, batch_format="pandas"),
+        ["source"], {"n_kept": ("p_n", "sum"),
+                     "kept_id_sum": ("p_sum", "sum")})
+    for c in ("n_kept", "kept_id_sum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_MIXTURE_RESAMPLE = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n,
+         CAST(round(1e6 * sqrt(CAST(n AS DOUBLE))
+              / (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM c)) AS BIGINT)
+           AS w6
+  FROM c),
+q AS (
+  SELECT source,
+         ((SELECT count(*) FROM documents) // 5) * w6 // 1000000 AS quota
+  FROM w),
+d AS (
+  SELECT source, doc_id,
+         CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296
+              AS HUGEINT) * {_KNUTH} % 4294967296 AS BIGINT) AS h
+  FROM documents),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM d)
+SELECT r.source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+FROM r JOIN q ON r.source = q.source
+WHERE r.rn <= q.quota GROUP BY r.source ORDER BY r.source
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7552,6 +7644,7 @@ QUERIES = {
     "length_word_corr": q_length_word_corr,
     "image_phash_dups": q_image_phash_dups,
     "bm25_topk": q_bm25_topk,
+    "mixture_resample": q_mixture_resample,
 }
 
 ORACLE_SQL = {
@@ -7652,4 +7745,5 @@ ORACLE_SQL = {
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
     "length_word_corr": SQL_LENGTH_WORD_CORR,
     "bm25_topk": SQL_BM25_TOPK,
+    "mixture_resample": SQL_MIXTURE_RESAMPLE,
 }
