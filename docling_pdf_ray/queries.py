@@ -7537,6 +7537,114 @@ WHERE r.rn <= q.quota GROUP BY r.source ORDER BY r.source
 """
 
 
+def q_part_association(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """MARKET-BASKET ASSOCIATION pairs (the a-priori support primitive)
+    over lineitem: top-k co-purchased part pairs with exact support —
+    the classic self-join workload, here with NO join at all. Exchange
+    1 buckets narrow (orderkey, partkey) rows by ORDER so each basket
+    is whole in one group; the pair explosion is a per-bucket
+    vectorized self-merge (C-level, no per-order Python) bounded by
+    basket size (TPC-H ≤7 items ⇒ ≤21 pairs/order — the fan-out is
+    data-bounded, not corpus-bounded). Exchange 2 buckets the pair
+    counts by PAIR so per-bucket totals are final, making per-bucket
+    top-k partials globally sound (top-k ∩ bucket ⊆ bucket top-k);
+    the driver merges ≤ buckets·k rows under the shared
+    (count desc, part_a, part_b) total order. n_orders rides exchange
+    1 as a per-bucket distinct counter. Support floor-quantized ·1e6
+    from exact ints."""
+    import pandas as pd
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bucket", pa.array((ok % n_buckets).astype("int32")))
+
+    def explode(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        c = m.groupby(["l_partkey_x", "l_partkey_y"], sort=False) \
+            .size().reset_index(name="p_n")
+        pk = (c["l_partkey_x"].to_numpy(np.uint64) * np.uint64(_KNUTH)
+              + c["l_partkey_y"].to_numpy(np.uint64))
+        t = pa.table({
+            "part_a": pa.array(c["l_partkey_x"].to_numpy(np.int64)),
+            "part_b": pa.array(c["l_partkey_y"].to_numpy(np.int64)),
+            "p_n": pa.array(c["p_n"].to_numpy(np.int64)),
+            "p_orders": pa.array(np.zeros(len(c), np.int64)),
+            "_bucket2": pa.array((pk & np.uint64(n_buckets - 1))
+                                 .astype("int32"))})
+        # one sentinel row per bucket carries the distinct-order count
+        s = pa.table({"part_a": pa.array([-1], pa.int64()),
+                      "part_b": pa.array([-1], pa.int64()),
+                      "p_n": pa.array([0], pa.int64()),
+                      "p_orders": pa.array(
+                          [g["l_orderkey"].nunique()], pa.int64()),
+                      "_bucket2": pa.array([0], pa.int32())})
+        return pa.concat_tables([t, s])
+
+    def topk_partial(g: pd.DataFrame) -> pa.Table:
+        orders = int(g.loc[g["part_a"] < 0, "p_orders"].sum())
+        p = g[g["part_a"] >= 0]
+        a = p.groupby(["part_a", "part_b"], sort=False)["p_n"].sum() \
+            .reset_index() \
+            .sort_values(["p_n", "part_a", "part_b"],
+                         ascending=[False, True, True]).head(k)
+        pa_ids = list(a["part_a"].to_numpy(np.int64))
+        pb_ids = list(a["part_b"].to_numpy(np.int64))
+        pn = list(a["p_n"].to_numpy(np.int64))
+        po = [0] * len(a)
+        if orders:        # re-emit the order count exactly once
+            pa_ids.append(-1)
+            pb_ids.append(-1)
+            pn.append(0)
+            po.append(orders)
+        return pa.table({
+            "part_a": pa.array(pa_ids, pa.int64()),
+            "part_b": pa.array(pb_ids, pa.int64()),
+            "pair_n": pa.array(pn, pa.int64()),
+            "p_orders": pa.array(po, pa.int64())})
+
+    parts = _collect_pd(
+        _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"],
+                           override_num_blocks=_exchange_blocks(
+                               sf_dir, "lineitem"))
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(explode, batch_format="pandas")
+        .groupby("_bucket2").map_groups(topk_partial,
+                                        batch_format="pandas"))
+    if parts is None or parts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                             ("part_a", "part_b", "pair_n",
+                              "support_1e6")})
+    n_orders = int(parts["p_orders"].sum())
+    out = parts[parts["part_a"] >= 0] \
+        .sort_values(["pair_n", "part_a", "part_b"],
+                     ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True)
+    out["support_1e6"] = np.floor(
+        1e6 * out["pair_n"].to_numpy(np.float64) / float(n_orders)) \
+        .astype("int64")
+    return out[["part_a", "part_b", "pair_n", "support_1e6"]] \
+        .astype("int64")
+
+
+SQL_PART_ASSOCIATION = """
+WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b
+  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p),
+cnt AS (SELECT part_a, part_b, count(*) AS n
+        FROM pairs GROUP BY part_a, part_b)
+SELECT part_a, part_b, CAST(n AS BIGINT) AS pair_n,
+       CAST(floor(1e6 * CAST(n AS DOUBLE)
+            / (SELECT count(DISTINCT o) FROM i)) AS BIGINT) AS support_1e6
+FROM cnt ORDER BY n DESC, part_a, part_b LIMIT 20
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7645,6 +7753,7 @@ QUERIES = {
     "image_phash_dups": q_image_phash_dups,
     "bm25_topk": q_bm25_topk,
     "mixture_resample": q_mixture_resample,
+    "part_association": q_part_association,
 }
 
 ORACLE_SQL = {
@@ -7746,4 +7855,5 @@ ORACLE_SQL = {
     "length_word_corr": SQL_LENGTH_WORD_CORR,
     "bm25_topk": SQL_BM25_TOPK,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
+    "part_association": SQL_PART_ASSOCIATION,
 }
