@@ -248,7 +248,8 @@ def run_bench() -> dict:
                      "dup_degree_histogram", "source_mixture_weights",
                      "canonical_url_dedup", "crawl_snapshot_diff",
                      "ngram_diversity", "length_word_corr",
-                     "image_phash_dups"]}
+                     "image_phash_dups", "bm25_topk",
+                     "mixture_resample", "part_association"]}
     ray.shutdown()
     return result
 

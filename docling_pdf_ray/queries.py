@@ -7645,6 +7645,66 @@ FROM cnt ORDER BY n DESC, part_a, part_b LIMIT 20
 """
 
 
+def q_compression_ratio(sf_dir: str):
+    """COMPRESSION-RATIO quality signal (the Gopher/RedPajama
+    repetitiveness filter): per lang, Σ(deflate bytes)/Σ(raw bytes)
+    and the count of highly-repetitive docs (comp·10 < raw·3, i.e.
+    ratio < 0.3 — template farms and keyword stuffing compress that
+    hard; normal prose sits ~0.4-0.6). All partials are exact integer
+    sums (byte counts), so the aggregate is order-independent; the
+    ratio is one floor-quantized float at the end. Zero shuffle:
+    per-batch (lang, Σcomp, Σraw, n, n_rep) counters → driver combine
+    over the bounded lang set. zlib level is pinned (6) — output size
+    is deterministic for a fixed zlib build, which is the per-corpus
+    reproducibility contract this signal needs (NOT cross-zlib-version
+    stability — hence rows-only: no SQL engine deflates)."""
+    import zlib
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        cols = ["lang", "p_comp", "p_raw", "p_n", "p_rep"]
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.string() if c == "lang"
+                                         else pa.int64()) for c in cols})
+        langs = pc.fill_null(t.column("lang").combine_chunks(), "") \
+            .to_pandas().to_numpy()
+        comp = np.empty(t.num_rows, np.int64)
+        raw = np.empty(t.num_rows, np.int64)
+        for i, s in enumerate(t.column("text").to_pylist()):
+            b = s.encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        keep = raw > 0
+        g = pd.DataFrame({
+            "lang": langs[keep], "p_comp": comp[keep], "p_raw": raw[keep],
+            "p_n": 1, "p_rep": (comp[keep] * 10 < raw[keep] * 3)
+            .astype(np.int64)}).groupby("lang", sort=False) \
+            .sum().reset_index()
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         **{c: pa.array(g[c].to_numpy(np.int64))
+                            for c in cols[1:]}})
+
+    out = _driver_combine(
+        _docs(sf_dir, ["lang", "text"], narrow_exchange=True)
+        .map_batches(partial, batch_format="pyarrow"),
+        ["lang"], {"n_docs": ("p_n", "sum"), "comp": ("p_comp", "sum"),
+                   "raw": ("p_raw", "sum"),
+                   "n_repetitive": ("p_rep", "sum")})
+    if out.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             **{c: pd.Series([], dtype="int64")
+                for c in ("n_docs", "ratio_1e6", "n_repetitive")}})
+    out["ratio_1e6"] = np.floor(
+        1e6 * out["comp"].to_numpy(np.float64)
+        / out["raw"].to_numpy(np.float64)).astype("int64")
+    for c in ("n_docs", "n_repetitive"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "n_docs", "ratio_1e6", "n_repetitive"]]
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7754,6 +7814,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "mixture_resample": q_mixture_resample,
     "part_association": q_part_association,
+    "compression_ratio": q_compression_ratio,
 }
 
 ORACLE_SQL = {

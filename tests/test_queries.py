@@ -1784,3 +1784,51 @@ def test_view_purchase_conversion_hostile_windows(ray_session, tmp_path):
     finally:
         DataContext.get_current().target_max_block_size = old
     pd.testing.assert_frame_equal(got2, got)
+
+
+def test_compression_ratio_signal(ray_session, tmp_path):
+    """Repetitive docs deflate hard and trip the <0.3 gate; diverse
+    prose does not. Integer partials make the result block-layout
+    invariant; nulls and empty texts drop (no raw bytes to ratio)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(9)
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789 "))
+    diverse = ["".join(rng.choice(alphabet, 800)) for _ in range(40)]
+    spam = ["buy now " * 200 for _ in range(10)]
+    texts = diverse + spam + [None, ""]
+    langs = (["en"] * 40) + (["zz"] * 10) + ["en", "en"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) if x else 0 for x in texts],
+                            pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    out = Q.q_compression_ratio(str(d)).set_index("lang")
+    assert out.loc["zz", "n_repetitive"] == 10        # all spam trips
+    assert out.loc["en", "n_repetitive"] == 0
+    assert out.loc["zz", "ratio_1e6"] < 100_000       # <0.1, crushed
+    assert out.loc["en", "ratio_1e6"] > 300_000
+    assert out.loc["en", "n_docs"] == 40              # null/empty drop
+
+    # block-layout invariance: 1-row files vs one file
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    for i in range(0, len(texts), 7):
+        pq.write_table(t.slice(i, 7), d2 / f"documents_{i}.parquet")
+    import shutil
+    (d2 / "documents.parquet").mkdir()
+    for i in range(0, len(texts), 7):
+        shutil.move(str(d2 / f"documents_{i}.parquet"),
+                    str(d2 / "documents.parquet" / f"part-{i}.parquet"))
+    out2 = Q.q_compression_ratio(str(d2)).set_index("lang")
+    assert out2.equals(out)
