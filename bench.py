@@ -249,7 +249,8 @@ def run_bench() -> dict:
                      "canonical_url_dedup", "crawl_snapshot_diff",
                      "ngram_diversity", "length_word_corr",
                      "image_phash_dups", "bm25_topk",
-                     "mixture_resample", "part_association"]}
+                     "mixture_resample", "part_association",
+                     "compression_ratio"]}
     ray.shutdown()
     return result
 

@@ -249,9 +249,14 @@ def synth_image_dedup_dataset(n: int = 128, seed: int = 7):
     """Deterministic image table with PLANTED near-duplicates: every
     5th row re-encodes the previous row's image with a uniform +2
     brightness shift and two single-pixel ±1 edits — the recompression
-    -shaped perturbation aHash is built to survive (pixel values kept
-    ≤ 250 so the shift never clips). Codecs rotate so every real
-    decode arm runs. Ground truth: (5k+3, 5k+4) are near-dup pairs."""
+    -shaped perturbation aHash is built to survive (source pixels are
+    generated ≤ 250, the clip ceiling is 255, so the +2 shift and the
+    ±1 edits NEVER clip — the uniform-shift invariance is structural).
+    Codecs rotate so every real decode arm runs — including the LOSSY
+    grayscale PGM arm, restricted to non-planted rows (a planted pair
+    must round-trip pixel-exact or the hashes drift, so pair rows use
+    only the lossless RGB codecs). Ground truth: (5k+3, 5k+4) are
+    near-dup pairs."""
     import ray.data as rd
 
     rows = []
@@ -259,19 +264,23 @@ def synth_image_dedup_dataset(n: int = 128, seed: int = 7):
     for i in range(n):
         rng = np.random.RandomState(seed * 1000 + i)
         if i % 5 == 4 and prev_img is not None:
-            img = np.clip(prev_img.astype(np.int16) + 2, 0, 250) \
+            img = np.clip(prev_img.astype(np.int16) + 2, 0, 255) \
                 .astype(np.uint8)
             for _ in range(2):
                 y = rng.randint(img.shape[0])
                 x = rng.randint(img.shape[1])
                 img[y, x] = np.clip(img[y, x].astype(np.int16) + 1,
-                                    0, 250).astype(np.uint8)
+                                    0, 255).astype(np.uint8)
         else:
             img = rng.randint(0, 251, size=(rng.randint(16, 40),
                                             rng.randint(16, 40), 3),
                               dtype=np.uint8)
         prev_img = img
-        codec = (encode_bmp, encode_ppm, encode_pam)[i % 3]
+        if i % 5 in (3, 4):     # planted-pair rows: lossless RGB only
+            codec = (encode_bmp, encode_ppm, encode_pam)[i % 3]
+        else:
+            codec = (encode_bmp, encode_ppm, encode_pam,
+                     encode_pgm)[i % 4]
         rows.append({"media_id": i, "kind": "image",
                      "payload": codec(img)})
     return rd.from_arrow(pa.Table.from_pylist(rows))

@@ -1801,6 +1801,47 @@ def _hot_bucket_pairs(g, key_cols: list[str], star_limit: int = STAR_LINK_BUCKET
     return pairs
 
 
+def _fp_band_table(ids, fps_shifted, n_buckets: int) -> pa.Table:
+    """(doc_id, band_key, fp, _bucket) blocking triples from 64-bit
+    fingerprints in the shifted-int64 storage convention — the shared
+    front of every 64-bit-fingerprint near-dup family (text SimHash,
+    image aHash). Changing the banding (n_bands, shift, bucket rule)
+    here changes every consumer together."""
+    from .functions import dedup as dd
+
+    out_i, out_b, out_f = [], [], []
+    for i, fp_s in zip(ids, fps_shifted):
+        for bk in dd.simhash_bands(fp_s + (1 << 63)):
+            out_i.append(i)
+            out_b.append(bk)
+            out_f.append(fp_s)
+    t = pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                  "band_key": pa.array(out_b, pa.int64()),
+                  "fp": pa.array(out_f, pa.int64())})
+    return t.append_column(
+        "_bucket", pc.cast(pc.bit_wise_and(t.column("band_key"),
+                                           n_buckets - 1), pa.int32()))
+
+
+def _fp_verify_group(g, max_hamming: int,
+                     a_col: str = "doc_id_a",
+                     b_col: str = "doc_id_b") -> pa.Table:
+    """Per-bucket hamming verify over `_hot_bucket_pairs` candidates —
+    the shared back of the fingerprint families (the fp rides the
+    triple, so no second payload pass is ever needed)."""
+    from .functions import dedup as dd
+
+    fp_of = dict(zip(g["doc_id"], g["fp"]))
+    out = []
+    for a, b in _hot_bucket_pairs(g, ["band_key"]):
+        h = dd.hamming64(fp_of[a] + (1 << 63), fp_of[b] + (1 << 63))
+        if h <= max_hamming:
+            out.append((a, b, h))
+    return pa.table({a_col: pa.array([r[0] for r in out], pa.int64()),
+                     b_col: pa.array([r[1] for r in out], pa.int64()),
+                     "hamming": pa.array([r[2] for r in out], pa.int64())})
+
+
 def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
                         n_buckets: int = 64):
     """MinHash+LSH near-dup detection, fully distributed blocking:
@@ -2296,33 +2337,18 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3,
     from .functions import dedup as dd
 
     def fps(batch: pa.Table) -> pa.Table:
-        ids, bands, fp_col = [], [], []
+        ids, fp_col = [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
             if not dd.split_ws(t or ""):
                 continue        # blank docs carry no similarity signal
-            fp = dd.simhash64(t or "")
-            for bk in dd.simhash_bands(fp):
-                ids.append(i)
-                bands.append(bk)
-                fp_col.append(fp - (1 << 63))     # shift into int64 range
-        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
-                      "band_key": pa.array(bands, pa.int64()),
-                      "fp": pa.array(fp_col, pa.int64())})
-        return t.append_column(
-            "_bucket", pc.cast(pc.bit_wise_and(t.column("band_key"),
-                                               n_buckets - 1), pa.int32()))
+            ids.append(i)
+            # shift into int64 range (the fingerprint storage convention)
+            fp_col.append(dd.simhash64(t or "") - (1 << 63))
+        return _fp_band_table(ids, fp_col, n_buckets)
 
     def hot_pairs(g: pd.DataFrame) -> pa.Table:
-        fp_of = dict(zip(g["doc_id"], g["fp"]))
-        out = []
-        for a, b in _hot_bucket_pairs(g, ["band_key"]):
-            h = dd.hamming64(fp_of[a] + (1 << 63), fp_of[b] + (1 << 63))
-            if h <= max_hamming:
-                out.append((a, b, h))
-        return pa.table({"doc_id_a": pa.array([r[0] for r in out], pa.int64()),
-                         "doc_id_b": pa.array([r[1] for r in out], pa.int64()),
-                         "hamming": pa.array([r[2] for r in out], pa.int64())})
+        return _fp_verify_group(g, max_hamming)
 
     pairs = _docs_with_planted_dups(sf_dir) \
         .map_batches(fps, batch_format="pyarrow") \
@@ -6715,8 +6741,11 @@ def q_source_mixture_weights(sf_dir: str):
     relative to their raw share. One zero-shuffle pass (per-batch
     (source, count) partials, driver combine over the bounded source
     set); √n is IEEE-correctly-rounded on both engines and the weight
-    is quantized ·1e6 to BIGINT, keeping the float window ~10 orders
-    of magnitude below the rounding quantum."""
+    is FLOOR-quantized ·1e6 to BIGINT — floor, not round: Python
+    round() is half-even while DuckDB round() is half-away, and
+    exactly-representable .5 quanta exist (e.g. counts {1, 16129} →
+    7812.5), so the two would disagree; floor of identical IEEE
+    doubles cannot."""
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -6732,8 +6761,8 @@ def q_source_mixture_weights(sf_dir: str):
                              "n_docs": pd.Series([], dtype="int64"),
                              "weight_1e6": pd.Series([], dtype="int64")})
     w = np.sqrt(counts["n_docs"].to_numpy(dtype="float64"))
-    counts["weight_1e6"] = np.array(
-        [int(round(1e6 * x / float(w.sum()))) for x in w], dtype="int64")
+    counts["weight_1e6"] = np.floor(1e6 * w / float(w.sum())) \
+        .astype("int64")
     counts["n_docs"] = counts["n_docs"].astype("int64")
     return counts[["source", "n_docs", "weight_1e6"]]
 
@@ -6741,7 +6770,7 @@ def q_source_mixture_weights(sf_dir: str):
 SQL_SOURCE_MIXTURE_WEIGHTS = """
 WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
 SELECT source, CAST(n AS BIGINT) AS n_docs,
-       CAST(round(1e6 * sqrt(CAST(n AS DOUBLE))
+       CAST(floor(1e6 * sqrt(CAST(n AS DOUBLE))
                   / (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM c))
             AS BIGINT) AS weight_1e6
 FROM c ORDER BY source
@@ -7188,8 +7217,11 @@ def q_length_word_corr(sf_dir: str):
     overflows the 2^53 double window at sf0.1 already, so float
     accumulation would silently diverge), converted to double once,
     and floor-quantized ·1e6 (floor of identical IEEE doubles — no
-    round-half mode to disagree on). Zero-variance langs are emitted
-    with NULL corr on both engines. At 100-TB scale the int64 batch
+    round-half mode to disagree on). Zero-variance langs (corr
+    undefined) are EXCLUDED on both engines — emitting NULL instead
+    would fork the column dtype between the engines (pandas nullable
+    Int64 vs DuckDB's NULL-poisoned float64) and trip the gate's
+    int-vs-float guard. At 100-TB scale the int64 batch
     partials hold (Σx² ≈ 4e17 < 2^63); past that the partials would
     widen to the md5-u64 two-limb pattern."""
     import pandas as pd
@@ -7220,22 +7252,25 @@ def q_length_word_corr(sf_dir: str):
     if m.empty:
         return pd.DataFrame({"lang": pd.Series([], dtype="object"),
                              "n_docs": pd.Series([], dtype="int64"),
-                             "corr_1e6": pd.Series([], dtype="float64")})
+                             "corr_1e6": pd.Series([], dtype="int64")})
     import math
 
-    corr = []
+    langs, n_docs, corr = [], [], []
     for _, r in m.iterrows():
         # exact bigint algebra; one float conversion at the end
         n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
         sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
-        num = n * sxy - sx * sy
         d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        if d1 <= 0 or d2 <= 0:
+            continue                     # zero variance: corr undefined
+        num = n * sxy - sx * sy
+        langs.append(r["lang"])
+        n_docs.append(n)
         corr.append(
-            math.floor(1e6 * (float(num) / math.sqrt(float(d1 * d2))))
-            if d1 > 0 and d2 > 0 else None)
-    return pd.DataFrame({"lang": m["lang"],
-                         "n_docs": m["n"].astype("int64"),
-                         "corr_1e6": pd.array(corr, dtype="Int64")})
+            math.floor(1e6 * (float(num) / math.sqrt(float(d1 * d2)))))
+    return pd.DataFrame({"lang": pd.Series(langs, dtype="object"),
+                         "n_docs": pd.Series(n_docs, dtype="int64"),
+                         "corr_1e6": pd.Series(corr, dtype="int64")})
 
 
 SQL_LENGTH_WORD_CORR = """
@@ -7253,12 +7288,12 @@ WITH t AS (
   FROM t GROUP BY lang
 )
 SELECT lang, CAST(n AS BIGINT) AS n_docs,
-       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-            THEN CAST(floor(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
-                             AS DOUBLE)))) AS BIGINT)
-            ELSE NULL END AS corr_1e6
-FROM m ORDER BY lang
+       CAST(floor(1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                        AS DOUBLE)))) AS BIGINT) AS corr_1e6
+FROM m
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY lang
 """
 
 
@@ -7281,7 +7316,6 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3,
 
     import pyarrow.parquet as pq
 
-    from .functions import dedup as dd
     from .functions import multimodal as mm
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
@@ -7292,32 +7326,13 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3,
                                num_cpus=1)
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids, bks, fps = [], [], []
-        for mid, fp_s in zip(batch.column("media_id").to_pylist(),
-                             batch.column("ahash").to_pylist()):
-            fp = fp_s + (1 << 63)
-            for bk in dd.simhash_bands(fp):
-                ids.append(mid)
-                bks.append(bk)
-                fps.append(fp_s)
-        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
-                      "band_key": pa.array(bks, pa.int64()),
-                      "fp": pa.array(fps, pa.int64())})
-        return t.append_column(
-            "_bucket", pc.cast(pc.bit_wise_and(t.column("band_key"),
-                                               n_buckets - 1), pa.int32()))
+        return _fp_band_table(batch.column("media_id").to_pylist(),
+                              batch.column("ahash").to_pylist(),
+                              n_buckets)
 
     def verify(g: pd.DataFrame) -> pa.Table:
-        fp_of = dict(zip(g["doc_id"], g["fp"]))
-        out = []
-        for a, b in _hot_bucket_pairs(g, ["band_key"]):
-            h = dd.hamming64(fp_of[a] + (1 << 63), fp_of[b] + (1 << 63))
-            if h <= max_hamming:
-                out.append((a, b, h))
-        return pa.table({
-            "media_id_a": pa.array([r[0] for r in out], pa.int64()),
-            "media_id_b": pa.array([r[1] for r in out], pa.int64()),
-            "hamming": pa.array([r[2] for r in out], pa.int64())})
+        return _fp_verify_group(g, max_hamming,
+                                a_col="media_id_a", b_col="media_id_b")
 
     pairs = hashes.map_batches(bands, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(verify, batch_format="pandas") \
@@ -7348,29 +7363,56 @@ def q_bm25_topk(sf_dir: str, n_terms: int = 3, k: int = 10):
     same left-to-right order — the zipf/entropy precedent)."""
     import pandas as pd
 
-    qt = q_top_terms(sf_dir, k=n_terms)
-    if qt.empty:
+    # vocab pass WITH the corpus stats riding along as sentinel keys
+    # ("\x00n" = doc count, "\x00dl" = token count — tokens are
+    # [a-z0-9]+ so the NUL prefix can never collide): one corpus scan
+    # yields query terms, their df, N and Σdl together (the r4 review
+    # killed the separate stats scan — tokenization dominates, a third
+    # full pass doubled nothing but cost)
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
+        d = pd.DataFrame({"term": flat, "doc": parent}) \
+            .drop_duplicates()["term"].value_counts()
+        return pa.table({
+            "term": pa.array(list(d.index) + ["\x00n", "\x00dl"],
+                             pa.string()),
+            "df": pa.array(list(d.to_numpy(np.int64))
+                           + [t.num_rows, len(flat)], pa.int64())})
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        d = pa.table({"term": batch.column("term"),
+                      "df": batch.column("sum(df)")}).to_pandas()
+        sent = d[d["term"].str.startswith("\x00")]
+        d = d[~d["term"].str.startswith("\x00")] \
+            .sort_values(["df", "term"], ascending=[False, True]) \
+            .head(n_terms)
+        return pa.Table.from_pandas(pd.concat([d, sent]),
+                                    preserve_index=False)
+
+    cand = _collect_pd(
+        _docs(sf_dir, ["text"])
+        .map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("term").sum("df")
+        .map_batches(topk_partial, batch_format="pyarrow"))
+    if cand is None or cand.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score_1e6": pd.Series([], dtype="int64")})
+    sent = cand[cand["term"].str.startswith("\x00")] \
+        .set_index("term")["df"]
+    n_corpus = float(int(sent.get("\x00n", 0)))
+    sdl = float(int(sent.get("\x00dl", 0)))
+    qt = cand[~cand["term"].str.startswith("\x00")] \
+        .sort_values(["df", "term"], ascending=[False, True]) \
+        .head(n_terms)
+    if qt.empty or n_corpus == 0 or sdl == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "score_1e6": pd.Series([], dtype="int64")})
     terms = qt["term"].to_numpy()
     dfs = qt["df"].to_numpy(dtype="float64")
-
-    def stats_partial(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_valid(batch.column("text")))
-        if t.num_rows == 0:
-            return pa.table({"p_n": pa.array([], pa.int64()),
-                             "p_dl": pa.array([], pa.int64())})
-        flat, _ = ftext.ascii_tokens_flat(t.column("text"))
-        return pa.table({"p_n": pa.array([t.num_rows], pa.int64()),
-                         "p_dl": pa.array([len(flat)], pa.int64())})
-
-    st = _collect_pd(_docs(sf_dir, ["text"], narrow_exchange=True)
-                     .map_batches(stats_partial, batch_format="pyarrow"))
-    if st is None or int(st["p_n"].sum()) == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "score_1e6": pd.Series([], dtype="int64")})
-    n_corpus = float(int(st["p_n"].sum()))
-    sdl = float(int(st["p_dl"].sum()))
     idf = np.log(1.0 + (n_corpus - dfs + 0.5) / (dfs + 0.5))
 
     def score_partial(batch: pa.Table) -> pa.Table:
@@ -7465,14 +7507,29 @@ def q_mixture_resample(sf_dir: str, n_buckets: int = 32):
     need exact ranking (noted, not needed at gate scale)."""
     import pandas as pd
 
-    w = q_source_mixture_weights(sf_dir)
+    # own coalesced count pass (NOT reusing q_source_mixture_weights:
+    # that one groups NULL source apart, while this operator coalesces
+    # null → '' everywhere — reusing it would merge quotas wrongly on
+    # a corpus holding both null and '' sources)
+    def count_partial(batch: pa.Table) -> pa.Table:
+        src = pc.fill_null(batch.column("source").combine_chunks(), "")
+        return pa.table({"source": src}).group_by("source") \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["source", "p_n"])
+
+    w = _driver_combine(
+        _docs(sf_dir, ["source"], narrow_exchange=True)
+        .map_batches(count_partial, batch_format="pyarrow"),
+        ["source"], {"n_docs": ("p_n", "sum")})
     if w.empty:
         return pd.DataFrame({"source": pd.Series([], dtype="object"),
                              "n_kept": pd.Series([], dtype="int64"),
                              "kept_id_sum": pd.Series([], dtype="int64")})
+    sq = np.sqrt(w["n_docs"].to_numpy(dtype="float64"))
+    w6 = np.floor(1e6 * sq / float(sq.sum())).astype("int64")
     k_total = int(w["n_docs"].sum()) // 5
-    quota = {s: (k_total * int(w6)) // 1_000_000
-             for s, w6 in zip(w["source"], w["weight_1e6"])}
+    quota = {s: (k_total * int(x)) // 1_000_000
+             for s, x in zip(w["source"], w6)}
 
     m32 = np.int64(1 << 32)
 
@@ -7480,7 +7537,7 @@ def q_mixture_resample(sf_dir: str, n_buckets: int = 32):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         d = np.mod(ids, m32).astype(np.uint64)
         h = ((d * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
-        src = batch.column("source")
+        src = pc.fill_null(batch.column("source").combine_chunks(), "")
         bk = _dedup.md5_u64(src.to_numpy(zero_copy_only=False))
         return pa.table({
             "source": src, "doc_id": batch.column("doc_id"),
@@ -7510,10 +7567,11 @@ def q_mixture_resample(sf_dir: str, n_buckets: int = 32):
 
 
 SQL_MIXTURE_RESAMPLE = f"""
-WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+WITH c AS (SELECT coalesce(source, '') AS source, count(*) AS n
+           FROM documents GROUP BY 1),
 w AS (
   SELECT source, n,
-         CAST(round(1e6 * sqrt(CAST(n AS DOUBLE))
+         CAST(floor(1e6 * sqrt(CAST(n AS DOUBLE))
               / (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM c)) AS BIGINT)
            AS w6
   FROM c),
@@ -7522,7 +7580,7 @@ q AS (
          ((SELECT count(*) FROM documents) // 5) * w6 // 1000000 AS quota
   FROM w),
 d AS (
-  SELECT source, doc_id,
+  SELECT coalesce(source, '') AS source, doc_id,
          CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296
               AS HUGEINT) * {_KNUTH} % 4294967296 AS BIGINT) AS h
   FROM documents),

@@ -48,7 +48,7 @@ def test_all_oracle_keys_have_queries():
     assert set(o) <= set(q)
 
 
-@pytest.mark.parametrize("name", [
+PARITY_NAMES = [
     "extract_method_counts", "doc_stats_by_lang", "doc_token_stats",
     "doc_quality_by_lang", "doc_fingerprints", "dedup_exact",
     "size_histogram", "pricing_summary", "segment_revenue",
@@ -80,7 +80,23 @@ def test_all_oracle_keys_have_queries():
     "unigram_entropy", "order_size_histogram", "rollup_counts",
     "source_dup_rate", "vocab_growth", "order_cohorts",
     "length_top_decile", "dup_degree_histogram",
-])
+    "source_mixture_weights", "canonical_url_dedup",
+    "crawl_snapshot_diff", "ngram_diversity", "length_word_corr",
+    "bm25_topk", "mixture_resample", "part_association",
+]
+
+
+def test_parity_list_covers_every_oracle():
+    """Every ORACLE_SQL entry must be in PARITY_NAMES — a registered
+    oracle that CI never executes is an unverified 'SQL-checked'
+    claim (r4 review: 8 entries had silently fallen out)."""
+    from docling_pdf_ray import queries as Q
+
+    missing = set(Q.ORACLE_SQL) - set(PARITY_NAMES)
+    assert not missing, sorted(missing)
+
+
+@pytest.mark.parametrize("name", PARITY_NAMES)
 def test_query_matches_duckdb(registry, name):
     queries, oracles = registry
     got = _normalize(_to_pandas(queries[name](SF)))
