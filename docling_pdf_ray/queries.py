@@ -7763,6 +7763,71 @@ def q_compression_ratio(sf_dir: str):
     return out[["lang", "n_docs", "ratio_1e6", "n_repetitive"]]
 
 
+def q_pii_spans(sf_dir: str):
+    """PII SPAN TABLE — the redaction work-list: one row per concrete
+    match (doc_id, kind, match text), not just counts — the output a
+    scrub pass consumes and an auditor samples. Exercises the gate
+    over a row-EXPLOSION output (elsewhere explosions are pipeline
+    intermediates): O(matches) rows returned LAZY, never driver-sorted.
+    Patterns are the shared ASCII `PII_PATTERNS` compiled re.ASCII —
+    RE2-identical, same leftmost non-overlapping enumeration as
+    DuckDB's regexp_extract_all — and duplicates within a doc are
+    REAL rows (the gate compares the row multiset, nothing dedups).
+    The synthetic corpus carries no natural PII (verified — the
+    SQL-checked `pii_counts` is all-zero), so every 50th doc gets a
+    deterministic planted contact line IN-STREAM (the dedup family's
+    planted-positive discipline, mirrored exactly in the SQL CTE) —
+    the extractor then runs for real over text+plant. Zero shuffle:
+    the explosion is row-local."""
+
+    pats = [(k, ftext._PII_RES[k]) for k in ("email", "ipv4")]
+
+    def spans(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        ids_out, kind_out, m_out = [], [], []
+        for i, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            if i % 50 == 0:
+                txt = (f"{txt} contact user{i}@ex{i % 7}.com "
+                       f"via 10.0.{i % 256}.{i % 100}")
+            for kind, rx in pats:
+                for m in rx.findall(txt):
+                    ids_out.append(i)
+                    kind_out.append(kind)
+                    m_out.append(m)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "kind": pa.array(kind_out, pa.string()),
+                         "match": pa.array(m_out, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(spans, batch_format="pyarrow")
+
+
+SQL_PII_SPANS = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 50 = 0
+           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com via 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST(doc_id % 100 AS VARCHAR)
+           ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, kind, "match" FROM (
+  SELECT doc_id, 'email' AS kind,
+         unnest(regexp_extract_all(text, '{ftext.PII_PATTERNS["email"]}'))
+           AS "match"
+  FROM planted
+  UNION ALL
+  SELECT doc_id, 'ipv4',
+         unnest(regexp_extract_all(text, '{ftext.PII_PATTERNS["ipv4"]}'))
+  FROM planted
+)
+ORDER BY doc_id, kind, "match"
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7873,6 +7938,7 @@ QUERIES = {
     "mixture_resample": q_mixture_resample,
     "part_association": q_part_association,
     "compression_ratio": q_compression_ratio,
+    "pii_spans": q_pii_spans,
 }
 
 ORACLE_SQL = {
@@ -7975,4 +8041,5 @@ ORACLE_SQL = {
     "bm25_topk": SQL_BM25_TOPK,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "part_association": SQL_PART_ASSOCIATION,
+    "pii_spans": SQL_PII_SPANS,
 }
