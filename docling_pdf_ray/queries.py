@@ -7828,6 +7828,69 @@ ORDER BY doc_id, kind, "match"
 """
 
 
+def q_event_dedup_window(sf_dir: str, window_s: int = 3600,
+                         n_buckets: int = 64):
+    """STREAMING WINDOW DEDUP — the double-fire suppressor every event
+    pipeline runs before counting (button double-clicks, at-least-once
+    delivery retries): an event is a duplicate iff the PREVIOUS event
+    of the same (user, type) lies within `window_s` seconds (the lag
+    rule — stateless given the partition, unlike the cascading
+    keep-anchored variant, and exactly the SQL lag window so the
+    oracle is total). Scale shape = the sessionization one: users
+    hash-bucketed, ONE narrow exchange, per-bucket vectorized
+    mergesort + shift (no per-user loop), (type × buckets) counters to
+    the driver. Exact integer microseconds; `event_id` breaks ts ties
+    identically in pandas and the SQL window."""
+    import pandas as pd
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch.column("user_id"), n_buckets - 1),
+                    pa.int32())
+        return batch.append_column("_bucket", b)
+
+    def dedup_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        prev = g["ts"].shift(1)
+        same = (g["user_id"].eq(g["user_id"].shift(1))
+                & g["event_type"].eq(g["event_type"].shift(1)))
+        dup = (same & prev.notna()
+               & ((g["ts"] - prev) <= pd.Timedelta(seconds=window_s))) \
+            .to_numpy()
+        agg = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "dup": dup.astype(np.int64)}) \
+            .groupby("event_type")["dup"].agg(["size", "sum"])
+        return pa.table({
+            "event_type": pa.array(agg.index.to_numpy(), pa.string()),
+            "p_n": pa.array(agg["size"].to_numpy(), pa.int64()),
+            "p_dup": pa.array(agg["sum"].to_numpy(), pa.int64())})
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+        override_num_blocks=_exchange_blocks(sf_dir, "events"))
+    partials = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(dedup_bucket, batch_format="pandas")
+    return _driver_combine(partials, ["event_type"],
+                           {"n_events": ("p_n", "sum"),
+                            "n_dups": ("p_dup", "sum")})
+
+
+SQL_EVENT_DEDUP_WINDOW = """
+WITH w AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev IS NOT NULL
+                      AND ts - prev <= INTERVAL 3600 SECOND
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -7939,6 +8002,7 @@ QUERIES = {
     "part_association": q_part_association,
     "compression_ratio": q_compression_ratio,
     "pii_spans": q_pii_spans,
+    "event_dedup_window": q_event_dedup_window,
 }
 
 ORACLE_SQL = {
@@ -8042,4 +8106,5 @@ ORACLE_SQL = {
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "part_association": SQL_PART_ASSOCIATION,
     "pii_spans": SQL_PII_SPANS,
+    "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
 }
