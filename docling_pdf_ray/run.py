@@ -97,6 +97,16 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    _ray_init()
+    from .pipelines.compact import compact_parquet
+
+    audit = compact_parquet(args.input, args.output,
+                            target_rows_per_file=args.target_rows)
+    print(json.dumps(audit))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="docling_pdf_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -125,6 +135,15 @@ def main(argv=None) -> int:
     pl.add_argument("--output", required=True)
     pl.add_argument("--url", required=True)
     pl.set_defaults(fn=cmd_lookup)
+
+    pc_ = sub.add_parser(
+        "compact", help="rewrite a parquet dir into fewer, larger files "
+                        "(content-preserving, streaming)")
+    pc_.add_argument("--input", required=True, help="parquet dir to compact")
+    pc_.add_argument("--output", required=True, help="fresh output dir")
+    pc_.add_argument("--target-rows", type=int, default=250_000,
+                     help="rows per output file (default 250k)")
+    pc_.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

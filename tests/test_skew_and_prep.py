@@ -127,3 +127,39 @@ def test_large_payload_flows_through(ray_session, tmp_path):
     big_row = out.filter(pc.equal(out.column("url"), "https://x/big"))
     assert big_row.column("character_count")[0].as_py() > 2_000_000
     assert big_row.column("total_pages")[0].as_py() > 200  # repaginated
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(ray_session, tmp_path):
+    """Compaction is content-preserving (row multiset identical) and
+    actually reduces file count; the _SUCCESS marker guards reruns."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from docling_pdf_ray.pipelines.compact import compact_parquet
+
+    src = tmp_path / "many"
+    src.mkdir()
+    rng = np.random.RandomState(4)
+    for i in range(40):                      # 40 tiny shards
+        t = pa.table({"k": pa.array(rng.randint(0, 1000, 50), pa.int64()),
+                      "s": pa.array([f"r{i}-{j}" for j in range(50)],
+                                    pa.string())})
+        pq.write_table(t, src / f"part-{i:03d}.parquet")
+
+    out = tmp_path / "compacted"
+    audit = compact_parquet(str(src), str(out), target_rows_per_file=500)
+    assert audit["in_files"] == 40 and audit["in_rows"] == 2000
+    assert audit["out_files"] <= 5          # ~2000/500 + block rounding
+
+    def multiset(d):
+        fs = sorted(str(p) for p in d.glob("*.parquet"))
+        df = pd.concat([pq.read_table(f).to_pandas() for f in fs])
+        return df.sort_values(["k", "s"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(multiset(src), multiset(out))
+
+    with pytest.raises(FileExistsError):    # completed output guarded
+        compact_parquet(str(src), str(out))
