@@ -250,7 +250,7 @@ def run_bench() -> dict:
                      "ngram_diversity", "length_word_corr",
                      "image_phash_dups", "bm25_topk",
                      "mixture_resample", "part_association",
-                     "compression_ratio", "pii_spans", "event_dedup_window"]}
+                     "compression_ratio", "pii_spans", "event_dedup_window", "host_two_hop"]}
     ray.shutdown()
     return result
 

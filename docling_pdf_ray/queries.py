@@ -7891,6 +7891,114 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_host_two_hop(sf_dir: str, n_buckets: int = 32):
+    """TWO-HOP REACHABILITY per host over the REAL extracted link
+    graph — the neighborhood-size metric between reciprocity (1-hop
+    structure) and PageRank (fixpoint): |{r ≠ s : s→r or s→m→r}| for
+    each src host. The graph analytics shape no other entry has: a
+    distributed EDGE SELF-JOIN. Dataflow: the shared
+    `_host_edge_counts` derivation → one bucketed distinct exchange →
+    the deduped edge set MATERIALIZED once (narrow (src,dst) rows —
+    the iterative-dataflow discipline; deriving the join's two sides
+    lazily from one upstream would re-run the whole extraction per
+    side, the union-lineage trap) → bucketed hash join edges⋈edges on
+    the mid node (how='left': a src whose successors are all sinks
+    must keep its 1-hop set) → per-batch distinct (src, reach) pairs →
+    ONE src-bucketed exchange where per-bucket nunique is final →
+    driver combine. Edge set and host cardinality are unbounded by
+    design; only (host, count) rows reach the driver."""
+    import pandas as pd
+
+    from .functions.joins import bucketed_hash_join
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        e = _host_edge_counts(batch, ("src", "dst", "n"))
+        hh = _dedup.md5_u64(
+            np.char.add(np.char.add(
+                e.column("src").to_numpy(zero_copy_only=False).astype(str),
+                "\x00"),
+                e.column("dst").to_numpy(zero_copy_only=False).astype(str)))
+        return pa.table({
+            "src": e.column("src"), "dst": e.column("dst"),
+            "_bucket": pa.array((hh & (n_buckets - 1)).astype("int32"))})
+
+    def edge_distinct(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["src", "dst"])
+        return pa.table({"src": pa.array(d["src"], pa.string()),
+                         "dst": pa.array(d["dst"], pa.string())})
+
+    edges = _extracted_tasks_ds(sf_dir) \
+        .map_batches(edge_partial, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(edge_distinct,
+                                       batch_format="pandas") \
+        .materialize()
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("src"),
+                         "mid": batch.column("dst")})
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        return pa.table({"mid": batch.column("src"),
+                         "dst2": batch.column("dst")})
+
+    joined = bucketed_hash_join(
+        edges.map_batches(as_left, batch_format="pyarrow"),
+        edges.map_batches(as_right, batch_format="pyarrow"),
+        "mid", n_buckets=n_buckets, how="left")
+
+    def reach_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        mid = batch.column("mid").to_numpy(zero_copy_only=False)
+        d2 = batch.column("dst2").to_numpy(zero_copy_only=False)
+        # both hop distances flow from the same joined row: (src, mid)
+        # is the 1-hop pair, (src, dst2) the 2-hop one
+        p = pd.DataFrame({
+            "src": np.concatenate([src, src]),
+            "reach": np.concatenate([mid, d2])}).dropna() \
+            .drop_duplicates()
+        p = p[p["src"] != p["reach"]]
+        hh = _dedup.md5_u64(p["src"].to_numpy())
+        return pa.table({
+            "src": pa.array(p["src"], pa.string()),
+            "reach": pa.array(p["reach"], pa.string()),
+            "_bucket": pa.array((hh & (n_buckets - 1)).astype("int32"))})
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        a = g.drop_duplicates(["src", "reach"]) \
+            .groupby("src", sort=False).size().reset_index(name="p_n")
+        return pa.table({"src_host": pa.array(a["src"], pa.string()),
+                         "p_n": pa.array(a["p_n"].to_numpy(np.int64))})
+
+    out = _driver_combine(
+        joined.map_batches(reach_partial, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"),
+        ["src_host"], {"n_reach_2hop": ("p_n", "sum")})
+    if out.empty:
+        return pd.DataFrame({"src_host": pd.Series([], dtype="object"),
+                             "n_reach_2hop": pd.Series([], dtype="int64")})
+    out["n_reach_2hop"] = out["n_reach_2hop"].astype("int64")
+    return out
+
+
+SQL_HOST_TWO_HOP = """
+WITH e AS (
+  SELECT DISTINCT
+    'h' || CAST(doc_id % 64 AS VARCHAR) || '.example' AS src,
+    'h' || CAST((doc_id * 7 + 13 * k + 1) % 64 AS VARCHAR) || '.example'
+      AS dst
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+  WHERE doc_id % 10 <= 5
+),
+reach AS (
+  SELECT src, dst AS r FROM e
+  UNION
+  SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src
+)
+SELECT src AS src_host, CAST(count(*) AS BIGINT) AS n_reach_2hop
+FROM reach WHERE r <> src GROUP BY src ORDER BY src
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -8003,6 +8111,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "pii_spans": q_pii_spans,
     "event_dedup_window": q_event_dedup_window,
+    "host_two_hop": q_host_two_hop,
 }
 
 ORACLE_SQL = {
@@ -8107,4 +8216,5 @@ ORACLE_SQL = {
     "part_association": SQL_PART_ASSOCIATION,
     "pii_spans": SQL_PII_SPANS,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
+    "host_two_hop": SQL_HOST_TWO_HOP,
 }

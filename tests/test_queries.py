@@ -83,7 +83,7 @@ PARITY_NAMES = [
     "source_mixture_weights", "canonical_url_dedup",
     "crawl_snapshot_diff", "ngram_diversity", "length_word_corr",
     "bm25_topk", "mixture_resample", "part_association",
-    "pii_spans", "event_dedup_window",
+    "pii_spans", "event_dedup_window", "host_two_hop",
 ]
 
 
