@@ -250,7 +250,8 @@ def run_bench() -> dict:
                      "ngram_diversity", "length_word_corr",
                      "image_phash_dups", "bm25_topk",
                      "mixture_resample", "part_association",
-                     "compression_ratio", "pii_spans", "event_dedup_window", "host_two_hop"]}
+                     "compression_ratio", "pii_spans", "event_dedup_window", "host_two_hop",
+                     "embedding_quantize_audit"]}
     ray.shutdown()
     return result
 

@@ -7999,6 +7999,87 @@ FROM reach WHERE r <> src GROUP BY src ORDER BY src
 """
 
 
+def q_embedding_quantize_audit(sf_dir: str):
+    """INT8 VECTOR QUANTIZATION audit — the compression step ANN
+    indexes run before a 100-TB embedding table fits in memory (4×
+    smaller + SIMD-friendly): per-vector symmetric scale s = 127/max|x|,
+    q = floor(x·s), and the audit reports per label the vector count
+    and the WORST reconstruction error |x − q/s| (max is
+    order-independent — no float-sum trap), floor-quantized ·1e9.
+    Fully ROW-LOCAL (a vector never leaves its row): per-batch
+    flatten → per-vector max|x| via one reduceat → vectorized error →
+    per-label (count, max) partials → driver combine over the bounded
+    label set. Cross-engine float discipline: the embedding column is
+    FLOAT32 and DuckDB keeps float32 arithmetic unless told otherwise
+    — the SQL casts the unnested element to DOUBLE first, after which
+    every step is the identical IEEE double expression tree. Zero
+    vectors (no scale) are excluded on both sides."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding").combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        parent = pc.list_parent_indices(emb).to_numpy()
+        cols = ["label", "p_n", "p_err"]
+        if len(flat) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64()),
+                             "p_err": pa.array([], pa.int64())})
+        starts = np.searchsorted(parent, np.arange(batch.num_rows))
+        ma_vec = np.maximum.reduceat(np.abs(flat), starts)
+        ma_vec[starts == len(flat)] = 0.0   # empty lists (reduceat quirk)
+        keep_vec = ma_vec > 0
+        ma = ma_vec[parent]
+        m = ma > 0
+        scale = 127.0 / ma[m]
+        x = flat[m]
+        err = np.abs(x - np.floor(x * scale) / scale)
+        lbl = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = pd.DataFrame({"label": lbl[parent[m]], "err": err}) \
+            .groupby("label")["err"].max()
+        n = pd.Series(lbl[keep_vec]).value_counts()
+        g = pd.DataFrame({"p_err": e, "p_n": n}).reset_index() \
+            .rename(columns={"index": "label"})
+        # floor-quantize INSIDE the partial: floor is monotonic, so
+        # max(floor(e)) == floor(max(e)) and the combine stays integer
+        return pa.table({
+            "label": pa.array(g["label"].to_numpy(np.int64)),
+            "p_n": pa.array(g["p_n"].to_numpy(np.int64)),
+            "p_err": pa.array(np.floor(1e9 * g["p_err"].to_numpy())
+                              .astype(np.int64))})
+
+    out = _driver_combine(
+        _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label"], {"n_vecs": ("p_n", "sum"),
+                    "max_err_1e9": ("p_err", "max")})
+    if out.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                             ("label", "n_vecs", "max_err_1e9")})
+    for c in ("label", "n_vecs", "max_err_1e9"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_EMBEDDING_QUANTIZE_AUDIT = """
+WITH el AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+m AS (SELECT vec_id, max(abs(x)) AS ma FROM el GROUP BY vec_id),
+e AS (
+  SELECT el.vec_id, el.label,
+         abs(el.x - floor(el.x * (127.0 / m.ma)) / (127.0 / m.ma)) AS err
+  FROM el JOIN m ON el.vec_id = m.vec_id WHERE m.ma > 0)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(floor(1e9 * max(err)) AS BIGINT) AS max_err_1e9
+FROM e GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -8112,6 +8193,7 @@ QUERIES = {
     "pii_spans": q_pii_spans,
     "event_dedup_window": q_event_dedup_window,
     "host_two_hop": q_host_two_hop,
+    "embedding_quantize_audit": q_embedding_quantize_audit,
 }
 
 ORACLE_SQL = {
@@ -8217,4 +8299,5 @@ ORACLE_SQL = {
     "pii_spans": SQL_PII_SPANS,
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
     "host_two_hop": SQL_HOST_TWO_HOP,
+    "embedding_quantize_audit": SQL_EMBEDDING_QUANTIZE_AUDIT,
 }
