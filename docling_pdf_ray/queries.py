@@ -8021,14 +8021,22 @@ def q_embedding_quantize_audit(sf_dir: str):
         flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         parent = pc.list_parent_indices(emb).to_numpy()
-        cols = ["label", "p_n", "p_err"]
         if len(flat) == 0:
             return pa.table({"label": pa.array([], pa.int64()),
                              "p_n": pa.array([], pa.int64()),
                              "p_err": pa.array([], pa.int64())})
-        starts = np.searchsorted(parent, np.arange(batch.num_rows))
-        ma_vec = np.maximum.reduceat(np.abs(flat), starts)
-        ma_vec[starts == len(flat)] = 0.0   # empty lists (reduceat quirk)
+        # per-vector max|x| over NON-EMPTY rows only: reduceat cannot
+        # take zero-length segments (a trailing empty raises, a
+        # mid-batch empty silently borrows the next segment's value —
+        # pinned by test), so segment starts come from the non-empty
+        # rows' exclusive length cumsum; empty/null rows keep ma 0 and
+        # drop on both engines (SQL's unnest yields them no rows)
+        lens = pc.fill_null(pc.list_value_length(emb), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nz = lens > 0
+        starts_nz = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        ma_vec = np.zeros(batch.num_rows, dtype=np.float64)
+        ma_vec[nz] = np.maximum.reduceat(np.abs(flat), starts_nz)
         keep_vec = ma_vec > 0
         ma = ma_vec[parent]
         m = ma > 0

@@ -1850,3 +1850,38 @@ def test_compression_ratio_signal(ray_session, tmp_path):
                     str(d2 / "documents.parquet" / f"part-{i}.parquet"))
     out2 = Q.q_compression_ratio(str(d2)).set_index("lang")
     assert out2.equals(out)
+
+
+def test_embedding_quantize_partial_hostile_lists(ray_session, tmp_path):
+    """Null and empty embedding lists at batch start/middle/end: the
+    reduceat segmenting must neither raise (trailing empty) nor borrow
+    the next vector's max (mid-batch empty); empty/null vectors drop
+    from n_vecs on both engines."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(12)
+    vecs = [None, [0.5, -1.0], [], [0.25], list(rng.rand(4)), [], None]
+    labels = [0, 0, 0, 1, 1, 2, 2]
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+
+    got = Q.q_embedding_quantize_audit(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{d / 'embeddings.parquet'}'")
+    want = con.execute(Q.ORACLE_SQL["embedding_quantize_audit"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
+    # label 2 has only empty/null vectors -> absent entirely
+    assert 2 not in set(got["label"])
+    assert got.set_index("label")["n_vecs"].to_dict() == {0: 1, 1: 2}

@@ -163,3 +163,30 @@ def test_compact_parquet_preserves_rows_and_reduces_files(ray_session, tmp_path)
 
     with pytest.raises(FileExistsError):    # completed output guarded
         compact_parquet(str(src), str(out))
+
+
+def test_compact_refuses_stale_partial_output(ray_session, tmp_path):
+    """A crashed run's partial tree (no _SUCCESS) must be refused, not
+    merged — Ray's write_parquet appends into existing dirs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from docling_pdf_ray.pipelines.compact import compact_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}),
+                   src / "a.parquet")
+    out = tmp_path / "out"
+    out.mkdir()
+    pq.write_table(pa.table({"k": pa.array([9], pa.int64())}),
+                   out / "stale-partial.parquet")   # no _SUCCESS
+    with pytest.raises(FileExistsError):
+        compact_parquet(str(src), str(out))
+    # an EMPTY pre-existing dir is fine (two-phase rename replaces it)
+    out2 = tmp_path / "out2"
+    out2.mkdir()
+    audit = compact_parquet(str(src), str(out2))
+    assert audit["out_rows"] == 2 and (out2 / "_SUCCESS").exists()
