@@ -1885,3 +1885,43 @@ def test_embedding_quantize_partial_hostile_lists(ray_session, tmp_path):
     # label 2 has only empty/null vectors -> absent entirely
     assert 2 not in set(got["label"])
     assert got.set_index("label")["n_vecs"].to_dict() == {0: 1, 1: 2}
+
+
+def test_part_association_order_spans_blocks(ray_session, tmp_path):
+    """An order whose lineitem rows are split across parquet files
+    (and carry duplicate (order, part) rows) must still count each
+    co-purchase pair once per order — the basket-bucketed exchange,
+    not batch luck, is what co-locates it. Exact DuckDB agreement."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(7)
+    rows_o, rows_p = [], []
+    for o in range(60):
+        parts = rng.choice(30, size=rng.randint(2, 6), replace=False)
+        for p in parts:
+            rows_o.append(o)
+            rows_p.append(int(p))
+            if p % 3 == 0:              # duplicate (order, part) rows
+                rows_o.append(o)
+                rows_p.append(int(p))
+    t = pa.table({"l_orderkey": pa.array(rows_o, pa.int64()),
+                  "l_partkey": pa.array(rows_p, pa.int64())})
+    d = tmp_path / "sf"
+    (d / "lineitem.parquet").mkdir(parents=True)
+    third = t.num_rows // 3                 # orders straddle the files
+    for i, sl in enumerate([t.slice(0, third), t.slice(third, third),
+                            t.slice(2 * third)]):
+        pq.write_table(sl, d / "lineitem.parquet" / f"part-{i}.parquet")
+
+    got = Q.q_part_association(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{d / 'lineitem.parquet'}/*.parquet'")
+    want = con.execute(Q.ORACLE_SQL["part_association"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)

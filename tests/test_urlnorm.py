@@ -73,3 +73,34 @@ def test_duckdb_parity_on_hostile_corpus():
         f"SELECT {urlnorm.sql_canonical('u')} "
         f"FROM (SELECT unnest($u::VARCHAR[]) AS u)", {"u": urls}).fetchall()]
     assert got == want
+
+
+def test_canonicalize_is_idempotent():
+    """THE normalizer property: canonicalize ∘ canonicalize ==
+    canonicalize — a second pass must find nothing left to strip.
+    Hypothesis drives url-shaped and garbage inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scheme = st.sampled_from(["http", "HTTPS", "ftp", "ExOtIc"])
+    host = st.from_regex(r"[A-Za-z0-9.-]{1,20}", fullmatch=True)
+    port = st.sampled_from(["", ":80", ":443", ":8080"])
+    path = st.from_regex(r"(/[A-Za-z0-9._~%-]{0,8}){0,4}/{0,3}",
+                         fullmatch=True)
+    query = st.sampled_from(
+        ["", "?a=1", "?utm_source=x", "?utm_a=1&b=2", "?a=1&utm_b=2&c=3",
+         "?utm_a=1&utm_b=2", "?utm_=&utm_="])
+    frag = st.sampled_from(["", "#f", "#a#b"])
+    urlish = st.builds(lambda s, h, po, pa_, q, f: f"{s}://{h}{po}{pa_}{q}{f}",
+                       scheme, host, port, path, query, frag)
+    anything = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(urlish, anything))
+    def check(u):
+        once = canon1(u)
+        assert canon1(once) == once, (u, once, canon1(once))
+
+    check()
