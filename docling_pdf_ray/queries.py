@@ -8088,6 +8088,78 @@ FROM e GROUP BY label ORDER BY label
 """
 
 
+def q_jsonl_roundtrip_stats(sf_dir: str):
+    """JSONL SINK + SOURCE coverage: the corpus leaves as JSON-lines
+    (Ray `write_json`, the interchange format crawl dumps and
+    labeling tools actually speak), comes back through `read_json`
+    (Arrow's JSON reader), and the per-lang stats of the ROUNDTRIPPED
+    data must equal SQL over the original parquet — so the oracle
+    checks the whole ser/de loop (string escaping, null propagation,
+    int fidelity), not just the aggregation. The JSONL tree is written
+    ONCE per sf dir under /tmp (streamed, partitioned — never a
+    driver-side dump) and reused; the stats pass is the standard
+    zero-shuffle partial → bounded driver combine."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_jsonl/docs-{key}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"]) \
+            .write_json(out)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    files = sorted(os.path.join(out, f) for f in os.listdir(out)
+                   if f.endswith(".json"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = pc.fill_null(batch.column("lang").combine_chunks(), "")
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        txt = batch.column("text")
+        tl = pc.fill_null(pc.utf8_length(txt.combine_chunks()), 0) \
+            .to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"lang": lang.to_pandas(), "p_n": 1,
+                          "p_chars": nc.astype(np.int64),
+                          "p_textlen": tl.astype(np.int64)}) \
+            .groupby("lang", sort=False).sum().reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "p_n": pa.array(g["p_n"].to_numpy(np.int64)),
+            "p_chars": pa.array(g["p_chars"].to_numpy(np.int64)),
+            "p_textlen": pa.array(g["p_textlen"].to_numpy(np.int64))})
+
+    out_df = _driver_combine(
+        _rd().read_json(files).map_batches(partial, batch_format="pyarrow"),
+        ["lang"], {"n_docs": ("p_n", "sum"),
+                   "sum_chars": ("p_chars", "sum"),
+                   "sum_text_len": ("p_textlen", "sum")})
+    if out_df.empty:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype="object"),
+             **{c: pd.Series([], dtype="int64")
+                for c in ("n_docs", "sum_chars", "sum_text_len")}})
+    for c in ("n_docs", "sum_chars", "sum_text_len"):
+        out_df[c] = out_df[c].astype("int64")
+    return out_df
+
+
+SQL_JSONL_ROUNDTRIP_STATS = """
+SELECT coalesce(lang, '') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_text_len
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -8202,6 +8274,7 @@ QUERIES = {
     "event_dedup_window": q_event_dedup_window,
     "host_two_hop": q_host_two_hop,
     "embedding_quantize_audit": q_embedding_quantize_audit,
+    "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
 }
 
 ORACLE_SQL = {
@@ -8308,4 +8381,5 @@ ORACLE_SQL = {
     "event_dedup_window": SQL_EVENT_DEDUP_WINDOW,
     "host_two_hop": SQL_HOST_TWO_HOP,
     "embedding_quantize_audit": SQL_EMBEDDING_QUANTIZE_AUDIT,
+    "jsonl_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
 }

@@ -84,7 +84,7 @@ PARITY_NAMES = [
     "crawl_snapshot_diff", "ngram_diversity", "length_word_corr",
     "bm25_topk", "mixture_resample", "part_association",
     "pii_spans", "event_dedup_window", "host_two_hop",
-    "embedding_quantize_audit",
+    "embedding_quantize_audit", "jsonl_roundtrip_stats",
 ]
 
 
