@@ -251,7 +251,8 @@ def run_bench() -> dict:
                      "image_phash_dups", "bm25_topk",
                      "mixture_resample", "part_association",
                      "compression_ratio", "pii_spans", "event_dedup_window", "host_two_hop",
-                     "embedding_quantize_audit", "jsonl_roundtrip_stats"]}
+                     "embedding_quantize_audit", "jsonl_roundtrip_stats",
+                     "csv_roundtrip_stats"]}
     ray.shutdown()
     return result
 

@@ -8088,15 +8088,16 @@ FROM e GROUP BY label ORDER BY label
 """
 
 
-def q_jsonl_roundtrip_stats(sf_dir: str):
-    """JSONL SINK + SOURCE coverage: the corpus leaves as JSON-lines
-    (Ray `write_json`, the interchange format crawl dumps and
-    labeling tools actually speak), comes back through `read_json`
-    (Arrow's JSON reader), and the per-lang stats of the ROUNDTRIPPED
-    data must equal SQL over the original parquet — so the oracle
-    checks the whole ser/de loop (string escaping, null propagation,
-    int fidelity), not just the aggregation. The JSONL tree is written
-    ONCE per sf dir under /tmp (streamed, partitioned — never a
+def _format_roundtrip_stats(sf_dir: str, fmt: str):
+    """Shared engine of the SINK + SOURCE coverage queries: the corpus
+    leaves through Ray's writer for ``fmt`` (the interchange formats
+    crawl dumps and labeling tools actually speak), comes back through
+    the matching Arrow reader, and the per-lang stats of the
+    ROUNDTRIPPED data must equal SQL over the original parquet — so
+    the oracle checks the whole ser/de loop (string escaping with
+    embedded quotes/newlines, null propagation, int fidelity), not
+    just the aggregation. The exported tree is written ONCE per
+    (sf dir, fmt) under /tmp (streamed, partitioned — never a
     driver-side dump) and reused; the stats pass is the standard
     zero-shuffle partial → bounded driver combine."""
     import hashlib
@@ -8105,26 +8106,31 @@ def q_jsonl_roundtrip_stats(sf_dir: str):
     import pandas as pd
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/graft_jsonl/docs-{key}"
+    out = f"/tmp/graft_roundtrip/{fmt}-docs-{key}"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"]) \
-            .write_json(out)
+        src = _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"])
+        (src.write_json(out) if fmt == "json" else src.write_csv(out))
         with open(done, "w") as f:
             f.write("ok")
 
+    suffix = ".json" if fmt == "json" else ".csv"
     files = sorted(os.path.join(out, f) for f in os.listdir(out)
-                   if f.endswith(".json"))
+                   if f.endswith(suffix))
 
     def partial(batch: pa.Table) -> pa.Table:
-        lang = pc.fill_null(batch.column("lang").combine_chunks(), "")
+        # an all-null JSON block types its column `null`, which no
+        # string kernel accepts — cast to string first (null-safe)
+        lang = pc.fill_null(
+            pc.cast(batch.column("lang").combine_chunks(), pa.string()),
+            "")
         nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
-        txt = batch.column("text")
-        tl = pc.fill_null(pc.utf8_length(txt.combine_chunks()), 0) \
+        txt = pc.cast(batch.column("text").combine_chunks(), pa.string())
+        tl = pc.fill_null(pc.utf8_length(txt), 0) \
             .to_numpy(zero_copy_only=False)
         g = pd.DataFrame({"lang": lang.to_pandas(), "p_n": 1,
                           "p_chars": nc.astype(np.int64),
@@ -8136,8 +8142,10 @@ def q_jsonl_roundtrip_stats(sf_dir: str):
             "p_chars": pa.array(g["p_chars"].to_numpy(np.int64)),
             "p_textlen": pa.array(g["p_textlen"].to_numpy(np.int64))})
 
+    src = (_rd().read_json(files) if fmt == "json"
+           else _rd().read_csv(files))
     out_df = _driver_combine(
-        _rd().read_json(files).map_batches(partial, batch_format="pyarrow"),
+        src.map_batches(partial, batch_format="pyarrow"),
         ["lang"], {"n_docs": ("p_n", "sum"),
                    "sum_chars": ("p_chars", "sum"),
                    "sum_text_len": ("p_textlen", "sum")})
@@ -8149,6 +8157,19 @@ def q_jsonl_roundtrip_stats(sf_dir: str):
     for c in ("n_docs", "sum_chars", "sum_text_len"):
         out_df[c] = out_df[c].astype("int64")
     return out_df
+
+
+def q_jsonl_roundtrip_stats(sf_dir: str):
+    """JSON-lines sink+source roundtrip (see
+    :func:`_format_roundtrip_stats`)."""
+    return _format_roundtrip_stats(sf_dir, "json")
+
+
+def q_csv_roundtrip_stats(sf_dir: str):
+    """CSV sink+source roundtrip (RFC4180 quoting — embedded commas,
+    quotes and newlines in text must survive; see
+    :func:`_format_roundtrip_stats`)."""
+    return _format_roundtrip_stats(sf_dir, "csv")
 
 
 SQL_JSONL_ROUNDTRIP_STATS = """
@@ -8275,6 +8296,7 @@ QUERIES = {
     "host_two_hop": q_host_two_hop,
     "embedding_quantize_audit": q_embedding_quantize_audit,
     "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
+    "csv_roundtrip_stats": q_csv_roundtrip_stats,
 }
 
 ORACLE_SQL = {
@@ -8382,4 +8404,5 @@ ORACLE_SQL = {
     "host_two_hop": SQL_HOST_TWO_HOP,
     "embedding_quantize_audit": SQL_EMBEDDING_QUANTIZE_AUDIT,
     "jsonl_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
+    "csv_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
 }

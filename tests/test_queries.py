@@ -85,6 +85,7 @@ PARITY_NAMES = [
     "bm25_topk", "mixture_resample", "part_association",
     "pii_spans", "event_dedup_window", "host_two_hop",
     "embedding_quantize_audit", "jsonl_roundtrip_stats",
+    "csv_roundtrip_stats",
 ]
 
 
@@ -1925,3 +1926,36 @@ def test_part_association_order_spans_blocks(ray_session, tmp_path):
     want = con.execute(Q.ORACLE_SQL["part_association"]).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                   check_dtype=False)
+
+
+def test_roundtrip_stats_hostile_text(ray_session, tmp_path, monkeypatch):
+    """CSV and JSONL sink/source loops survive hostile strings —
+    embedded commas, double quotes, newlines, tabs, unicode, null
+    text — and still match the parquet oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    texts = ['a,b,"c"', "line1\nline2", "tab\tsep", "quote\"inside",
+             "unicode é中文", None, "", "trailing,comma,",
+             "'single'", "\\backslash\\"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "de"] * 5, pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) if x else 0 for x in texts],
+                            pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d / 'documents.parquet'}'")
+    want = con.execute(Q.ORACLE_SQL["jsonl_roundtrip_stats"]).df()
+    for name in ("jsonl_roundtrip_stats", "csv_roundtrip_stats"):
+        got = Q.QUERIES[name](str(d)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
