@@ -252,7 +252,7 @@ def run_bench() -> dict:
                      "mixture_resample", "part_association",
                      "compression_ratio", "pii_spans", "event_dedup_window", "host_two_hop",
                      "embedding_quantize_audit", "jsonl_roundtrip_stats",
-                     "csv_roundtrip_stats"]}
+                     "csv_roundtrip_stats", "corpus_build"]}
     ray.shutdown()
     return result
 

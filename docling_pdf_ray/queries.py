@@ -8181,6 +8181,141 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+CORPUS_BUILD_CAP = 20        # per-source doc cap in the composed build
+CORPUS_BUILD_MIN_CHARS = 30
+CORPUS_BUILD_MAX_CHARS = 50_000
+
+
+def q_corpus_build(sf_dir: str, n_buckets: int = 64):
+    """THE COMPOSED CORPUS BUILD — the pipeline a user of this engine
+    actually ships, five registry operators fused into one dataflow
+    and SQL-checked END-TO-END (each stage's mirror is proven
+    individually elsewhere; this entry proves the COMPOSITION):
+    1. quality gate (row-local: text present, lang present, length
+       band), 2. exact content dedup keep-min-doc_id (hash computed in
+       place — text never moves; exchange 1 buckets narrow
+       (md5, doc_id, lang, source, n_chars) rows by hash), 3.
+    per-source cap (anti-SEO; exchange 2 buckets survivors by source,
+    Knuth-hash rank cut), 4. leak-free deterministic 90/5/5 split
+    (row-local, the corpus_split thresholds), 5. the (split, lang)
+    audit counters a training run reads before it starts. TWO
+    exchanges total, both narrow; the driver holds only the final
+    (splits × langs) frame. The same Knuth permutation serves cap
+    order and split assignment — one hash, both decisions, any
+    engine."""
+    import pandas as pd
+
+    m32 = np.int64(1 << 32)
+    t_train = (1 << 32) * SPLIT_TRAIN_NUM // 10
+    t_val = (1 << 32) * SPLIT_VAL_NUM // 20
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.and_(pc.is_valid(batch.column("text")),
+                            pc.is_valid(batch.column("lang"))),
+                    pc.and_(
+                        pc.greater_equal(batch.column("n_chars"),
+                                         CORPUS_BUILD_MIN_CHARS),
+                        pc.less_equal(batch.column("n_chars"),
+                                      CORPUS_BUILD_MAX_CHARS))))
+        h = ftext.md5_hex_col(t.column("text").combine_chunks())
+        g = pa.table({
+            "h": h, "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "source": pc.fill_null(t.column("source").combine_chunks(),
+                                   ""),
+            "n_chars": t.column("n_chars")})
+        pref = pc.utf8_slice_codeunits(g.column("h"), 0, 2)
+        byte = pc.index_in(pref, value_set=_HEX_BYTES) \
+            .to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "_bucket", pa.array((byte % n_buckets).astype(np.int32)))
+
+    def dedup_bucket(g: pd.DataFrame) -> pa.Table:
+        keep = g.sort_values("doc_id").drop_duplicates("h", keep="first")
+        ids = keep["doc_id"].to_numpy(np.int64)
+        kh = ((np.mod(ids, m32).astype(np.uint64)
+               * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
+        bk = _dedup.md5_u64(keep["source"].to_numpy())
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "lang": pa.array(keep["lang"], pa.string()),
+            "source": pa.array(keep["source"], pa.string()),
+            "n_chars": pa.array(keep["n_chars"].to_numpy(np.int64)),
+            "k": pa.array(kh),
+            "_bucket2": pa.array((bk & (n_buckets - 1)).astype("int32"))})
+
+    def cap_and_split(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["source", "k", "doc_id"])
+        rs = g.groupby("source", sort=False).cumcount().to_numpy()
+        g = g.loc[rs < CORPUS_BUILD_CAP]
+        k = g["k"].to_numpy(np.int64)
+        split = np.where(k < t_train, "train",
+                         np.where(k < t_val, "val", "test"))
+        a = pd.DataFrame({"split": split, "lang": g["lang"].to_numpy(),
+                          "n_chars": g["n_chars"].to_numpy(np.int64)}) \
+            .groupby(["split", "lang"], as_index=False) \
+            .agg(p_n=("n_chars", "size"), p_chars=("n_chars", "sum"))
+        return pa.table({
+            "split": pa.array(a["split"], pa.string()),
+            "lang": pa.array(a["lang"], pa.string()),
+            "p_n": pa.array(a["p_n"].to_numpy(np.int64)),
+            "p_chars": pa.array(a["p_chars"].to_numpy(np.int64))})
+
+    out = _driver_combine(
+        _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"],
+              narrow_exchange=True)
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(dedup_bucket,
+                                       batch_format="pandas")
+        .groupby("_bucket2").map_groups(cap_and_split,
+                                        batch_format="pandas"),
+        ["split", "lang"], {"n_docs": ("p_n", "sum"),
+                            "sum_chars": ("p_chars", "sum")})
+    if out.empty:
+        return pd.DataFrame(
+            {"split": pd.Series([], dtype="object"),
+             "lang": pd.Series([], dtype="object"),
+             "n_docs": pd.Series([], dtype="int64"),
+             "sum_chars": pd.Series([], dtype="int64")})
+    for c in ("n_docs", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_CORPUS_BUILD = f"""
+WITH gated AS (
+  SELECT doc_id, lang, coalesce(source, '') AS source, n_chars,
+         md5(text) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+    AND n_chars BETWEEN {CORPUS_BUILD_MIN_CHARS}
+                    AND {CORPUS_BUILD_MAX_CHARS}),
+dedup AS (
+  SELECT * FROM (
+    SELECT g.*, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM gated g) WHERE rn = 1),
+kh AS (
+  SELECT *, CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296
+                 AS HUGEINT) * {_KNUTH} % 4294967296 AS BIGINT) AS k
+  FROM dedup),
+capped AS (
+  SELECT * FROM (
+    SELECT kh.*, row_number() OVER (PARTITION BY source
+                                    ORDER BY k, doc_id) AS rs
+    FROM kh) WHERE rs <= {CORPUS_BUILD_CAP}),
+assigned AS (
+  SELECT CASE WHEN k < {(1 << 32) * SPLIT_TRAIN_NUM // 10} THEN 'train'
+              WHEN k < {(1 << 32) * SPLIT_VAL_NUM // 20} THEN 'val'
+              ELSE 'test' END AS split,
+         lang, n_chars
+  FROM capped)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 QUERIES = {
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
@@ -8297,6 +8432,7 @@ QUERIES = {
     "embedding_quantize_audit": q_embedding_quantize_audit,
     "jsonl_roundtrip_stats": q_jsonl_roundtrip_stats,
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
+    "corpus_build": q_corpus_build,
 }
 
 ORACLE_SQL = {
@@ -8405,4 +8541,5 @@ ORACLE_SQL = {
     "embedding_quantize_audit": SQL_EMBEDDING_QUANTIZE_AUDIT,
     "jsonl_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
     "csv_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
+    "corpus_build": SQL_CORPUS_BUILD,
 }

@@ -85,7 +85,7 @@ PARITY_NAMES = [
     "bm25_topk", "mixture_resample", "part_association",
     "pii_spans", "event_dedup_window", "host_two_hop",
     "embedding_quantize_audit", "jsonl_roundtrip_stats",
-    "csv_roundtrip_stats",
+    "csv_roundtrip_stats", "corpus_build",
 ]
 
 
