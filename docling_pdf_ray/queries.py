@@ -7968,47 +7968,90 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
-def q_host_two_hop(sf_dir: str, n_buckets: int = 32):
-    """TWO-HOP REACHABILITY per host over the REAL extracted link
-    graph — the neighborhood-size metric between reciprocity (1-hop
-    structure) and PageRank (fixpoint): |{r ≠ s : s→r or s→m→r}| for
-    each src host. The graph analytics shape no other entry has: a
-    distributed EDGE SELF-JOIN. Dataflow: the shared
-    `_host_edge_counts` derivation → one bucketed distinct exchange →
-    the deduped edge set MATERIALIZED once (narrow (src,dst) rows —
-    the iterative-dataflow discipline; deriving the join's two sides
-    lazily from one upstream would re-run the whole extraction per
-    side, the union-lineage trap) → bucketed hash join edges⋈edges on
-    the mid node (how='left': a src whose successors are all sinks
-    must keep its 1-hop set) → per-batch distinct (src, reach) pairs →
-    ONE src-bucketed exchange where per-bucket nunique is final →
-    driver combine. Edge set and host cardinality are unbounded by
-    design; only (host, count) rows reach the driver."""
+_TWO_HOP_CAP = 8      # per-host out-degree cap (top-K smallest dsts)
+_TWO_HOP_HUB = "hub.example"
+
+
+def _two_hop_capped_edges(sf_dir: str, n_buckets: int = 32,
+                          cap: int = _TWO_HOP_CAP):
+    """Materialized DEGREE-CAPPED distinct edge set for the two-hop
+    query (split out so the cap-bound test can pin it directly):
+    extracted link edges + the planted hub spokes, per-batch distinct +
+    pre-cap, then ONE src-bucketed exchange where the global distinct +
+    keep-K-smallest-dst cap is exact (every (src, *) co-locates)."""
+    import pandas as pd
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        e = _host_edge_counts(batch, ("src", "dst", "n"))
+        src = e.column("src").to_numpy(zero_copy_only=False).astype(object)
+        dst = e.column("dst").to_numpy(zero_copy_only=False).astype(object)
+        # hub plant: every no-link page (doc_id % 10 > 5, parsed from
+        # the url's trailing segment) bidirects with the hub host
+        ids = pc.cast(pc.replace_substring_regex(
+            batch.column("url"), pattern=r"^.*/", replacement=""),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        spoke_ids = ids[ids % 10 > 5]
+        spokes = np.array([f"s{i}.example" for i in spoke_ids], dtype=object)
+        hubs = np.full(len(spokes), _TWO_HOP_HUB, dtype=object)
+        df = pd.DataFrame({
+            "src": np.concatenate([src, hubs, spokes]),
+            "dst": np.concatenate([dst, spokes, hubs])}).drop_duplicates()
+        # per-batch pre-cap bounds every exchange group to blocks×cap
+        df = df.sort_values(["src", "dst"]) \
+            .groupby("src", sort=False).head(cap)
+        hh = _dedup.md5_u64(df["src"].to_numpy())
+        return pa.table({
+            "src": pa.array(df["src"], pa.string()),
+            "dst": pa.array(df["dst"], pa.string()),
+            "_bucket": pa.array((hh & (n_buckets - 1)).astype("int32"))})
+
+    def edge_cap(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["src", "dst"]).sort_values(["src", "dst"]) \
+            .groupby("src", sort=False).head(cap)
+        return pa.table({"src": pa.array(d["src"], pa.string()),
+                         "dst": pa.array(d["dst"], pa.string())})
+
+    return _extracted_tasks_ds(sf_dir) \
+        .map_batches(edge_partial, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(edge_cap, batch_format="pandas") \
+        .materialize()
+
+
+def q_host_two_hop(sf_dir: str, n_buckets: int = 32,
+                   cap: int = _TWO_HOP_CAP):
+    """TWO-HOP REACHABILITY per host over the DEGREE-CAPPED extracted
+    link graph — |{r ≠ s : s→r or s→m→r}| where every host's
+    out-adjacency is first capped to its ``cap`` lexicographically-
+    smallest distinct dst hosts (the web-graph discipline for
+    neighborhood queries: an uncapped edges⋈edges blows up in×out on
+    hub nodes — the r4 verdict's flagged hazard. The cap rule is
+    deterministic and mirrored exactly in the SQL oracle's
+    row_number() window, so parity is value-exact EVEN ON hub-heavy
+    graphs; exact uncapped reach on bounded-degree graphs is this same
+    query with cap ≥ max out-degree).
+
+    A HUB IS PLANTED to prove it: pages that contribute no real links
+    (doc_id % 10 > 5 — pdf/stress payloads) bidirect with one hub host
+    (hub ↔ s{doc_id}.example), giving the hub in/out degree ≈ 0.4·docs
+    (≥10⁴ at sf0.1). Dataflow: shared `_host_edge_counts` derivation +
+    in-stream hub plant → per-batch distinct + PRE-CAP (the global
+    K-smallest of a union is the K-smallest of per-part K-smallest, so
+    the exchange carries ≤ blocks×cap rows per src) → ONE src-bucketed
+    distinct+cap exchange → capped edge set MATERIALIZED once (narrow
+    (src,dst) rows — the iterative-dataflow discipline; deriving the
+    join's two sides lazily from one upstream would re-run the whole
+    extraction per side, the union-lineage trap) → bucketed hash join
+    edges⋈edges on the mid node (how='left': a src whose successors
+    are all sinks must keep its 1-hop set; the planted hub key is
+    SALTED — it is hot by construction) → per-batch distinct
+    (src, reach) pairs → ONE src-bucketed exchange where per-bucket
+    nunique is final → driver combine. Join output is bounded by
+    |capped edges| × cap (pinned by ``test_two_hop_join_is_cap_bounded``)."""
     import pandas as pd
 
     from .functions.joins import bucketed_hash_join
 
-    def edge_partial(batch: pa.Table) -> pa.Table:
-        e = _host_edge_counts(batch, ("src", "dst", "n"))
-        hh = _dedup.md5_u64(
-            np.char.add(np.char.add(
-                e.column("src").to_numpy(zero_copy_only=False).astype(str),
-                "\x00"),
-                e.column("dst").to_numpy(zero_copy_only=False).astype(str)))
-        return pa.table({
-            "src": e.column("src"), "dst": e.column("dst"),
-            "_bucket": pa.array((hh & (n_buckets - 1)).astype("int32"))})
-
-    def edge_distinct(g: pd.DataFrame) -> pa.Table:
-        d = g.drop_duplicates(["src", "dst"])
-        return pa.table({"src": pa.array(d["src"], pa.string()),
-                         "dst": pa.array(d["dst"], pa.string())})
-
-    edges = _extracted_tasks_ds(sf_dir) \
-        .map_batches(edge_partial, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(edge_distinct,
-                                       batch_format="pandas") \
-        .materialize()
+    edges = _two_hop_capped_edges(sf_dir, n_buckets, cap)
 
     def as_left(batch: pa.Table) -> pa.Table:
         return pa.table({"src": batch.column("src"),
@@ -8021,7 +8064,8 @@ def q_host_two_hop(sf_dir: str, n_buckets: int = 32):
     joined = bucketed_hash_join(
         edges.map_batches(as_left, batch_format="pyarrow"),
         edges.map_batches(as_right, batch_format="pyarrow"),
-        "mid", n_buckets=n_buckets, how="left")
+        "mid", n_buckets=n_buckets, how="left",
+        salt={_TWO_HOP_HUB: 8})
 
     def reach_partial(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -8057,8 +8101,8 @@ def q_host_two_hop(sf_dir: str, n_buckets: int = 32):
     return out
 
 
-SQL_HOST_TWO_HOP = """
-WITH e AS (
+SQL_HOST_TWO_HOP = f"""
+WITH real_e AS (
   SELECT DISTINCT
     'h' || CAST(doc_id % 64 AS VARCHAR) || '.example' AS src,
     'h' || CAST((doc_id * 7 + 13 * k + 1) % 64 AS VARCHAR) || '.example'
@@ -8066,10 +8110,28 @@ WITH e AS (
   FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
   WHERE doc_id % 10 <= 5
 ),
+hub_e AS (
+  SELECT '{_TWO_HOP_HUB}' AS src,
+         's' || CAST(doc_id AS VARCHAR) || '.example' AS dst
+  FROM documents WHERE doc_id % 10 > 5
+  UNION ALL
+  SELECT 's' || CAST(doc_id AS VARCHAR) || '.example', '{_TWO_HOP_HUB}'
+  FROM documents WHERE doc_id % 10 > 5
+),
+all_e AS (SELECT src, dst FROM real_e UNION SELECT src, dst FROM hub_e),
+capped AS (
+  -- the engine's degree-cap rule, mirrored exactly: each src keeps its
+  -- {_TWO_HOP_CAP} lexicographically-smallest distinct dsts
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM all_e)
+  WHERE rn <= {_TWO_HOP_CAP}
+),
 reach AS (
-  SELECT src, dst AS r FROM e
+  SELECT src, dst AS r FROM capped
   UNION
-  SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  SELECT e1.src, e2.dst FROM capped e1 JOIN capped e2 ON e1.dst = e2.src
 )
 SELECT src AS src_host, CAST(count(*) AS BIGINT) AS n_reach_2hop
 FROM reach WHERE r <> src GROUP BY src ORDER BY src

@@ -1515,6 +1515,64 @@ def test_link_pagerank_hostile_graph_and_block_invariance(ray_session, tmp_path)
     pd.testing.assert_frame_equal(got2, got)
 
 
+def test_two_hop_join_is_cap_bounded(ray_session, tmp_path):
+    """The r5 hub defense for two-hop reachability: the edge set is
+    degree-capped BEFORE the edges⋈edges self-join, so a planted hub
+    host (in/out degree ~0.4·docs by construction) can never explode
+    the join — output is bounded by |capped edges| × cap, and no host
+    keeps more than `cap` out-edges. Also pins SQL value-exactness on
+    this hub-heavy corpus (the capped-graph semantics are mirrored in
+    the oracle's row_number window)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+    from docling_pdf_ray.functions.joins import bucketed_hash_join
+
+    rng = np.random.RandomState(7)
+    ids = np.sort(rng.choice(np.arange(0, 3000), size=300, replace=False))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["alpha beta gamma " * 5] * len(ids), pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["cc"] * len(ids), pa.string())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    edges = Q._two_hop_capped_edges(str(d))
+    pdf = edges.to_pandas()
+    # every host's out-adjacency is capped
+    assert pdf.groupby("src").size().max() <= Q._TWO_HOP_CAP
+    # the hub is genuinely hot on the UNCAPPED axis (in-degree: every
+    # spoke's single out-edge survives the cap)
+    n_spokes = int((ids % 10 > 5).sum())
+    assert n_spokes >= 100
+    assert int((pdf["dst"] == Q._TWO_HOP_HUB).sum()) == n_spokes
+
+    # the self-join output can never exceed |capped edges| × cap
+    left = edges.map_batches(
+        lambda b: pa.table({"src": b.column("src"), "mid": b.column("dst")}),
+        batch_format="pyarrow")
+    right = edges.map_batches(
+        lambda b: pa.table({"mid": b.column("src"), "dst2": b.column("dst")}),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(left, right, "mid", n_buckets=32, how="left",
+                                salt={Q._TWO_HOP_HUB: 8})
+    assert joined.count() <= len(pdf) * Q._TWO_HOP_CAP
+
+    # SQL parity holds ON the hub-heavy corpus
+    want = duckdb.connect().execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet');"
+        + Q.SQL_HOST_TWO_HOP).fetchdf()
+    got = Q.q_host_two_hop(str(d))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False, check_exact=True)
+
+
 def test_range_sort_audit_invariant_and_hostile_duplicates(ray_session, tmp_path):
     """Range-partitioned sort audit: the range invariant
     max(part i) <= min(part i+1) must hold (so per-partition local
