@@ -4771,6 +4771,22 @@ FROM s ORDER BY doc_id
 """
 
 
+def _bottom_cap(df, by: str, order: list[str], cap: int):
+    """Keep each ``by`` group's ``cap`` smallest rows by ``order`` —
+    the shared rank-cut of the per-domain / per-source cap family.
+    Selection is a SEMILATTICE: ``cap(cap(A) ∪ cap(B)) == cap(A ∪ B)``
+    for any partition of the rows (the K smallest of a union are among
+    each part's K smallest), so every cap stage can PRE-COMBINE per
+    batch/bucket before its group exchange with zero effect on the
+    final keep set — the r5 skew defense (pinned by
+    ``test_bottom_cap_semilattice_and_skewed_source_parity``). ``order``
+    must be a total order (include a unique tiebreak column) or the
+    boundary rows of equal rank are partition-dependent."""
+    g = df.sort_values([by] + order)
+    rn = g.groupby(by, sort=False).cumcount()
+    return g.loc[rn.to_numpy() < cap]
+
+
 DOMAIN_DOCS = 20   # synthetic host id = doc_id // 20: the domain count
                    # GROWS with the corpus (the table has no url column;
                    # at real scale this is the url's registered domain)
@@ -4801,16 +4817,24 @@ def q_domain_cap(sf_dir: str, n_buckets: int = 32):
         d = np.mod(ids, m32).astype(np.uint64)
         h = ((d * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
         dom = np.char.add("host-", host.astype(np.int64).astype(str))
+        df = pd.DataFrame({
+            "doc_id": ids.astype(np.int64), "domain": dom,
+            "h": h, "_bucket": (host % n_buckets).astype(np.int64)})
+        # PRE-CAP per batch (r5 skew defense, the r4 verdict's #3): the
+        # global keep is the CAP smallest (h, doc_id) per domain — a
+        # pure selection, so each batch can keep its local bottom-CAP
+        # per domain first. A domain holding 90% of the corpus now
+        # lands ≤ blocks×CAP rows in its exchange bucket, not O(corpus).
+        df = _bottom_cap(df, "domain", ["h", "doc_id"], DOMAIN_CAP)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "domain": pa.array(dom, pa.string()),
-            "h": pa.array(h, pa.int64()),
-            "_bucket": pa.array(host % n_buckets, pa.int64())})
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+            "domain": pa.array(df["domain"], pa.string()),
+            "h": pa.array(df["h"].to_numpy(np.int64)),
+            "_bucket": pa.array(df["_bucket"].to_numpy(np.int64))})
 
     def cap_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["domain", "h", "doc_id"])
-        rn = g.groupby("domain", sort=False).cumcount()
-        return g.loc[rn.to_numpy() < DOMAIN_CAP, ["doc_id", "domain"]]
+        return _bottom_cap(g, "domain", ["h", "doc_id"],
+                           DOMAIN_CAP)[["doc_id", "domain"]]
 
     out = _docs(sf_dir, ["doc_id"]) \
         .map_batches(add_cols, batch_format="pyarrow") \
@@ -8375,19 +8399,26 @@ def q_corpus_build(sf_dir: str, n_buckets: int = 64):
         ids = keep["doc_id"].to_numpy(np.int64)
         kh = ((np.mod(ids, m32).astype(np.uint64)
                * np.uint64(_KNUTH)) % np.uint64(m32)).astype(np.int64)
+        keep = keep.assign(k=kh)
+        # PRE-CAP per dedup bucket (r5 skew defense, the r4 verdict's
+        # #3): the global cap keeps the CAP smallest (k, doc_id) per
+        # source — a pure selection, so each hash bucket's survivors
+        # can be locally bottom-CAP'd per source before the source
+        # exchange. A source holding 90% of the corpus now lands
+        # ≤ buckets×CAP rows in its exchange-2 bucket, not O(corpus).
+        keep = _bottom_cap(keep, "source", ["k", "doc_id"],
+                           CORPUS_BUILD_CAP)
         bk = _dedup.md5_u64(keep["source"].to_numpy())
         return pa.table({
-            "doc_id": pa.array(ids),
+            "doc_id": pa.array(keep["doc_id"].to_numpy(np.int64)),
             "lang": pa.array(keep["lang"], pa.string()),
             "source": pa.array(keep["source"], pa.string()),
             "n_chars": pa.array(keep["n_chars"].to_numpy(np.int64)),
-            "k": pa.array(kh),
+            "k": pa.array(keep["k"].to_numpy(np.int64)),
             "_bucket2": pa.array((bk & (n_buckets - 1)).astype("int32"))})
 
     def cap_and_split(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["source", "k", "doc_id"])
-        rs = g.groupby("source", sort=False).cumcount().to_numpy()
-        g = g.loc[rs < CORPUS_BUILD_CAP]
+        g = _bottom_cap(g, "source", ["k", "doc_id"], CORPUS_BUILD_CAP)
         k = g["k"].to_numpy(np.int64)
         split = np.where(k < t_train, "train",
                          np.where(k < t_val, "val", "test"))

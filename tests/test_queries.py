@@ -1515,6 +1515,83 @@ def test_link_pagerank_hostile_graph_and_block_invariance(ray_session, tmp_path)
     pd.testing.assert_frame_equal(got2, got)
 
 
+def test_bottom_cap_semilattice_and_skewed_source_parity(ray_session, tmp_path):
+    """The r5 skew defense for the per-source/per-domain caps: the
+    shared rank cut `_bottom_cap` is a semilattice
+    (cap(cap(A) ∪ cap(B)) == cap(A ∪ B) for ANY partition), so the cap
+    stages may pre-combine per batch/bucket — pinned directly on random
+    partitions, then end-to-end: a corpus where ONE source holds 90% of
+    rows stays value-exact vs SQL for corpus_build (and domain_cap,
+    whose synthetic domain is dense here), including under a tiny block
+    size that forces many pre-cap parts."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    # (1) semilattice property on random frames and random partitions
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        n = 400
+        df = pd.DataFrame({
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "source": rng.choice(["a", "b", "mega"], size=n,
+                                 p=[0.05, 0.05, 0.9]),
+            "k": rng.randint(0, 50, size=n).astype(np.int64)})
+        whole = Q._bottom_cap(df, "source", ["k", "doc_id"], 7)
+        cuts = np.sort(rng.choice(np.arange(1, n), size=3, replace=False))
+        parts = np.split(df, cuts)
+        pre = pd.concat([Q._bottom_cap(p, "source", ["k", "doc_id"], 7)
+                         for p in parts])
+        again = Q._bottom_cap(pre, "source", ["k", "doc_id"], 7)
+        pd.testing.assert_frame_equal(
+            whole.sort_values("doc_id").reset_index(drop=True),
+            again.sort_values("doc_id").reset_index(drop=True))
+        assert again.groupby("source").size().max() <= 7
+
+    # (2) 90%-one-source corpus, value-exact end-to-end
+    n = 1000
+    src = np.where(np.arange(n) % 10 == 0,
+                   np.char.add("s", (np.arange(n) % 7).astype(str)),
+                   "megacrawl")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array([f"unique document body {i} " * 4
+                          for i in range(n)], pa.string()),
+        "lang": pa.array(["en", "de", "fr", "es", "pt"] * (n // 5),
+                         pa.string()),
+        "source": pa.array(src.astype(object), pa.string()),
+        "n_chars": pa.array([len(f"unique document body {i} " * 4)
+                             for i in range(n)], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{d}/documents.parquet')")
+
+    from ray.data.context import DataContext
+
+    for name, fn in (("corpus_build", Q.q_corpus_build),
+                     ("domain_cap", Q.q_domain_cap)):
+        want = con.execute(Q.ORACLE_SQL[name]).fetchdf()
+        got = fn(str(d))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False, check_exact=True)
+        old = DataContext.get_current().target_max_block_size
+        try:        # many tiny blocks → many pre-cap parts
+            DataContext.get_current().target_max_block_size = 4 * 1024
+            got2 = fn(str(d))
+        finally:
+            DataContext.get_current().target_max_block_size = old
+        pd.testing.assert_frame_equal(got2.reset_index(drop=True),
+                                      got.reset_index(drop=True))
+
+
 def test_two_hop_join_is_cap_bounded(ray_session, tmp_path):
     """The r5 hub defense for two-hop reachability: the edge set is
     degree-capped BEFORE the edges⋈edges self-join, so a planted hub
