@@ -117,16 +117,33 @@ def _collect_pd(partials_ds):
 def q_extract_pages(sf_dir: str):
     """Flagship: synthesized CC-style pages → two-stage extraction →
     scalar result columns (nested columns dropped for the driver's
-    hash; full nested output is exercised by pytest). Deterministic,
-    not SQL-expressible (rows-only check)."""
+    hash; full nested output is exercised by pytest). SQL-CHECKED (r5,
+    closing the last flagship no_oracle): the page synthesis is a pure
+    function of (doc_id, text), so SQL_EXTRACT_PAGES re-derives the
+    ENTIRE per-url scalar frame — method routing (M1–M3), the html
+    keep-rule word/char arithmetic (M13/M17, the extract_audit mirror
+    at per-url granularity), the SPDF 12-word-line reconstruction, the
+    50-line re-pagination count (M12), the dimension-repair arm (M15)
+    and the fallback/failure ladder rows (M8/M14) — from the documents
+    table. Any drift in the sniffer, DOM walker, keep rules, renderer,
+    paginator or error ladder now breaks a hash, not just a count."""
     from .pipelines.extract import build_extract_ds
     from .sources.pages_from_documents import pages_dataset
 
     ds = build_extract_ds(pages_dataset(sf_dir))
-    return ds.select_columns([
+    out = ds.select_columns([
         "url", "extraction_successful", "extraction_method",
         "word_count", "character_count", "total_pages",
-        "has_tables", "has_images"]).sort("url")
+        "has_tables", "has_images"]).sort("url").to_pandas()
+    # failure rows carry NULL booleans; Arrow→pandas renders them None
+    # while DuckDB renders NaN — normalize so the gate's value hash
+    # sees one null spelling (the CLAUDE.md nullable-dtype trap, bool
+    # edition). The collected frame is the driver-sized scalar
+    # projection; the full nested output stays a streaming Dataset in
+    # the pipeline itself.
+    for c in ("has_tables", "has_images"):
+        out[c] = out[c].where(out[c].notna(), np.nan)
+    return out
 
 
 def q_extract_method_counts(sf_dir: str):
@@ -148,6 +165,79 @@ def q_extract_method_counts(sf_dir: str):
     # driver combine (4 groups); Ray's sort-based shuffle groupby
     # rejects null string keys, and the key is nullable here
     return _driver_combine(partials, ["extraction_method"], {"n": ("p_n", "sum")})
+
+
+SQL_EXTRACT_PAGES = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 10 AS m, doc_id % 100 AS hh,
+         'https://h' || CAST(doc_id % 64 AS VARCHAR) || '.example/'
+           || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '{_dedup.WS_PATTERN}'), x -> x <> '') AS ws,
+         coalesce(text, '') AS text
+  FROM documents
+), hc AS (  -- html path: 40-word chunks, keep iff rendered len >= 25
+  SELECT doc_id,
+         length(array_to_string(list_slice(ws, (i-1)*40 + 1, i*40), ' '))
+           AS clen,
+         len(list_slice(ws, (i-1)*40 + 1, i*40)) AS cwords
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1,
+                      CAST(ceil(len(ws) / 40.0) AS BIGINT))) AS i
+        FROM base WHERE m <= 5)
+), ha AS (
+  SELECT doc_id, sum(cwords) AS kw, sum(2 + clen) AS kc,
+         count(*) AS nk
+  FROM hc WHERE clen >= 25 GROUP BY doc_id
+), html AS (
+  SELECT b.url, TRUE AS extraction_successful,
+         'html_heuristic' AS extraction_method,
+         3 + coalesce(ha.kw, 0) AS word_count,
+         length('# Document ' || CAST(b.doc_id AS VARCHAR))
+           + coalesce(ha.kc, 0) AS character_count,
+         (1 + 2 * coalesce(ha.nk, 0) + 49) // 50 AS total_pages,
+         FALSE AS has_tables, FALSE AS has_images
+  FROM base b LEFT JOIN ha USING (doc_id) WHERE b.m <= 5
+), pdf AS (  -- SPDF path: 12-word lines, elements joined with \\n\\n
+  SELECT url, TRUE, 'pdf_parse',
+         len(ws),
+         CASE WHEN len(ws) = 0 THEN 0
+              ELSE length(array_to_string(ws, '')) + len(ws)
+                   + (len(ws) + 11) // 12 - 2 END,
+         CASE WHEN len(ws) = 0 THEN 1
+              ELSE (2 * ((len(ws) + 11) // 12) - 1 + 49) // 50 END,
+         FALSE, FALSE
+  FROM base WHERE m IN (6, 7, 8)
+), baddim AS (  -- m=9 dimension-repair arm: one page, line = text[:80]
+  SELECT url, TRUE, 'pdf_parse',
+         CASE WHEN trim(substr(text, 1, 80)) = '' THEN 0
+              ELSE len(list_filter(regexp_split_to_array(
+                     substr(text, 1, 80), '{_dedup.WS_PATTERN}'),
+                     x -> x <> '')) END,
+         CASE WHEN trim(substr(text, 1, 80)) = '' THEN 0
+              ELSE length(substr(text, 1, 80)) END,
+         CAST(1 AS BIGINT), FALSE, FALSE
+  FROM base WHERE m = 9 AND hh NOT IN (19, 99)
+), fb AS (   -- m=9, %100=99: corrupt payload -> zero-page fallback
+  SELECT url, TRUE, 'fallback', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), FALSE, FALSE
+  FROM base WHERE hh = 99
+), fail AS ( -- m=9, %100=19: not-a-document -> failure row
+  SELECT url, FALSE, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+  FROM base WHERE hh = 19
+)
+SELECT url, extraction_successful, extraction_method,
+       CAST(word_count AS BIGINT) AS word_count,
+       CAST(character_count AS BIGINT) AS character_count,
+       CAST(total_pages AS BIGINT) AS total_pages,
+       has_tables, has_images
+FROM (SELECT * FROM html UNION ALL SELECT * FROM pdf
+      UNION ALL SELECT * FROM baddim UNION ALL SELECT * FROM fb
+      UNION ALL SELECT * FROM fail)
+ORDER BY url
+"""
 
 
 SQL_EXTRACT_METHOD_COUNTS = """
@@ -1635,11 +1725,112 @@ def q_training_prep(sf_dir: str):
     """Composed training-data prep pipeline: extract → quality
     features → language filter → exact text dedup → per-lang token
     stats. One streaming pass plus a tiny hash shuffle; the shape a
-    pre-training corpus build takes. Deterministic; rows-only check
-    (extraction is not SQL-expressible)."""
+    pre-training corpus build takes. SQL-CHECKED (r5, closing the
+    second flagship no_oracle): SQL_TRAINING_PREP reconstructs each
+    doc's EXACT extracted full_text string from the documents table
+    (title + kept 40-word chunks for html, \\n\\n-joined 12-word lines
+    for SPDF, text[:80] for the repaired-dimensions arm; fallback and
+    failure rows can never pass the ≥80-char gate), then mirrors the
+    quality gate (length + ASCII alpha ratio), the md5 content dedup
+    (min-url winner), the stopword-argmax language heuristic
+    (first-in-sorted-order wins ties, exactly the strict-greater
+    update loop) and the shared TOKEN_PATTERN count. The md5 runs over
+    the same reconstructed STRING, so any full_text drift anywhere in
+    the extraction path breaks the dedup keys and the hash."""
     from .pipelines.prep import training_prep_summary
 
     return training_prep_summary(sf_dir)
+
+
+def _sql_stoplist(lang: str) -> str:
+    """DuckDB list literal of a STOPWORDS language set (sorted for
+    determinism) — shared so the SQL mirror can never drift from the
+    engine's sets."""
+    return "[" + ", ".join(f"'{w}'" for w in sorted(ftext.STOPWORDS[lang])) + "]"
+
+
+SQL_TRAINING_PREP = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 10 AS m, doc_id % 100 AS hh,
+         'https://h' || CAST(doc_id % 64 AS VARCHAR) || '.example/'
+           || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '{_dedup.WS_PATTERN}'), x -> x <> '') AS ws,
+         coalesce(text, '') AS text
+  FROM documents
+), hc AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ws, (i-1)*40 + 1, i*40), ' ') AS chunk
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1,
+                      CAST(ceil(len(ws) / 40.0) AS BIGINT))) AS i
+        FROM base WHERE m <= 5)
+), ha AS (
+  SELECT doc_id,
+         array_to_string(list(chunk ORDER BY i), chr(10) || chr(10)) AS body
+  FROM hc WHERE length(chunk) >= 25 GROUP BY doc_id
+), ft AS (
+  SELECT b.url,
+         '# Document ' || CAST(b.doc_id AS VARCHAR)
+           || CASE WHEN ha.body IS NULL THEN ''
+                   ELSE chr(10) || chr(10) || ha.body END AS t
+  FROM base b LEFT JOIN ha USING (doc_id) WHERE b.m <= 5
+  UNION ALL
+  SELECT url,
+         array_to_string(
+           list_transform(generate_series(1, (len(ws) + 11) // 12),
+             j -> array_to_string(list_slice(ws, (j-1)*12 + 1, j*12), ' ')),
+           chr(10) || chr(10))
+  FROM base WHERE m IN (6, 7, 8) AND len(ws) > 0
+  UNION ALL
+  SELECT url, substr(text, 1, 80)
+  FROM base WHERE m = 9 AND hh NOT IN (19, 99)
+         AND trim(substr(text, 1, 80)) <> ''
+), gated AS (
+  -- quality gate: >=80 chars and ASCII alpha ratio >= 0.5 (identical
+  -- IEEE division on both engines)
+  SELECT url, t, md5(t) AS text_hash
+  FROM ft
+  WHERE length(t) >= 80
+    AND CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / length(t) >= 0.5
+), dedup AS (
+  SELECT url, t FROM (
+    SELECT url, t,
+           row_number() OVER (PARTITION BY text_hash ORDER BY url) AS rn
+    FROM gated) WHERE rn = 1
+), lng AS (
+  SELECT t,
+         list_transform(
+           list_slice(regexp_extract_all(t, '[A-Za-z]+'), 1, 500),
+           w -> lower(w)) AS words
+  FROM dedup
+), hits AS (
+  SELECT t,
+         len(list_filter(words, w -> list_contains({_sql_stoplist('de')}, w))) AS h_de,
+         len(list_filter(words, w -> list_contains({_sql_stoplist('en')}, w))) AS h_en,
+         len(list_filter(words, w -> list_contains({_sql_stoplist('es')}, w))) AS h_es,
+         len(list_filter(words, w -> list_contains({_sql_stoplist('fr')}, w))) AS h_fr
+  FROM lng
+), tagged AS (
+  -- strict-greater update over sorted langs: first in sorted order
+  -- wins ties; zero hits -> unknown (corpus is ASCII: the CJK arm of
+  -- the engine heuristic is unreachable and omitted)
+  SELECT CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+              WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+              WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+              WHEN h_es >= h_fr THEN 'es'
+              ELSE 'fr' END AS pred_lang,
+         array_length(regexp_extract_all(t, '{ftext.TOKEN_PATTERN}'))
+           AS n_tokens,
+         length(t) AS n_chars
+  FROM hits
+)
+SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM tagged GROUP BY pred_lang ORDER BY pred_lang
+"""
 
 
 def q_order_priority_revenue(sf_dir: str):
@@ -8606,6 +8797,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "extract_pages": SQL_EXTRACT_PAGES,
+    "training_prep": SQL_TRAINING_PREP,
     "extract_method_counts": SQL_EXTRACT_METHOD_COUNTS,
     "sniff_counts": SQL_SNIFF_COUNTS,
     "doc_stats_by_lang": SQL_DOC_STATS_BY_LANG,

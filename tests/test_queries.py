@@ -86,6 +86,7 @@ PARITY_NAMES = [
     "pii_spans", "event_dedup_window", "host_two_hop",
     "embedding_quantize_audit", "jsonl_roundtrip_stats",
     "csv_roundtrip_stats", "corpus_build",
+    "extract_pages", "training_prep",
 ]
 
 
