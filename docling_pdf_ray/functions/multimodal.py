@@ -220,6 +220,7 @@ class ImageHashStage:
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload").to_pylist()):
             p = p or b""
+            ok = True
             try:
                 if p.startswith(b"P6"):
                     img = decode_ppm(p)
@@ -236,13 +237,20 @@ class ImageHashStage:
             except Exception:
                 if self.strict:
                     raise
+                # digest pseudo-hash: keeps the row flowing through the
+                # plumbing but carries NO pixel evidence — tagged so
+                # downstream dedup can exclude it (ADVICE r4: two
+                # byte-identical undecodable payloads must not surface
+                # as a hamming-0 'near-dup image' pair)
                 h = int.from_bytes(
                     hashlib.blake2b(p, digest_size=8).digest(), "big")
-            out.append((mid, h))
+                ok = False
+            out.append((mid, h, ok))
         return pa.table({
             "media_id": pa.array([r[0] for r in out], pa.int64()),
             # shift into int64 range (the simhash storage convention)
-            "ahash": pa.array([r[1] - (1 << 63) for r in out], pa.int64())})
+            "ahash": pa.array([r[1] - (1 << 63) for r in out], pa.int64()),
+            "decoded": pa.array([r[2] for r in out], pa.bool_())})
 
 
 def synth_image_dedup_dataset(n: int = 128, seed: int = 7):
@@ -259,6 +267,10 @@ def synth_image_dedup_dataset(n: int = 128, seed: int = 7):
     near-dup pairs."""
     import ray.data as rd
 
+    return rd.from_arrow(pa.Table.from_pylist(_synth_image_rows(n, seed)))
+
+
+def _synth_image_rows(n: int, seed: int) -> list[dict]:
     rows = []
     prev_img = None
     for i in range(n):
@@ -283,7 +295,38 @@ def synth_image_dedup_dataset(n: int = 128, seed: int = 7):
                      encode_pgm)[i % 4]
         rows.append({"media_id": i, "kind": "image",
                      "payload": codec(img)})
-    return rd.from_arrow(pa.Table.from_pylist(rows))
+    return rows
+
+
+def image_table_path(n: int = 128, seed: int = 7) -> str:
+    """Materialize the synthetic image table ONCE to a parquet fixture
+    under /tmp and return its path — so media consumers read a REAL
+    columnar source, column-pruned, instead of an in-memory table (the
+    r4 verdict's ask). The content is a pure function of (n, seed), so
+    the cache key IS the content key; the write goes to a unique temp
+    dir and publishes via one atomic ``os.rename`` (two concurrent
+    sessions race safely — the compaction tool's .inprogress
+    discipline; the loser discards its copy of identical bytes)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    root = "/tmp/docling_pdf_ray_fixtures"
+    final = os.path.join(root, f"media-n{n}-s{seed}")
+    target = os.path.join(final, "media.parquet")
+    if os.path.exists(target):
+        return target
+    os.makedirs(root, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=root, prefix=f".media-n{n}-s{seed}.")
+    pq.write_table(pa.Table.from_pylist(_synth_image_rows(n, seed)),
+                   os.path.join(tmp, "media.parquet"))
+    try:
+        os.rename(tmp, final)
+    except OSError:             # another session published first
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:

@@ -101,6 +101,24 @@ def _driver_combine(partials_ds, by: list[str], aggs: dict[str, tuple[str, str]]
     return out[by + list(aggs)]
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Footer-only row count for a parquet FILE or a DIRECTORY of part
+    files (ADVICE r4: ``pq.ParquetFile`` raises on the partitioned
+    trees ``read_parquet`` itself accepts and the block-invariance
+    tests create). Metadata-only — no data pages are read."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(pq.read_metadata(f).num_rows
+                   for f in sorted(glob.glob(
+                       os.path.join(path, "**", "*.parquet"),
+                       recursive=True)))
+    return pq.read_metadata(path).num_rows
+
+
 def _collect_pd(partials_ds):
     """iter_batches → ONE pandas frame, or ``None`` on a zero-batch
     input (``pd.concat([])`` raises ValueError; callers return their
@@ -6889,9 +6907,7 @@ def q_vocab_growth(sf_dir: str):
     rows. No vocabulary ever materializes centrally."""
     import pandas as pd
 
-    import pyarrow.parquet as pq
-
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.is_valid(batch.column("text")))
@@ -7598,28 +7614,32 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3,
     SimHash path uses (`dedup.simhash_bands` / `_hot_bucket_pairs` —
     pigeonhole guarantees hamming<4 recall). Payload bytes never leave
     the decode stage; only (media_id, ahash) and band triples shuffle.
-    Input is the deterministic planted-dup image table (scaled off the
-    sf's doc count — every 5th image is a +2-brightness two-pixel-edit
-    re-encode of its predecessor, the perturbation aHash is built to
-    survive). Rows-only driver check (pixel decode is not
+    Input is a REAL parquet media source (r5, the r4 verdict's #5):
+    the deterministic planted-dup image table — every 5th image a
+    +2-brightness two-pixel-edit re-encode of its predecessor, the
+    perturbation aHash is built to survive — materialized once to a
+    /tmp fixture and read back column-pruned, scaled off the sf's doc
+    count. Pseudo-hash rows (payloads no codec decodes) are EXCLUDED
+    from banding: a blake2b digest match is byte equality, not pixel
+    evidence (ADVICE r4). Rows-only driver check (pixel decode is not
     SQL-expressible); recall/precision and determinism are pinned by
     tests/test_multimodal.py."""
     import pandas as pd
 
-    import pyarrow.parquet as pq
-
     from .functions import multimodal as mm
 
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
     n = int(min(2048, max(64, n_docs // 8)))
-    media = mm.synth_image_dedup_dataset(n=n)
+    media = _rd().read_parquet(mm.image_table_path(n=n),
+                               columns=["media_id", "payload"])
     hashes = media.map_batches(mm.ImageHashStage, batch_format="pyarrow",
                                batch_size=32, concurrency=(1, 4),
                                num_cpus=1)
 
     def bands(batch: pa.Table) -> pa.Table:
-        return _fp_band_table(batch.column("media_id").to_pylist(),
-                              batch.column("ahash").to_pylist(),
+        t = batch.filter(batch.column("decoded"))
+        return _fp_band_table(t.column("media_id").to_pylist(),
+                              t.column("ahash").to_pylist(),
                               n_buckets)
 
     def verify(g: pd.DataFrame) -> pa.Table:

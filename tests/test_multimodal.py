@@ -307,5 +307,37 @@ def test_image_hash_stage_strict_and_fallback():
                       "payload": pa.array([b"\xff\xd8jpeg-ish"], pa.binary())})
     out = ImageHashStage(strict=False)(batch)
     assert out.num_rows == 1  # digest fallback keeps the row
+    assert out.column("decoded").to_pylist() == [False]  # ...but tagged
     with pytest.raises(NotImplementedError):
         ImageHashStage(strict=True)(batch)
+
+
+def test_pseudo_hash_rows_never_pair(ray_session):
+    """ADVICE r4: two byte-identical UNDECODABLE payloads produce equal
+    blake2b pseudo-hashes (hamming 0) but carry no pixel evidence —
+    the dedup must not surface them as a near-dup image pair. Pinned by
+    running the banding+verify flow over a batch mixing a real planted
+    pair with an identical undecodable pair."""
+    import numpy as np
+
+    from docling_pdf_ray.functions.multimodal import (ImageHashStage,
+                                                      encode_ppm)
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 251, size=(20, 20, 3), dtype=np.uint8)
+    near = np.clip(img.astype(np.int16) + 2, 0, 255).astype(np.uint8)
+    batch = pa.table({
+        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([encode_ppm(img), encode_ppm(near),
+                             b"\xff\xd8same-jpeg", b"\xff\xd8same-jpeg"],
+                            pa.binary())})
+    hashed = ImageHashStage(strict=False)(batch)
+    t = hashed.filter(hashed.column("decoded"))
+    bands = Q._fp_band_table(t.column("media_id").to_pylist(),
+                             t.column("ahash").to_pylist(), 4)
+    got = set()
+    for _, g in bands.to_pandas().groupby("_bucket"):
+        v = Q._fp_verify_group(g, 3, a_col="a", b_col="b")
+        got |= set(zip(v.column("a").to_pylist(), v.column("b").to_pylist()))
+    assert got == {(0, 1)}      # the real pair, never the jpeg twins
