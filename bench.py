@@ -2,10 +2,13 @@
 """Benchmark: end-to-end extraction throughput + representative query
 timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line (the driver captures a bounded stdout tail
+— r4's full sweep outgrew it):
   {"metric": "...", "value": <headline seconds>, "unit": "sec",
-   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_s": ...,
-   "mb_per_s": ..., "actor_pool_sec": ...}
+   "queries": {10 slowest}, "queries_n": N, "queries_total_sec": ...,
+   "sweep_path": <full per-query sweep JSON file>, "sf": ...,
+   "num_cpus": N, "docs_per_s": ..., "mb_per_s": ...,
+   "actor_pool_sec": ...}
 
 The headline is the 'tasks' execution mode (byte-identical output to
 the default actor-pool structure, tested in test_pipeline.py); the
@@ -211,7 +214,7 @@ def run_bench() -> dict:
         assert len(r) >= 0
         return round(time.monotonic() - t, 3)
 
-    result["queries"] = {
+    sweep = {
         name: timed(name)
         for name in ["pricing_summary", "events_hourly", "dedup_exact",
                      "doc_token_stats", "user_sessions", "minhash_near_dups",
@@ -252,7 +255,22 @@ def run_bench() -> dict:
                      "mixture_resample", "part_association",
                      "compression_ratio", "pii_spans", "event_dedup_window", "host_two_hop",
                      "embedding_quantize_audit", "jsonl_roundtrip_stats",
-                     "csv_roundtrip_stats", "corpus_build"]}
+                     "csv_roundtrip_stats", "corpus_build",
+                     "extract_pages", "training_prep"]}
+    # the full per-query sweep outgrew the driver's bounded stdout-tail
+    # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
+    # file and keep the final stdout line SHORT: headline + the 10
+    # slowest sweep entries + aggregates + the sweep file path
+    sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_SWEEP.json")
+    with open(sweep_path, "w") as f:
+        json.dump({"sf": SF_DIR, "num_cpus": NUM_CPUS, "queries": sweep},
+                  f, indent=1, sort_keys=True)
+    slowest = dict(sorted(sweep.items(), key=lambda kv: -kv[1])[:10])
+    result["queries"] = slowest
+    result["queries_n"] = len(sweep)
+    result["queries_total_sec"] = round(sum(sweep.values()), 2)
+    result["sweep_path"] = sweep_path
     ray.shutdown()
     return result
 
@@ -321,14 +339,14 @@ def run_scaling() -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(), separators=(",", ":")))
         return
     if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         # child of --scaling: skip the query sweep, headline only
         result = run_bench_headline_only()
-        print(json.dumps(result))
+        print(json.dumps(result, separators=(",", ":")))
         return
-    print(json.dumps(run_bench()))
+    print(json.dumps(run_bench(), separators=(",", ":")))
 
 
 def run_bench_headline_only() -> dict:

@@ -6,6 +6,8 @@
         [--no-resume] [--dedup] [--max-mb N] [--concurrency K]
     python -m docling_pdf_ray.run status --output DIR
     python -m docling_pdf_ray.run lookup --output DIR --url URL
+    python -m docling_pdf_ray.run gc --output DIR --older-than SECS [--dry-run]
+    python -m docling_pdf_ray.run compact --input DIR --output DIR
 
 Also usable under `ray job submit -- python -m docling_pdf_ray.run …`
 on a real cluster. This is the only module that may own a Ray session
@@ -97,6 +99,19 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_gc(args) -> int:
+    """Age-based output retention (the reference's result-TTL analog,
+    redis_manager.py:64-68): prune partitions completed more than
+    --older-than seconds ago, sidecar-first so resume semantics stay
+    safe. No Ray session needed."""
+    from .state import lineage
+
+    audit = lineage.gc_partitions(args.output, args.older_than,
+                                  dry_run=args.dry_run)
+    print(json.dumps(audit))
+    return 0
+
+
 def cmd_compact(args) -> int:
     _ray_init()
     from .pipelines.compact import compact_parquet
@@ -135,6 +150,16 @@ def main(argv=None) -> int:
     pl.add_argument("--output", required=True)
     pl.add_argument("--url", required=True)
     pl.set_defaults(fn=cmd_lookup)
+
+    pg = sub.add_parser(
+        "gc", help="prune output partitions older than a retention age "
+                   "(lineage-aware; sidecar removed before data)")
+    pg.add_argument("--output", required=True)
+    pg.add_argument("--older-than", type=float, required=True,
+                    help="retention age in seconds")
+    pg.add_argument("--dry-run", action="store_true",
+                    help="report what would be pruned, delete nothing")
+    pg.set_defaults(fn=cmd_gc)
 
     pc_ = sub.add_parser(
         "compact", help="rewrite a parquet dir into fewer, larger files "

@@ -130,3 +130,40 @@ def rollup_counters(out_dir: str) -> dict:
         "n_failed": pc.sum(t.column("n_failed")).as_py() or 0,
         "wall_s_total": pc.sum(t.column("wall_s")).as_py() or 0.0,
     }
+
+
+def gc_partitions(out_dir: str, older_than_s: float,
+                  now: float | None = None,
+                  dry_run: bool = False) -> dict:
+    """Age-based output retention (r5 — the batch analog of the
+    reference's result TTL, redis_manager.py:64-68, which expired
+    results after 3600 s; durable parquet needs an explicit GC verb
+    instead). A partition's AGE is its sidecar's mtime — the moment
+    the commit protocol declared it complete. Partitions older than
+    ``older_than_s`` are pruned ATOMICALLY per partition in the
+    INVERSE of the commit order: the sidecar row is deleted FIRST
+    (resume immediately stops trusting the partition), then the data
+    directory — a crash in between leaves data without a sidecar,
+    which a resume simply reprocesses/overwrites; the unsafe state
+    (sidecar without data) can never occur. Returns an audit dict;
+    ``dry_run`` reports without deleting."""
+    import shutil
+    import time as _time
+
+    now = _time.time() if now is None else now
+    cutoff = now - older_than_s
+    removed, kept = [], []
+    for path in sorted(glob.glob(
+            os.path.join(out_dir, LINEAGE_DIR, "part-*.parquet"))):
+        pid = int(os.path.basename(path)[len("part-"):-len(".parquet")])
+        if os.path.getmtime(path) >= cutoff:
+            kept.append(pid)
+            continue
+        removed.append(pid)
+        if dry_run:
+            continue
+        os.remove(path)                      # 1) un-commit (resume-safe)
+        shutil.rmtree(partition_dir(out_dir, pid), ignore_errors=True)  # 2) data
+    return {"out_dir": out_dir, "older_than_s": older_than_s,
+            "dry_run": dry_run, "removed": removed, "kept": kept,
+            "n_removed": len(removed), "n_kept": len(kept)}

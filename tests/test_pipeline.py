@@ -85,6 +85,45 @@ def test_lineage_sidecar(extracted_run):
     assert roll["n_ok"] == summary["n_ok"] and roll["n_failed"] == summary["n_failed"]
 
 
+def test_gc_retention_prunes_old_partitions(extracted_run):
+    """run.py gc (r5 — the reference's result-TTL analog): partitions
+    whose sidecar mtime is older than the retention age are pruned
+    sidecar-FIRST (the inverse of the commit order, so a crash mid-GC
+    can only leave reprocessable data, never a sidecar without data);
+    dry-run deletes nothing; young partitions and counters survive."""
+    import os
+    import time
+
+    from docling_pdf_ray.state import lineage
+
+    out, shards, summary = extracted_run
+    n = len(shards)
+    # backdate partition 0's sidecar: completed "two hours ago"
+    old = time.time() - 7200
+    os.utime(lineage.lineage_path(out, 0), (old, old))
+
+    audit = lineage.gc_partitions(out, older_than_s=3600, dry_run=True)
+    assert audit["removed"] == [0] and audit["n_kept"] == n - 1
+    assert os.path.exists(lineage.lineage_path(out, 0))      # dry run
+
+    audit = lineage.gc_partitions(out, older_than_s=3600)
+    assert audit["removed"] == [0]
+    assert not os.path.exists(lineage.lineage_path(out, 0))
+    assert not os.path.isdir(lineage.partition_dir(out, 0))
+    # the survivors are intact and resume no longer trusts partition 0
+    assert lineage.completed_partitions(out) == set(range(1, n))
+    assert os.path.isdir(lineage.partition_dir(out, 1))
+    # idempotent: nothing old remains
+    again = lineage.gc_partitions(out, older_than_s=3600)
+    assert again["removed"] == [] and again["n_kept"] == n - 1
+
+    # restore for sibling tests that share the session-scoped fixture
+    from docling_pdf_ray.pipelines.extract import run_partitioned
+
+    run_partitioned(shards, out, CFG, resume=True)
+    assert lineage.completed_partitions(out) == set(range(n))
+
+
 def test_resume_skips_completed_partitions(ray_session, fixture_pages_dir, tmp_path):
     from docling_pdf_ray.pipelines.extract import read_extracted, run_partitioned
     from docling_pdf_ray.state import lineage
