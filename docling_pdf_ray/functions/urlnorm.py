@@ -17,7 +17,10 @@ mirror below is the SAME automaton, not a reimplementation):
    leading / sole positions — RE2 global replace scans past its own
    replacement, so a single pass cannot catch ``?utm_a=..&utm_b=..``),
 3. lowercase ``scheme://host`` (never the path or query),
-4. strip an explicit default port (``:80`` / ``:443``),
+4. strip an explicit DEFAULT port for the scheme — ``:80`` only on
+   ``http://``, ``:443`` only on ``https://`` (ADVICE r4: a
+   scheme-blind strip canonicalized ``http://h:443`` and ``http://h``
+   — two different origins — to the same key),
 5. strip trailing slashes from the path (``/+$`` and ``/+?`` → ``?``).
 
 All classes are explicit ASCII (the RE2-vs-Unicode parity discipline,
@@ -46,7 +49,9 @@ _PRE_RULES = [
     (rf"\?{_UTM}$", "", False),           # 2c. sole utm param
 ]
 _PREFIX_RULES = [
-    (r":(80|443)$", "", False),           # 4. default port
+    # 4. scheme-aware default port (applied to the LOWERCASED prefix)
+    (r"^(http://[^/?#]*):80$", r"\1", False),
+    (r"^(https://[^/?#]*):443$", r"\1", False),
 ]
 _REST_RULES = [
     (r"/+\?", "?", False),                # 5a. trailing slash before query

@@ -8471,26 +8471,46 @@ def _format_roundtrip_stats(sf_dir: str, fmt: str):
     the oracle checks the whole ser/de loop (string escaping with
     embedded quotes/newlines, null propagation, int fidelity), not
     just the aggregation. The exported tree is written ONCE per
-    (sf dir, fmt) under /tmp (streamed, partitioned — never a
+    (source content, fmt) under /tmp (streamed, partitioned — never a
     driver-side dump) and reused; the stats pass is the standard
-    zero-shuffle partial → bounded driver combine."""
+    zero-shuffle partial → bounded driver combine.
+
+    Cache discipline (ADVICE r4): the cache key includes the source
+    parquet's size+mtime footprint — a REGENERATED corpus at the same
+    path gets a fresh export, never a stale reuse — and the export is
+    written to a unique temp dir and published with one atomic
+    ``os.rename`` (two concurrent sessions race safely; the loser
+    discards its identical copy)."""
     import hashlib
     import os
+    import shutil
+    import tempfile
 
     import pandas as pd
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/graft_roundtrip/{fmt}-docs-{key}"
-    done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
-        import shutil
+    src_path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src_path):
+        import glob as _glob
 
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(out, exist_ok=True)
+        sig = ";".join(
+            f"{os.path.basename(f)}:{os.path.getsize(f)}:"
+            f"{os.stat(f).st_mtime_ns}"
+            for f in sorted(_glob.glob(os.path.join(src_path, "*.parquet"))))
+    else:
+        st = os.stat(src_path)
+        sig = f"{st.st_size}:{st.st_mtime_ns}"
+    key = hashlib.md5(f"{sf_dir}|{sig}".encode()).hexdigest()[:10]
+    root = "/tmp/graft_roundtrip"
+    out = os.path.join(root, f"{fmt}-docs-{key}")
+    if not os.path.isdir(out):
+        os.makedirs(root, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=root, prefix=f".{fmt}-docs-{key}.")
         src = _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"])
-        (src.write_json(out) if fmt == "json" else src.write_csv(out))
-        with open(done, "w") as f:
-            f.write("ok")
+        (src.write_json(tmp) if fmt == "json" else src.write_csv(tmp))
+        try:
+            os.rename(tmp, out)
+        except OSError:             # another session published first
+            shutil.rmtree(tmp, ignore_errors=True)
 
     suffix = ".json" if fmt == "json" else ".csv"
     files = sorted(os.path.join(out, f) for f in os.listdir(out)
@@ -8516,8 +8536,18 @@ def _format_roundtrip_stats(sf_dir: str, fmt: str):
             "p_chars": pa.array(g["p_chars"].to_numpy(np.int64)),
             "p_textlen": pa.array(g["p_textlen"].to_numpy(np.int64))})
 
-    src = (_rd().read_json(files) if fmt == "json"
-           else _rd().read_csv(files))
+    if fmt == "json":
+        src = _rd().read_json(files)
+    else:
+        from pyarrow import csv as _pcsv
+
+        # explicit null semantics (ADVICE r4): only an UNQUOTED empty
+        # field is null (the writer's null spelling); Arrow's default
+        # sentinels would turn a document whose text is literally
+        # 'NULL'/'null'/'N/A' into a null after the roundtrip
+        src = _rd().read_csv(files, convert_options=_pcsv.ConvertOptions(
+            null_values=[""], strings_can_be_null=True,
+            quoted_strings_can_be_null=False))
     out_df = _driver_combine(
         src.map_batches(partial, batch_format="pyarrow"),
         ["lang"], {"n_docs": ("p_n", "sum"),

@@ -2092,11 +2092,15 @@ def test_roundtrip_stats_hostile_text(ray_session, tmp_path, monkeypatch):
 
     texts = ['a,b,"c"', "line1\nline2", "tab\tsep", "quote\"inside",
              "unicode é中文", None, "", "trailing,comma,",
-             "'single'", "\\backslash\\"]
+             "'single'", "\\backslash\\",
+             # ADVICE r4: Arrow CSV's default null sentinels would turn
+             # these literal strings into nulls after the roundtrip
+             "NULL", "null", "N/A", "NA", "nan"]
     t = pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
         "text": pa.array(texts, pa.string()),
-        "lang": pa.array(["en", "de"] * 5, pa.string()),
+        "lang": pa.array((["en", "de"] * len(texts))[:len(texts)],
+                         pa.string()),
         "source": pa.array(["s"] * len(texts), pa.string()),
         "n_chars": pa.array([len(x) if x else 0 for x in texts],
                             pa.int64())})

@@ -29,6 +29,10 @@ def canon1(u):
     ("https://a.example/", "https://a.example"),
     # non-default port survives
     ("https://a.example:8080/p", "https://a.example:8080/p"),
+    # CROSS-scheme "default" ports are different origins and survive
+    # (ADVICE r4: the scheme-blind strip falsely merged these)
+    ("http://a.example:443/p", "http://a.example:443/p"),
+    ("https://a.example:80/p", "https://a.example:80/p"),
     # path/query case is preserved — only scheme://host lowercases
     ("HTTP://A.EXAMPLE/PaTh?Q=V", "http://a.example/PaTh?Q=V"),
     # utm runs: leading, interior, trailing, sole, mixed
@@ -63,7 +67,8 @@ def test_duckdb_parity_on_hostile_corpus():
         "https://h5.example/p/3?utm_source=f&utm_campaign=c#s",
         "HTTPS://H5.EXAMPLE:443/p/3", "https://h5.example/p/3/",
         "https://h5.example/p/3?a=1&utm_b=2&c=3",
-        "http://x.org:80/", "ftp://Mixed.Case.Host/File.TXT",
+        "http://x.org:80/", "http://x.org:443/", "https://x.org:80/",
+        "ftp://Mixed.Case.Host/File.TXT",
         "https://a.example/p//?utm_a=#x", "not a url/", None, "",
         "https://a.example/p?utm_=1&utm_=2&utm_=3",
     ]
