@@ -6,6 +6,7 @@
         [--no-resume] [--dedup] [--max-mb N] [--concurrency K]
     python -m docling_pdf_ray.run status --output DIR
     python -m docling_pdf_ray.run lookup --output DIR --url URL
+    python -m docling_pdf_ray.run health --output DIR
     python -m docling_pdf_ray.run gc --output DIR --older-than SECS [--dry-run]
     python -m docling_pdf_ray.run compact --input DIR --output DIR
 
@@ -99,6 +100,36 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_health(args) -> int:
+    """Output-dir integrity check (the /health analog, main.py:311-340,
+    reshaped for batch): every done sidecar must have its data dir, and
+    orphan data dirs (data without a sidecar — a crash between rename
+    and lineage write, or a mid-GC interruption) are reported as
+    reprocessable. Exit 0 = healthy, 1 = findings. No Ray session."""
+    import re
+
+    from .state import lineage
+
+    t = lineage.read_lineage(args.output)
+    pids = set(t.column("partition_id").to_pylist())
+    missing_data = [p for p in sorted(pids)
+                    if not os.path.isdir(lineage.partition_dir(args.output, p))]
+    on_disk = {int(m.group(1))
+               for d in os.listdir(args.output)
+               if (m := re.fullmatch(r"partition_id=(\d+)", d))
+               and os.path.isdir(os.path.join(args.output, d))}
+    orphans = sorted(on_disk - pids)
+    report = {
+        "healthy": not missing_data,
+        "partitions": len(pids),
+        **lineage.rollup_counters(args.output),
+        "sidecar_without_data": missing_data,   # broken commit invariant
+        "data_without_sidecar": orphans,        # reprocessable on resume
+    }
+    print(json.dumps(report))
+    return 0 if report["healthy"] else 1
+
+
 def cmd_gc(args) -> int:
     """Age-based output retention (the reference's result-TTL analog,
     redis_manager.py:64-68): prune partitions completed more than
@@ -150,6 +181,11 @@ def main(argv=None) -> int:
     pl.add_argument("--output", required=True)
     pl.add_argument("--url", required=True)
     pl.set_defaults(fn=cmd_lookup)
+
+    ph = sub.add_parser(
+        "health", help="output-dir integrity check (sidecar vs data dirs)")
+    ph.add_argument("--output", required=True)
+    ph.set_defaults(fn=cmd_health)
 
     pg = sub.add_parser(
         "gc", help="prune output partitions older than a retention age "

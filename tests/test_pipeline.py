@@ -124,6 +124,45 @@ def test_gc_retention_prunes_old_partitions(extracted_run):
     assert lineage.completed_partitions(out) == set(range(n))
 
 
+def test_health_verb_reports_integrity(extracted_run, capsys):
+    """run.py health (r5 — the /health analog): clean output is
+    healthy; an orphan data dir (reprocessable) is reported without
+    failing; a done sidecar whose data dir is gone breaks the commit
+    invariant and exits non-zero."""
+    import json
+    import os
+    import shutil
+
+    from docling_pdf_ray import run as cli
+    from docling_pdf_ray.state import lineage
+
+    out, shards, summary = extracted_run
+
+    assert cli.main(["health", "--output", out]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["healthy"] and rep["partitions"] == len(shards)
+
+    os.makedirs(os.path.join(out, "partition_id=999"), exist_ok=True)
+    assert cli.main(["health", "--output", out]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["data_without_sidecar"] == [999]
+
+    shutil.rmtree(lineage.partition_dir(out, 0))
+    assert cli.main(["health", "--output", out]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["sidecar_without_data"] == [0] and not rep["healthy"]
+
+    # restore the module-scoped fixture for sibling tests: drop the
+    # orphan, delete the stale sidecar, and resume-reprocess partition 0
+    shutil.rmtree(os.path.join(out, "partition_id=999"))
+    os.remove(lineage.lineage_path(out, 0))
+    from docling_pdf_ray.pipelines.extract import run_partitioned
+
+    run_partitioned(shards, out, CFG, resume=True)
+    assert cli.main(["health", "--output", out]) == 0
+    capsys.readouterr()
+
+
 def test_resume_skips_completed_partitions(ray_session, fixture_pages_dir, tmp_path):
     from docling_pdf_ray.pipelines.extract import read_extracted, run_partitioned
     from docling_pdf_ray.state import lineage
