@@ -190,14 +190,29 @@ def _measure(actor_pool_too: bool = True) -> dict:
     return result
 
 
-def run_bench() -> dict:
+def _bench_ray_init() -> None:
+    """Session owner for the benchmark. GRAFT_BENCH_ADDRESS (set by
+    --scaling-multinode) connects to an already-started multi-raylet
+    cluster instead of booting a local one."""
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+    addr = os.environ.get("GRAFT_BENCH_ADDRESS")
+    if addr:
+        ray.init(address=addr, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    else:
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+
+def run_bench() -> dict:
+    import ray
+
+    _bench_ray_init()
 
     result = _measure()
 
@@ -337,7 +352,84 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_multinode() -> dict:
+    """--scaling-multinode (the r4 verdict's stretch #9): the two-RAYLET
+    variant of --scaling. Each level boots a head raylet PLUS a second
+    worker raylet on localhost (`ray start --head` / `ray start
+    --address=...`), and the headline child connects by address — so
+    every exchange path crosses a REAL inter-raylet object-store
+    boundary instead of staying inside one plasma store. Levels are
+    N=8 (4+4 cpus) vs 4N=32 (16+16 cpus): both levels have the same
+    two-node topology, so the pair isolates scale-out, not the
+    one-vs-two-raylet constant. Requires exclusive use of Ray on the
+    host (`ray stop --force` between levels)."""
+    import subprocess
+
+    repl = os.environ.get("GRAFT_BENCH_REPL_SCALING", "128")
+    n_sessions = int(os.environ.get("GRAFT_BENCH_SCALING_SESSIONS", "3"))
+    port = int(os.environ.get("GRAFT_BENCH_RAY_PORT", "6380"))
+
+    def ray_cli(*args) -> None:
+        subprocess.run(["ray", *args], check=True, capture_output=True,
+                       text=True)
+
+    def one(total: int) -> dict:
+        per = total // 2
+        subprocess.run(["ray", "stop", "--force"], capture_output=True)
+        ray_cli("start", "--head", f"--num-cpus={per}", f"--port={port}",
+                "--include-dashboard=false")
+        ray_cli("start", f"--address=127.0.0.1:{port}", f"--num-cpus={per}")
+        try:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(total),
+                       GRAFT_BENCH_HEADLINE_ONLY="1",
+                       GRAFT_BENCH_ADDRESS=f"127.0.0.1:{port}",
+                       GRAFT_BENCH_REPL=repl)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        finally:
+            subprocess.run(["ray", "stop", "--force"], capture_output=True)
+
+    def level(total: int) -> dict:
+        sessions = [one(total) for _ in range(n_sessions)]
+        secs = sorted(s["value"] for s in sessions)
+        med = secs[len(secs) // 2]
+        rep = next(s for s in sessions if s["value"] == med)
+        return {"sec": med, "docs_per_s": rep["docs_per_s"],
+                "session_secs": secs}
+
+    levels = {n: level(n) for n in (4, 8, 16, 32)}
+    pairs = {}
+    for lo_n, hi_n in ((4, 16), (8, 32)):
+        lo, hi = levels[lo_n], levels[hi_n]
+        pairs[f"{lo_n}to{hi_n}"] = {
+            "sec_lo": lo["sec"], "sec_hi": hi["sec"],
+            "docs_per_s_lo": lo["docs_per_s"],
+            "docs_per_s_hi": hi["docs_per_s"],
+            "session_secs_lo": lo["session_secs"],
+            "session_secs_hi": hi["session_secs"],
+            "scaling_efficiency": round(
+                (lo["sec"] / hi["sec"]) / (hi_n / lo_n), 3),
+        }
+    return {
+        "metric": "two-raylet scaling efficiency (head+worker raylets on "
+                  "localhost, every exchange crosses a real object-store "
+                  f"boundary; N vs 4N cpus split evenly across the two "
+                  f"raylets, median of {n_sessions} sessions x 3 reps)",
+        "topology": "2 raylets per level",
+        "pairs": pairs,
+        "scaling_efficiency": pairs["4to16"]["scaling_efficiency"],
+        "scaling_efficiency_8to32": pairs["8to32"]["scaling_efficiency"],
+        "sf": SF_DIR,
+    }
+
+
 def main() -> None:
+    if "--scaling-multinode" in sys.argv:
+        print(json.dumps(run_scaling_multinode(), separators=(",", ":")))
+        return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(), separators=(",", ":")))
         return
@@ -354,11 +446,7 @@ def run_bench_headline_only() -> dict:
     minus the query sweep and the actor-pool comparison run."""
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    _bench_ray_init()
     result = _measure(actor_pool_too=False)
     result["metric"] = "extraction headline"
     result["queries"] = {}
