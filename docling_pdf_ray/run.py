@@ -7,6 +7,7 @@
     python -m docling_pdf_ray.run status --output DIR
     python -m docling_pdf_ray.run lookup --output DIR --url URL
     python -m docling_pdf_ray.run health --output DIR
+    python -m docling_pdf_ray.run delete --output DIR --partition ID... [--dry-run]
     python -m docling_pdf_ray.run gc --output DIR --older-than SECS [--dry-run]
     python -m docling_pdf_ray.run compact --input DIR --output DIR
 
@@ -130,6 +131,19 @@ def cmd_health(args) -> int:
     return 0 if report["healthy"] else 1
 
 
+def cmd_delete(args) -> int:
+    """Targeted partition delete (the DELETE /task/{id} analog,
+    main.py:275-309) — sidecar-first, so resume semantics stay safe.
+    Exit 0 if every requested id existed, 1 if any was not found (the
+    reference's 404 arm). No Ray session needed."""
+    from .state import lineage
+
+    audit = lineage.delete_partitions(args.output, args.partition,
+                                      dry_run=args.dry_run)
+    print(json.dumps(audit))
+    return 0 if not audit["not_found"] else 1
+
+
 def cmd_gc(args) -> int:
     """Age-based output retention (the reference's result-TTL analog,
     redis_manager.py:64-68): prune partitions completed more than
@@ -186,6 +200,16 @@ def main(argv=None) -> int:
         "health", help="output-dir integrity check (sidecar vs data dirs)")
     ph.add_argument("--output", required=True)
     ph.set_defaults(fn=cmd_health)
+
+    pd_ = sub.add_parser(
+        "delete", help="delete specific output partitions by id "
+                       "(lineage-aware; sidecar removed before data)")
+    pd_.add_argument("--output", required=True)
+    pd_.add_argument("--partition", type=int, nargs="+", required=True,
+                     help="partition id(s) to delete")
+    pd_.add_argument("--dry-run", action="store_true",
+                     help="report what would be deleted, delete nothing")
+    pd_.set_defaults(fn=cmd_delete)
 
     pg = sub.add_parser(
         "gc", help="prune output partitions older than a retention age "

@@ -132,6 +132,39 @@ def rollup_counters(out_dir: str) -> dict:
     }
 
 
+def delete_partitions(out_dir: str, pids: list[int],
+                      dry_run: bool = False) -> dict:
+    """Targeted partition delete (r5 — the batch analog of the
+    reference's ``DELETE /task/{id}``, main.py:275-309, which removed
+    one task's record + result; here a "task" is an input shard =
+    output partition). Same inverse-commit-order discipline as
+    :func:`gc_partitions`: the sidecar row is deleted FIRST (resume
+    immediately stops trusting the partition), then the data directory
+    — a crash in between leaves only reprocessable data-without-sidecar
+    state. Ids with neither sidecar nor data dir are reported as
+    ``not_found`` (the reference's 404 arm). Returns an audit dict;
+    ``dry_run`` reports without deleting."""
+    import shutil
+
+    removed, not_found = [], []
+    for pid in sorted(set(int(p) for p in pids)):
+        side = lineage_path(out_dir, pid)
+        data = partition_dir(out_dir, pid)
+        has_side, has_data = os.path.isfile(side), os.path.isdir(data)
+        if not (has_side or has_data):
+            not_found.append(pid)
+            continue
+        removed.append(pid)
+        if dry_run:
+            continue
+        if has_side:
+            os.remove(side)              # 1) un-commit (resume-safe)
+        if has_data:
+            shutil.rmtree(data, ignore_errors=True)   # 2) data
+    return {"out_dir": out_dir, "dry_run": dry_run, "removed": removed,
+            "not_found": not_found, "n_removed": len(removed)}
+
+
 def gc_partitions(out_dir: str, older_than_s: float,
                   now: float | None = None,
                   dry_run: bool = False) -> dict:

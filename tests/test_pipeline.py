@@ -163,6 +163,46 @@ def test_health_verb_reports_integrity(extracted_run, capsys):
     capsys.readouterr()
 
 
+def test_delete_verb_removes_target_partition(extracted_run, capsys):
+    """run.py delete (r5 — the DELETE /task/{id} analog): the targeted
+    partition is removed sidecar-FIRST (inverse commit order — resume
+    stops trusting it before any data disappears); dry-run deletes
+    nothing; an unknown id is the reference's 404 arm (exit 1)."""
+    import json
+    import os
+
+    from docling_pdf_ray import run as cli
+    from docling_pdf_ray.state import lineage
+
+    out, shards, summary = extracted_run
+    n = len(shards)
+
+    assert cli.main(["delete", "--output", out, "--partition", "1",
+                     "--dry-run"]) == 0
+    audit = json.loads(capsys.readouterr().out)
+    assert audit["removed"] == [1] and audit["dry_run"]
+    assert os.path.exists(lineage.lineage_path(out, 1))       # dry run
+
+    assert cli.main(["delete", "--output", out, "--partition", "1"]) == 0
+    audit = json.loads(capsys.readouterr().out)
+    assert audit["removed"] == [1] and audit["not_found"] == []
+    assert not os.path.exists(lineage.lineage_path(out, 1))
+    assert not os.path.isdir(lineage.partition_dir(out, 1))
+    # survivors intact; resume no longer trusts partition 1
+    assert lineage.completed_partitions(out) == set(range(n)) - {1}
+
+    # the 404 arm: the id no longer exists anywhere
+    assert cli.main(["delete", "--output", out, "--partition", "1"]) == 1
+    audit = json.loads(capsys.readouterr().out)
+    assert audit["not_found"] == [1] and audit["removed"] == []
+
+    # restore the shared fixture: resume-reprocess the deleted partition
+    from docling_pdf_ray.pipelines.extract import run_partitioned
+
+    run_partitioned(shards, out, CFG, resume=True)
+    assert lineage.completed_partitions(out) == set(range(n))
+
+
 def test_resume_skips_completed_partitions(ray_session, fixture_pages_dir, tmp_path):
     from docling_pdf_ray.pipelines.extract import read_extracted, run_partitioned
     from docling_pdf_ray.state import lineage
