@@ -3083,6 +3083,80 @@ WHERE rk <= 3 ORDER BY lang, rk
 """
 
 
+DIGEST_K = 5   # exemplar ids per group in the digest string
+
+
+def q_lang_doc_digest(sf_dir: str, k: int = DIGEST_K):
+    """Grouped ORDERED STRING AGGREGATION — per lang: total doc count
+    plus a '|'-joined digest of the ``k`` smallest doc_ids ascending
+    (the manifest/golden-file shape: a stable per-group exemplar list
+    for spot-checks and diffing). Group cardinality is bounded
+    (langs), so the zero-shuffle partial discipline applies: each
+    batch emits its per-lang count and its `_bottom_cap`(k) id rows
+    (the semilattice rank cut — per-batch pre-combining provably never
+    changes the final keep set), the driver merges ≤ blocks×langs×k
+    narrow rows, and the string concatenation happens once per group
+    over k ids — never over full groups (a string_agg over unbounded
+    groups would build O(group) strings; capping first is what makes
+    ordered concat scale). NULL lang is a group like any other —
+    filled with a sentinel at the Arrow edge (a NaN group key silently
+    falls out of pandas cumcount/merge paths; the CLAUDE.md NULL-trap
+    family) and restored on the way out. SQL mirror:
+    string_agg(ORDER BY) over a row_number()-filtered window."""
+    import pandas as pd
+
+    SENT = "\x00null"   # cannot collide: real langs are [a-z]+
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pa.table({
+            "lang": pc.fill_null(batch.column("lang"), SENT),
+            "doc_id": batch.column("doc_id")}).to_pandas()
+        counts = d.groupby("lang", sort=False) \
+            .size().rename("p_n").reset_index()
+        kept = _bottom_cap(d, "lang", ["doc_id"], k)
+        kept = kept.merge(counts, on="lang", how="left")
+        # count rides the group's FIRST kept row only (every non-empty
+        # lang has >= 1 kept row, so no count is ever dropped)
+        first = ~kept.duplicated("lang")
+        p_n = np.where(first, kept["p_n"].to_numpy(np.int64), 0)
+        return pa.table({
+            "lang": pa.array(kept["lang"], pa.string()),
+            "doc_id": pa.array(kept["doc_id"].to_numpy(np.int64)),
+            "p_n": pa.array(p_n, pa.int64())})
+
+    cand = _collect_pd(_docs(sf_dir, ["lang", "doc_id"])
+                       .map_batches(partial, batch_format="pyarrow"))
+    if cand is None or cand.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "id_digest": pd.Series([], dtype="object")})
+    n = cand.groupby("lang")["p_n"].sum().rename("n_docs")
+    kept = _bottom_cap(cand, "lang", ["doc_id"], k)
+    dig = kept.groupby("lang")["doc_id"] \
+        .agg(lambda s: "|".join(str(i) for i in s.sort_values())) \
+        .rename("id_digest")
+    out = pd.concat([n, dig], axis=1).reset_index().sort_values("lang")
+    out["lang"] = out["lang"].where(out["lang"] != SENT, None)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_LANG_DOC_DIGEST = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents),
+c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+d AS (SELECT lang,
+             string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)
+               AS id_digest
+      FROM r WHERE rk <= {DIGEST_K} GROUP BY lang)
+SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs, d.id_digest
+FROM c JOIN d ON (c.lang IS NOT DISTINCT FROM d.lang)
+ORDER BY c.lang
+"""
+
+
 def _batch_distinct_terms(batch: pa.Table) -> set[str]:
     """Distinct lowercased [A-Za-z0-9]+ terms of a batch — the ONE
     tokenizer both distinct-count queries share (tokenizer drift
@@ -6242,6 +6316,194 @@ SELECT CAST((SELECT count(*) FROM ne) AS BIGINT) AS n_edges,
 """
 
 
+def q_host_triangles(sf_dir: str, n_buckets: int = 32):
+    """TRIANGLE + WEDGE CENSUS over the undirected extracted host
+    graph — the closure statistics behind clustering-coefficient and
+    link-farm audits (a syndication ring closes many triangles; a pure
+    hub-and-spoke farm closes none). ``n_edges`` = distinct undirected
+    non-self host edges, ``n_wedges`` = Σ_v C(deg(v), 2)
+    (orientation-free), ``n_triangles`` = unordered host triples with
+    all three edges present. All exact integers.
+
+    Dataflow is the MapReduce triangle discipline (Suri &
+    Vassilvitskii WWW'11; Cohen's MR graph patterns): exchange 1
+    dedups edges co-located by their unordered pair key (the
+    `host_reciprocal` routing); every edge is then ORIENTED low→high
+    by (degree, name) — a strict total order — so each wedge is
+    generated exactly once, at its lowest-ordered vertex. That bounds
+    per-node emission to C(outdeg, 2) with outdeg = O(√m) on ANY
+    graph: the hub-explosion defense `host_two_hop` buys with a
+    semantic cap, obtained here with ZERO semantic change (the count
+    stays exact — a 10⁶-degree hub is the highest-ordered endpoint of
+    nearly all its edges and generates almost no wedges). Exchange 2
+    co-locates oriented out-edges per src and self-merges them into
+    wedge rows keyed by their closing pair; exchange 3 co-locates
+    wedges with oriented edges on that key (tagged union — both sides
+    derive from the MATERIALIZED edge set, so neither branch re-runs
+    the extraction) and counts closures per bucket; only tiny count
+    partials reach the driver. The degree map is the broadcast small
+    side (plain sorted-ndarray pair in plasma, never a per-task dict;
+    O(hosts) ≪ O(edges) on any web graph — at 10⁸ hosts it becomes
+    one more narrow bucketed join on the endpoint, same shape)."""
+    import pandas as pd
+    import ray
+
+    EDGE_EMPTY = pa.table({"lo": pa.array([], pa.string()),
+                           "hi": pa.array([], pa.string()),
+                           "_bucket": pa.array([], pa.int32())})
+    KEY_EMPTY = pa.table({"key": pa.array([], pa.string()),
+                          "is_edge": pa.array([], pa.int8()),
+                          "_kb": pa.array([], pa.int32())})
+    ZEROS = pd.DataFrame({"n_edges": pd.Series([0], dtype="int64"),
+                          "n_wedges": pd.Series([0], dtype="int64"),
+                          "n_triangles": pd.Series([0], dtype="int64")})
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        e = _host_edge_counts(batch, ("s", "d", "n"))
+        if e.num_rows == 0:
+            return EDGE_EMPTY
+        s = e.column("s").combine_chunks()
+        d = e.column("d").combine_chunks()
+        keep = pc.not_equal(s, d)
+        lo = pc.min_element_wise(s, d).filter(keep)
+        hi = pc.max_element_wise(s, d).filter(keep)
+        if len(lo) == 0:
+            return EDGE_EMPTY
+        g = pd.DataFrame({
+            "lo": lo.to_numpy(zero_copy_only=False),
+            "hi": hi.to_numpy(zero_copy_only=False)}).drop_duplicates()
+        key = (g["lo"] + "|" + g["hi"]).to_numpy()
+        b = (_dedup.md5_u64(key) & (n_buckets - 1)).astype("int32")
+        return pa.table({"lo": pa.array(g["lo"], pa.string()),
+                         "hi": pa.array(g["hi"], pa.string()),
+                         "_bucket": pa.array(b)})
+
+    def edge_dedup(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["lo", "hi"])
+        return pa.table({"lo": pa.array(d["lo"], pa.string()),
+                         "hi": pa.array(d["hi"], pa.string())})
+
+    edges_m = _extracted_tasks_ds(sf_dir) \
+        .map_batches(edge_partial, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(edge_dedup, batch_format="pandas") \
+        .materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array([batch.column("lo").combine_chunks(),
+                                  batch.column("hi").combine_chunks()])
+        return pa.table({"node": nodes}) \
+            .group_by("node").aggregate([([], "count_all")]) \
+            .rename_columns(["node", "p_n"])
+
+    deg = _driver_combine(edges_m.map_batches(deg_partial,
+                                              batch_format="pyarrow"),
+                          ["node"], {"deg": ("p_n", "sum")})
+    if deg.empty:
+        return ZEROS
+    deg = deg.sort_values("node")
+    names_ref = ray.put(deg["node"].to_numpy(dtype=object))
+    degs_ref = ray.put(deg["deg"].to_numpy(np.int64))
+    n_edges = int(deg["deg"].sum()) // 2
+    dv = deg["deg"].to_numpy(np.int64)
+    n_wedges = int((dv * (dv - 1) // 2).sum())
+
+    def orient(batch: pa.Table) -> pa.Table:
+        """(lo, hi) → (v, w, wd): v precedes w in the (degree, name)
+        total order; wd = w's degree rides along so the wedge stage
+        can order out-neighbors without its own lookup."""
+        if batch.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string()),
+                             "wd": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int32())})
+        names = ray.get(names_ref)
+        degs = ray.get(degs_ref)
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        dl = degs[np.searchsorted(names, lo)]
+        dh = degs[np.searchsorted(names, hi)]
+        # lo < hi lexicographically already, so a degree tie keeps lo→hi
+        swap = dh < dl
+        v = np.where(swap, hi, lo)
+        w = np.where(swap, lo, hi)
+        wd = np.where(swap, dl, dh)
+        b = (_dedup.md5_u64(v) & (n_buckets - 1)).astype("int32")
+        return pa.table({"v": pa.array(v, pa.string()),
+                         "w": pa.array(w, pa.string()),
+                         "wd": pa.array(wd, pa.int64()),
+                         "_bucket": pa.array(b)})
+
+    def wedge_rows(g: pd.DataFrame) -> pa.Table:
+        """All out-neighbor pairs per src, each ordered by (deg, name)
+        so the pair key equals the closing edge's oriented key.
+        Vectorized self-merge (the `passage_dup_pairs` pairing idiom)."""
+        cols = g[["v", "w", "wd"]]
+        m = cols.merge(cols, on="v")
+        keep = (m["wd_x"] < m["wd_y"]) | \
+               ((m["wd_x"] == m["wd_y"]) & (m["w_x"] < m["w_y"]))
+        m = m[keep]
+        if m.empty:
+            return KEY_EMPTY
+        key = (m["w_x"] + "|" + m["w_y"]).to_numpy()
+        kb = (_dedup.md5_u64(key) & (n_buckets - 1)).astype("int32")
+        return pa.table({"key": pa.array(key, pa.string()),
+                         "is_edge": pa.array(np.zeros(len(key), np.int8)),
+                         "_kb": pa.array(kb)})
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        o = orient(batch)
+        if o.num_rows == 0:
+            return KEY_EMPTY
+        v = o.column("v").to_numpy(zero_copy_only=False)
+        w = o.column("w").to_numpy(zero_copy_only=False)
+        key = np.asarray(pd.Series(v) + "|" + pd.Series(w))
+        kb = (_dedup.md5_u64(key) & (n_buckets - 1)).astype("int32")
+        return pa.table({"key": pa.array(key, pa.string()),
+                         "is_edge": pa.array(np.ones(len(key), np.int8)),
+                         "_kb": pa.array(kb)})
+
+    wedges_ds = edges_m.map_batches(orient, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(wedge_rows, batch_format="pandas")
+    ekeys_ds = edges_m.map_batches(edge_keys, batch_format="pyarrow")
+
+    def closed_count(g: pd.DataFrame) -> pa.Table:
+        ek = g.loc[g["is_edge"] == 1, "key"]
+        n = int(g.loc[g["is_edge"] == 0, "key"].isin(ek).sum())
+        return pa.table({"p_tri": pa.array([n], pa.int64())})
+
+    parts = _collect_pd(
+        wedges_ds.union(ekeys_ds)
+        .groupby("_kb").map_groups(closed_count, batch_format="pandas"))
+    n_tri = 0 if parts is None else int(parts["p_tri"].sum())
+    return pd.DataFrame({"n_edges": pd.Series([n_edges], dtype="int64"),
+                         "n_wedges": pd.Series([n_wedges], dtype="int64"),
+                         "n_triangles": pd.Series([n_tri], dtype="int64")})
+
+
+SQL_HOST_TRIANGLES = """
+WITH e AS (
+  SELECT DISTINCT
+         'h' || CAST(doc_id % 64 AS VARCHAR) || '.example' AS s,
+         'h' || CAST((doc_id * 7 + 13 * k + 1) % 64 AS VARCHAR)
+           || '.example' AS d
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+  WHERE doc_id % 10 <= 5
+),
+u AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM e WHERE s <> d),
+deg AS (SELECT v, count(*) AS dg FROM
+          (SELECT a AS v FROM u UNION ALL SELECT b AS v FROM u)
+        GROUP BY v)
+SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_edges,
+       CAST((SELECT coalesce(sum(dg * (dg - 1) // 2), 0) FROM deg)
+            AS BIGINT) AS n_wedges,
+       CAST((SELECT count(*)
+             FROM u e1 JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
+                       JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b)
+            AS BIGINT) AS n_triangles
+"""
+
+
 def q_zipf_slope(sf_dir: str, top_n: int = 200):
     """Rank-frequency (Zipf) slope of the corpus vocabulary: the
     least-squares slope of ln(term_count) against ln(rank) over the
@@ -8770,6 +9032,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "chars_quantiles": q_chars_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "lang_doc_digest": q_lang_doc_digest,
     "distinct_tokens": q_distinct_tokens,
     "distinct_tokens_hll": q_distinct_tokens_hll,
     "bloom_semi_join": q_bloom_semi_join,
@@ -8811,6 +9074,7 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "user_retention": q_user_retention,
     "host_reciprocal": q_host_reciprocal,
+    "host_triangles": q_host_triangles,
     "zipf_slope": q_zipf_slope,
     "local_supplier_volume": q_local_supplier_volume,
     "event_transitions": q_event_transitions,
@@ -8894,6 +9158,7 @@ ORACLE_SQL = {
     "passage_dup_pairs": SQL_PASSAGE_DUP_PAIRS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "lang_doc_digest": SQL_LANG_DOC_DIGEST,
     "distinct_tokens": SQL_DISTINCT_TOKENS,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "pii_counts": SQL_PII_COUNTS,
@@ -8924,6 +9189,7 @@ ORACLE_SQL = {
     "event_gaps": SQL_EVENT_GAPS,
     "user_retention": SQL_USER_RETENTION,
     "host_reciprocal": SQL_HOST_RECIPROCAL,
+    "host_triangles": SQL_HOST_TRIANGLES,
     "zipf_slope": SQL_ZIPF_SLOPE,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "event_transitions": SQL_EVENT_TRANSITIONS,

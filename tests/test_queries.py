@@ -87,6 +87,7 @@ PARITY_NAMES = [
     "embedding_quantize_audit", "jsonl_roundtrip_stats",
     "csv_roundtrip_stats", "corpus_build",
     "extract_pages", "training_prep",
+    "host_triangles", "lang_doc_digest",
 ]
 
 
@@ -1591,6 +1592,55 @@ def test_bottom_cap_semilattice_and_skewed_source_parity(ray_session, tmp_path):
             DataContext.get_current().target_max_block_size = old
         pd.testing.assert_frame_equal(got2.reset_index(drop=True),
                                       got.reset_index(drop=True))
+
+
+def test_lang_doc_digest_null_lang_and_block_invariance(ray_session,
+                                                        tmp_path):
+    """The digest's NULL-group arm: the sf corpora carry no null langs,
+    so pin the sentinel fill/restore path on a corpus where 1/3 of rows
+    have lang NULL — value-exact vs DuckDB (string_agg + count per
+    group, NULL group included), and invariant under tiny blocks (the
+    per-batch count-on-first-kept-row partial must never lose a group's
+    count, whatever the blocking)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    n = 300
+    langs = [None if i % 3 == 0 else ("en" if i % 3 == 1 else "de")
+             for i in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n)[::-1].copy(), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array(np.ones(n, np.int64))})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{d}/documents.parquet')")
+    want = con.execute(Q.ORACLE_SQL["lang_doc_digest"]).fetchdf()
+    got = Q.q_lang_doc_digest(str(d))
+    norm = lambda f: f.sort_values(list(f.columns), na_position="first") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(norm(got), norm(want),
+                                  check_dtype=False, check_exact=True)
+    assert got["lang"].isna().sum() == 1   # the NULL group survived
+
+    from ray.data.context import DataContext
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 2 * 1024
+        got2 = Q.q_lang_doc_digest(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(norm(got2), norm(got))
 
 
 def test_two_hop_join_is_cap_bounded(ray_session, tmp_path):
