@@ -271,7 +271,8 @@ def run_bench() -> dict:
                      "compression_ratio", "pii_spans", "event_dedup_window", "host_two_hop",
                      "embedding_quantize_audit", "jsonl_roundtrip_stats",
                      "csv_roundtrip_stats", "corpus_build",
-                     "extract_pages", "training_prep"]}
+                     "extract_pages", "training_prep",
+                     "host_triangles", "lang_doc_digest"]}
     # the full per-query sweep outgrew the driver's bounded stdout-tail
     # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
     # file and keep the final stdout line SHORT: headline + the 10

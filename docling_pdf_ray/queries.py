@@ -6385,6 +6385,7 @@ def q_host_triangles(sf_dir: str, n_buckets: int = 32):
 
     edges_m = _extracted_tasks_ds(sf_dir) \
         .map_batches(edge_partial, batch_format="pyarrow") \
+        .repartition(4) \
         .groupby("_bucket").map_groups(edge_dedup, batch_format="pandas") \
         .materialize()
 
@@ -6463,6 +6464,7 @@ def q_host_triangles(sf_dir: str, n_buckets: int = 32):
                          "_kb": pa.array(kb)})
 
     wedges_ds = edges_m.map_batches(orient, batch_format="pyarrow") \
+        .repartition(4) \
         .groupby("_bucket").map_groups(wedge_rows, batch_format="pandas")
     ekeys_ds = edges_m.map_batches(edge_keys, batch_format="pyarrow")
 
@@ -6472,7 +6474,7 @@ def q_host_triangles(sf_dir: str, n_buckets: int = 32):
         return pa.table({"p_tri": pa.array([n], pa.int64())})
 
     parts = _collect_pd(
-        wedges_ds.union(ekeys_ds)
+        wedges_ds.union(ekeys_ds).repartition(4)
         .groupby("_kb").map_groups(closed_count, batch_format="pandas"))
     n_tri = 0 if parts is None else int(parts["p_tri"].sum())
     return pd.DataFrame({"n_edges": pd.Series([n_edges], dtype="int64"),
