@@ -5064,9 +5064,13 @@ def _bottom_cap(df, by: str, order: list[str], cap: int):
     final keep set — the r5 skew defense (pinned by
     ``test_bottom_cap_semilattice_and_skewed_source_parity``). ``order``
     must be a total order (include a unique tiebreak column) or the
-    boundary rows of equal rank are partition-dependent."""
+    boundary rows of equal rank are partition-dependent. dropna=False:
+    with pandas' default, a NaN group key gets rn=NaN and its rows
+    silently fall out of the cut (the r5 NULL-group trap
+    `q_lang_doc_digest` works around with a sentinel — here the null
+    group is simply capped like any other)."""
     g = df.sort_values([by] + order)
-    rn = g.groupby(by, sort=False).cumcount()
+    rn = g.groupby(by, sort=False, dropna=False).cumcount()
     return g.loc[rn.to_numpy() < cap]
 
 
