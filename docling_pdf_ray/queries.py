@@ -8995,7 +8995,236 @@ FROM assigned GROUP BY split, lang ORDER BY split, lang
 """
 
 
+# ============================================== round-5b: knn graph,
+# NFC normalization audit, near-dup canonical rewrite
+
+_QIP_SCALE = 1000   # element quantizer: q_i = floor(x_i * 1000)
+_QIP_K = 5          # neighbors kept per vector
+
+
+def q_knn_graph(sf_dir: str, k: int = _QIP_K):
+    """Exact k-NN GRAPH under QUANTIZED INNER PRODUCT — the MIPS
+    (maximum-inner-product-search) formulation ANN indexes serve, and
+    the artifact a diversity sampler / near-dup clusterer consumes.
+    Each embedding's elements are floor-quantized to integers
+    (q = floor(x·1000), the int8-family symmetric quantization
+    :func:`q_embedding_quantize_audit` audits), similarity is the
+    EXACT INTEGER dot product ⟨qa, qb⟩, and every vector keeps its k
+    highest-scoring neighbors (tiebreak: smaller vec_id).
+
+    Integer similarity is the cross-engine float discipline applied
+    to ranking: a float cosine ranks near-ties differently per
+    summation order (numpy pairwise vs DuckDB sequential — the
+    never-round trap), while integer-valued products bounded far
+    below 2^53 are exact in both engines regardless of order, so a
+    rank flip is impossible. |x| ≤ 0.58 here ⇒ |q| ≤ 580 ⇒
+    |⟨qa,qb⟩| ≤ 64·580² ≈ 2.2e7.
+
+    Dataflow: the quantized matrix is ray.put ONCE as plain int64
+    ndarrays (broadcast discipline — zero-copy from plasma), each
+    block matmuls against it and emits its own top-k rows — zero
+    shuffles, O(N²/B) brute force, exact by construction. This is
+    the documented small-side baseline (≤ ~10^5 vectors); beyond
+    that shard the broadcast matrix or block through the hyperplane
+    LSH of :func:`q_embedding_dup_pairs_lsh`."""
+
+    import pyarrow.parquet as pq
+    import ray
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids = np.asarray(base.column("vec_id").to_pylist(), dtype=np.int64)
+    qm = np.floor(np.asarray(base.column("embedding").to_pylist(),
+                             dtype=np.float64) * _QIP_SCALE).astype(np.int64)
+    ref = ray.put((ids, qm))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        all_ids, all_q = ray.get(ref)
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        bq = np.floor(np.asarray(batch.column("embedding").to_pylist(),
+                                 dtype=np.float64) * _QIP_SCALE) \
+            .astype(np.int64)
+        s = bq @ all_q.T                     # exact int64 products
+        # self-similarity sentinel must stay negatable (int64.min is
+        # its own negation — lexsort(-s) would rank it FIRST)
+        s[bids[:, None] == all_ids[None, :]] = -(1 << 40)
+        order = np.lexsort(
+            (np.broadcast_to(all_ids, s.shape), -s), axis=1)[:, :k]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(bids, k), pa.int64()),
+            "neighbor_id": pa.array(all_ids[order].ravel(), pa.int64()),
+            "nn_rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64),
+                                        len(bids)), pa.int64()),
+            "qip": pa.array(np.take_along_axis(s, order, axis=1).ravel(),
+                            pa.int64())})
+
+    res = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]) \
+        .map_batches(topk, batch_format="pyarrow").to_pandas()
+    return res.sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
+
+
+SQL_KNN_GRAPH = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * {_QIP_SCALE})) AS qe
+  FROM embeddings
+), s AS (
+  -- integer-valued doubles < 2^53: list_dot_product is exact
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS qip
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY qip DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS nn_rank, qip
+FROM r WHERE rn <= {_QIP_K} ORDER BY vec_id, nn_rank
+"""
+
+
+_NFC_PLANT_DECOMP = " cafe\u0301 A\u030a"  # e+acute, A+ring: NFC composes
+_NFC_PLANT_COMP = " caf\u00e9"             # already composed: no-op
+
+
+def q_nfc_audit(sf_dir: str):
+    """UNICODE NFC NORMALIZATION audit — the canonicalization pass a
+    multilingual corpus runs before tokenization (é as one codepoint
+    vs e+U+0301 are distinct strings to every downstream hash/dedup/
+    tokenizer). Reports per lang how many documents NFC would rewrite
+    and the total codepoint delta. The corpus is ASCII (NFC-invariant,
+    verified at survey time), so rows are PLANTED in-stream, the
+    near-dup discipline: doc_id%10==0 gets a decomposed suffix (two
+    combining clusters NFC composes, delta −2), doc_id%10==5 gets the
+    precomposed spelling (a must-stay-unchanged control). Both engines
+    implement Unicode NFC (Python unicodedata / DuckDB
+    nfc_normalize) and both count codepoints (len / length), so
+    parity is structural. Row-local + bounded-key partials →
+    driver combine; zero shuffles."""
+
+    import unicodedata
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs, aug = [], []
+        for i, t, lg in zip(ids, batch.column("text").to_pylist(),
+                            batch.column("lang").to_pylist()):
+            if t is None:
+                continue
+            if i % 10 == 0:
+                t += _NFC_PLANT_DECOMP
+            elif i % 10 == 5:
+                t += _NFC_PLANT_COMP
+            langs.append(lg)
+            aug.append(t)
+        norm = [unicodedata.normalize("NFC", t) for t in aug]
+        t = pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "chg": pa.array([int(n != a) for n, a in zip(norm, aug)],
+                            pa.int64()),
+            "delta": pa.array([len(n) - len(a) for n, a in zip(norm, aug)],
+                              pa.int64())})
+        return t.group_by("lang") \
+            .aggregate([("lang", "count"), ("chg", "sum"), ("delta", "sum")]) \
+            .rename_columns(["lang", "p_n", "p_chg", "p_delta"])
+
+    partials = _docs(sf_dir, ["doc_id", "text", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    out = _driver_combine(partials, ["lang"], {
+        "n_docs": ("p_n", "sum"), "n_changed": ("p_chg", "sum"),
+        "sum_len_delta": ("p_delta", "sum")})
+    for c in ("n_docs", "n_changed", "sum_len_delta"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_NFC_AUDIT = """
+WITH aug AS (
+  SELECT lang,
+         CASE WHEN doc_id % 10 = 0
+                THEN text || ' cafe' || chr(769) || ' A' || chr(778)
+              WHEN doc_id % 10 = 5 THEN text || ' caf' || chr(233)
+              ELSE text END AS t
+  FROM documents WHERE text IS NOT NULL)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(sum(length(nfc_normalize(t)) - length(t)) AS BIGINT)
+         AS sum_len_delta
+FROM aug GROUP BY lang ORDER BY lang
+"""
+
+
+def q_near_dup_apply(sf_dir: str, threshold: float = 0.7):
+    """CANONICAL CORPUS REWRITE — the APPLY step of near-dup dedup
+    (the paragraph-level sibling is :func:`q_paragraph_dedup_apply`):
+    detection (minhash pairs) → grouping (connected components, min
+    doc_id canonical) → one streaming anti-join pass that drops every
+    non-canonical group member and emits the surviving corpus with its
+    word counts. The drop list is O(near-dups), broadcast ONCE as a
+    plain int64 ndarray (ray.put, zero-copy from plasma — never a
+    Python set per batch), and the rewrite pass is a vectorized
+    ``pc.is_in`` mask — the corpus itself never leaves the object
+    store and never shuffles. At 100 TB the identical shape holds
+    with the drop list produced by ``functions.cc`` and, past
+    broadcast size, applied via a bucketed anti-join
+    (``functions/joins.py``). SQL oracle: the recursive min-label
+    groups oracle composed with the same anti-join."""
+
+    import ray
+
+    groups = dedup_groups_from_pairs(
+        q_minhash_near_dups(sf_dir, threshold=threshold))
+    drop = groups.loc[groups["doc_id"] != groups["rep_id"], "doc_id"] \
+        .to_numpy(dtype=np.int64)
+    drop_ref = ray.put(np.sort(drop))
+
+    def keep_counts(batch: pa.Table) -> pa.Table:
+        dropped = pa.array(ray.get(drop_ref), pa.int64())
+        kept = batch.filter(
+            pc.invert(pc.is_in(batch.column("doc_id"), value_set=dropped)))
+        nw = [len(_dedup.split_ws(t or ""))
+              for t in kept.column("text").to_pylist()]
+        return pa.table({"doc_id": kept.column("doc_id"),
+                         "n_words": pa.array(nw, pa.int64())})
+
+    res = _docs_with_planted_dups(sf_dir) \
+        .map_batches(keep_counts, batch_format="pyarrow").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NEAR_DUP_APPLY = f"""
+WITH groups AS ({SQL_MINHASH_DEDUP_GROUPS.replace("ORDER BY doc_id", "")}),
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                                           '{_dedup.WS_PATTERN}'),
+                     w -> w <> '') AS words
+  FROM documents
+), aug AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM base
+  UNION ALL
+  -- the plant rule verbatim: only non-empty texts plant (`if t:`)
+  SELECT b.doc_id + {PLANT_OFFSET},
+         CAST(greatest(len(b.words) - 5, 0) AS BIGINT)
+  FROM base b JOIN documents d USING (doc_id)
+  WHERE d.text IS NOT NULL AND d.text <> ''
+    AND b.doc_id % {PLANT_EVERY} = 0
+)
+SELECT a.doc_id, a.n_words
+FROM aug a
+LEFT JOIN groups g ON g.doc_id = a.doc_id AND g.rep_id <> g.doc_id
+WHERE g.doc_id IS NULL
+ORDER BY a.doc_id
+"""
+
+
 QUERIES = {
+    "knn_graph": q_knn_graph,
+    "nfc_audit": q_nfc_audit,
+    "near_dup_apply": q_near_dup_apply,
     "extract_pages": q_extract_pages,
     "extract_method_counts": q_extract_method_counts,
     "sniff_counts": q_sniff_counts,
@@ -9227,4 +9456,7 @@ ORACLE_SQL = {
     "jsonl_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
     "csv_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
     "corpus_build": SQL_CORPUS_BUILD,
+    "knn_graph": SQL_KNN_GRAPH,
+    "nfc_audit": SQL_NFC_AUDIT,
+    "near_dup_apply": SQL_NEAR_DUP_APPLY,
 }

@@ -88,6 +88,7 @@ PARITY_NAMES = [
     "csv_roundtrip_stats", "corpus_build",
     "extract_pages", "training_prep",
     "host_triangles", "lang_doc_digest",
+    "knn_graph", "nfc_audit", "near_dup_apply",
 ]
 
 
