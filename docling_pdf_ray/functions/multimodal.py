@@ -307,6 +307,19 @@ def image_table_path(n: int = 128, seed: int = 7) -> str:
     dir and publishes via one atomic ``os.rename`` (two concurrent
     sessions race safely — the compaction tool's .inprogress
     discipline; the loser discards its copy of identical bytes)."""
+    return _materialize_fixture(f"media-n{n}-s{seed}",
+                                lambda: _synth_image_rows(n, seed))
+
+
+def mixed_media_table_path(n: int = 64, seed: int = 5) -> str:
+    """Same atomic fixture discipline for the MIXED media table
+    (image/audio/video rows of :func:`synth_media_dataset`) — media
+    pipelines read a real column-pruned parquet source."""
+    return _materialize_fixture(f"mixedmedia-n{n}-s{seed}",
+                                lambda: _synth_media_rows(n, seed))
+
+
+def _materialize_fixture(key: str, build_rows) -> str:
     import os
     import shutil
     import tempfile
@@ -314,13 +327,13 @@ def image_table_path(n: int = 128, seed: int = 7) -> str:
     import pyarrow.parquet as pq
 
     root = "/tmp/docling_pdf_ray_fixtures"
-    final = os.path.join(root, f"media-n{n}-s{seed}")
+    final = os.path.join(root, key)
     target = os.path.join(final, "media.parquet")
     if os.path.exists(target):
         return target
     os.makedirs(root, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=root, prefix=f".media-n{n}-s{seed}.")
-    pq.write_table(pa.Table.from_pylist(_synth_image_rows(n, seed)),
+    tmp = tempfile.mkdtemp(dir=root, prefix=f".{key}.")
+    pq.write_table(pa.Table.from_pylist(build_rows()),
                    os.path.join(tmp, "media.parquet"))
     try:
         os.rename(tmp, final)
@@ -590,9 +603,13 @@ def synth_media_dataset(n: int = 64, seed: int = 5):
     / RVID payloads for image/audio/(half the) video rows — the real
     decoders and the frame sampler run on them — and opaque bytes for
     the other video rows (the compressed-codec stub arm runs)."""
-    import random
-
     import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(_synth_media_rows(n, seed)))
+
+
+def _synth_media_rows(n: int, seed: int) -> list[dict]:
+    import random
 
     rng = random.Random(seed)
     rows = []
@@ -626,5 +643,4 @@ def synth_media_dataset(n: int = 64, seed: int = 5):
             payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(256, 4096)))
         rows.append({"media_id": i, "kind": kind, "payload": payload,
                      "meta": f'{{"codec":"{kind}","idx":{i}}}'})
-    t = pa.Table.from_pylist(rows)
-    return rd.from_arrow(t)
+    return rows

@@ -9221,8 +9221,50 @@ ORDER BY a.doc_id
 """
 
 
+def q_media_feature_stats(sf_dir: str):
+    """MULTIMODAL FEATURE-EXTRACTION pipeline as a first-class registry
+    entry — the decode/feature actor-pool stage
+    (:class:`functions.multimodal.MediaFeatureStage`: REAL PPM/PAM/BMP/
+    WAV/RVID codecs, deterministic stub arm for container-absent
+    compressed codecs) run over a REAL column-pruned parquet media
+    source (the image_phash_dups discipline), reduced to per-kind
+    integer aggregates: item count, payload bytes, decoded width/height
+    (audio: samples/rate) sums. Small batches + actor pool per the
+    binary-payload memory rule; partials per bounded kind → driver
+    combine; zero shuffles. Rows-only driver check (pixel/PCM decode is
+    not SQL-expressible); exact values and determinism are pinned by
+    tests/test_multimodal.py."""
+    from .functions import multimodal as mm
+
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    n = int(min(1024, max(48, n_docs // 16)))
+    media = _rd().read_parquet(mm.mixed_media_table_path(n=n),
+                               columns=["media_id", "kind", "payload"])
+    feats = mm.media_features(media, concurrency=(1, 4), batch_size=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "kind": batch.column("kind"),
+            "n_bytes": batch.column("n_bytes"),
+            "w": pc.cast(batch.column("width"), pa.int64()),
+            "h": pc.cast(batch.column("height"), pa.int64())})
+        return t.group_by("kind").aggregate(
+            [("kind", "count"), ("n_bytes", "sum"), ("w", "sum"),
+             ("h", "sum")]) \
+            .rename_columns(["kind", "p_n", "p_bytes", "p_w", "p_h"])
+
+    out = _driver_combine(feats.map_batches(partial, batch_format="pyarrow"),
+                          ["kind"], {
+        "n_items": ("p_n", "sum"), "sum_bytes": ("p_bytes", "sum"),
+        "sum_width": ("p_w", "sum"), "sum_height": ("p_h", "sum")})
+    for c in ("n_items", "sum_bytes", "sum_width", "sum_height"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES = {
     "knn_graph": q_knn_graph,
+    "media_feature_stats": q_media_feature_stats,
     "nfc_audit": q_nfc_audit,
     "near_dup_apply": q_near_dup_apply,
     "extract_pages": q_extract_pages,

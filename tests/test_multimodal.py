@@ -341,3 +341,20 @@ def test_pseudo_hash_rows_never_pair(ray_session):
         v = Q._fp_verify_group(g, 3, a_col="a", b_col="b")
         got |= set(zip(v.column("a").to_pylist(), v.column("b").to_pylist()))
     assert got == {(0, 1)}      # the real pair, never the jpeg twins
+
+
+def test_media_feature_stats_query(ray_session):
+    """Registry entry: per-kind integer aggregates over the
+    materialized mixed-media fixture — deterministic, all three kinds
+    present, counts sum to the fixture size."""
+    from docling_pdf_ray import queries as Q
+
+    out = Q.q_media_feature_stats("/root/testdata/sf0.001")
+    assert list(out.columns) == ["kind", "n_items", "sum_bytes",
+                                 "sum_width", "sum_height"]
+    assert sorted(out["kind"]) == ["audio", "image", "video"]
+    assert out["n_items"].sum() == 48          # min fixture size at sf0.001
+    assert (out["sum_bytes"] > 0).all()
+    out2 = Q.q_media_feature_stats("/root/testdata/sf0.001")
+    import pandas as pd
+    pd.testing.assert_frame_equal(out, out2)
