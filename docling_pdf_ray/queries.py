@@ -2313,8 +2313,10 @@ def _verify_jaccard_pairs(docs, cand, threshold: float,
         .map_groups(route_group, batch_format="pyarrow")
 
     # exchange 2: co-shuffle routed texts with pair rows by pair hash
-    out = routed.union(cand.map_batches(pair_rows, batch_format="pyarrow")) \
-        .groupby("_bucket") \
+    ex2 = routed.union(cand.map_batches(pair_rows, batch_format="pyarrow"))
+    if xblocks:         # same coalesce: the sort's cost tracks blocks
+        ex2 = ex2.repartition(xblocks)
+    out = ex2.groupby("_bucket") \
         .map_groups(verify_bucket, batch_format="pyarrow").to_pandas()
     if out.empty:
         return empty
@@ -5332,6 +5334,7 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
 
     state = _extracted_tasks_ds(sf_dir) \
         .map_batches(edge_partial, batch_format="pyarrow") \
+        .repartition(_exchange_blocks(sf_dir)) \
         .groupby("_bucket").map_groups(build_state, batch_format="pandas") \
         .materialize()
 
@@ -5369,11 +5372,12 @@ def q_link_pagerank(sf_dir: str, n_buckets: int = 32):
     # build already emitted round-1 contributions, so T-1 supersteps +
     # the final rank exchange complete the T iterations: T+1 exchanges
     # total after extraction
+    xb = _exchange_blocks(sf_dir)
     for _ in range(PR_ITERS - 1):
-        state = state.groupby("_bucket") \
+        state = state.repartition(xb).groupby("_bucket") \
             .map_groups(superstep, batch_format="pandas").materialize()
 
-    final = state.groupby("_bucket") \
+    final = state.repartition(xb).groupby("_bucket") \
         .map_groups(_ranks_of, batch_format="pandas").to_pandas()
     if final.empty:     # link-free corpus (no HTML / no absolute
         #                 anchors): typed empty, not a KeyError
@@ -8514,9 +8518,16 @@ def _two_hop_capped_edges(sf_dir: str, n_buckets: int = 32,
         return pa.table({"src": pa.array(d["src"], pa.string()),
                          "dst": pa.array(d["dst"], pa.string())})
 
+    # pre-capped partials are NARROW (blocks×cap rows per src): coalesce
+    # to size-based blocks before the sort-based exchange (the r4
+    # measured lever — an exchange's fixed cost grows with input block
+    # count) and keep the materialized edge set at that block count so
+    # the downstream join pads/unions few blocks, not 64
     return _extracted_tasks_ds(sf_dir) \
         .map_batches(edge_partial, batch_format="pyarrow") \
+        .repartition(_exchange_blocks(sf_dir)) \
         .groupby("_bucket").map_groups(edge_cap, batch_format="pandas") \
+        .repartition(_exchange_blocks(sf_dir)) \
         .materialize()
 
 
@@ -8595,6 +8606,7 @@ def q_host_two_hop(sf_dir: str, n_buckets: int = 32,
 
     out = _driver_combine(
         joined.map_batches(reach_partial, batch_format="pyarrow")
+        .repartition(_exchange_blocks(sf_dir))
         .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"),
         ["src_host"], {"n_reach_2hop": ("p_n", "sum")})
     if out.empty:
