@@ -57,7 +57,8 @@ def quality_and_lang(batch: pa.Table) -> pa.Table:
 
 
 def build_training_prep(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
-                        n_buckets: int = 64):
+                        n_buckets: int = 64,
+                        exchange_blocks: int | None = None):
     """pages Dataset → deduped per-doc quality/lang/token table
     (Dataset). The dedup shuffles only (hash, url, scalars), BUCKETED:
     hashes co-locate in n_buckets groups and each bucket dedups with
@@ -81,9 +82,13 @@ def build_training_prep(pages_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
             .drop_duplicates("text_hash", keep="first") \
             .drop(columns=["_bucket"])
 
-    return feat.map_batches(bucketize, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(first_per_hash_bucket,
-                                       batch_format="pandas")
+    bucketed = feat.map_batches(bucketize, batch_format="pyarrow")
+    if exchange_blocks:
+        # narrow (hash, url, scalars) rows: coalesce before the sort-
+        # based exchange (its fixed cost tracks input block count)
+        bucketed = bucketed.repartition(exchange_blocks)
+    return bucketed.groupby("_bucket").map_groups(first_per_hash_bucket,
+                                                  batch_format="pandas")
 
 
 def training_prep_summary(sf_dir: str):
@@ -91,10 +96,11 @@ def training_prep_summary(sf_dir: str):
     queries() entry; deterministic). Pre-aggregated per block inside
     map_batches — only (blocks × languages) partial rows reach the
     driver, never the O(N) per-doc table."""
-    from ..queries import _driver_combine
+    from ..queries import _driver_combine, _exchange_blocks
     from ..sources.pages_from_documents import pages_dataset
 
-    deduped = build_training_prep(pages_dataset(sf_dir))
+    deduped = build_training_prep(pages_dataset(sf_dir),
+                                  exchange_blocks=_exchange_blocks(sf_dir))
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"pred_lang": batch.column("pred_lang"),

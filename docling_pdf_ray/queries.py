@@ -149,10 +149,16 @@ def q_extract_pages(sf_dir: str):
     from .sources.pages_from_documents import pages_dataset
 
     ds = build_extract_ds(pages_dataset(sf_dir))
+    # the scalar projection is collected to the driver either way —
+    # sort THERE (ASCII urls: pandas codepoint order == Arrow binary
+    # order), not with a distributed all-to-all that lands on one
+    # driver frame anyway (measured: the Dataset sort was ~40% of this
+    # query's wall time)
     out = ds.select_columns([
         "url", "extraction_successful", "extraction_method",
         "word_count", "character_count", "total_pages",
-        "has_tables", "has_images"]).sort("url").to_pandas()
+        "has_tables", "has_images"]).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
     # failure rows carry NULL booleans; Arrow→pandas renders them None
     # while DuckDB renders NaN — normalize so the gate's value hash
     # sees one null spelling (the CLAUDE.md nullable-dtype trap, bool
