@@ -272,7 +272,10 @@ def run_bench() -> dict:
                      "embedding_quantize_audit", "jsonl_roundtrip_stats",
                      "csv_roundtrip_stats", "corpus_build",
                      "extract_pages", "training_prep",
-                     "host_triangles", "lang_doc_digest"]}
+                     "host_triangles", "lang_doc_digest",
+                     "knn_graph", "nfc_audit", "near_dup_apply",
+                     "media_feature_stats", "pii_redact_stats",
+                     "bpe_pair_counts"]}
     # the full per-query sweep outgrew the driver's bounded stdout-tail
     # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
     # file and keep the final stdout line SHORT: headline + the 10

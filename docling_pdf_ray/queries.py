@@ -9280,9 +9280,127 @@ def q_media_feature_stats(sf_dir: str):
     return out
 
 
+def q_pii_redact_stats(sf_dir: str):
+    """PII REDACTION APPLY — the scrub pass itself (the span table of
+    :func:`q_pii_spans` is its work-list): every PII match replaced by
+    the fixed token via ``functions/text.py:redact_pii`` (email →
+    ipv4 → phone, deterministic class order; the token contains no
+    digits or '@', so later classes can never match inside an earlier
+    replacement), reported per lang as docs-touched and exact
+    codepoint delta. Same planted contact line as pii_spans (the
+    corpus carries no natural PII), mirrored in the SQL CTE; the SQL
+    applies the same three regexp_replace('g') in the same order —
+    RE2 leftmost non-overlapping semantics match re.ASCII sub.
+    Row-local + bounded-lang partials → driver combine; zero
+    shuffles."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        langs, chg, delta = [], [], []
+        for i, txt, lg in zip(t.column("doc_id").to_pylist(),
+                              t.column("text").to_pylist(),
+                              t.column("lang").to_pylist()):
+            if i % 50 == 0:
+                txt = (f"{txt} contact user{i}@ex{i % 7}.com "
+                       f"via 10.0.{i % 256}.{i % 100}")
+            red = ftext.redact_pii(txt)
+            langs.append(lg)
+            chg.append(int(red != txt))
+            delta.append(len(red) - len(txt))
+        p = pa.table({"lang": pa.array(langs, pa.string()),
+                      "chg": pa.array(chg, pa.int64()),
+                      "delta": pa.array(delta, pa.int64())})
+        return p.group_by("lang") \
+            .aggregate([("lang", "count"), ("chg", "sum"),
+                        ("delta", "sum")]) \
+            .rename_columns(["lang", "p_n", "p_chg", "p_delta"])
+
+    out = _driver_combine(
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["lang"], {"n_docs": ("p_n", "sum"),
+                   "n_redacted": ("p_chg", "sum"),
+                   "chars_delta": ("p_delta", "sum")})
+    for c in ("n_docs", "n_redacted", "chars_delta"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_PII_REDACT_STATS = f"""
+WITH planted AS (
+  SELECT lang,
+         text || CASE WHEN doc_id % 50 = 0
+           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com via 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST(doc_id % 100 AS VARCHAR)
+           ELSE '' END AS t
+  FROM documents WHERE text IS NOT NULL
+), red AS (
+  SELECT lang, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '{ftext.PII_PATTERNS["email"]}', '[REDACTED]', 'g'),
+           '{ftext.PII_PATTERNS["ipv4"]}', '[REDACTED]', 'g'),
+           '{ftext.PII_PATTERNS["phone"]}', '[REDACTED]', 'g') AS r
+  FROM planted
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN r <> t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redacted,
+       CAST(sum(length(r) - length(t)) AS BIGINT) AS chars_delta
+FROM red GROUP BY lang ORDER BY lang
+"""
+
+
+def q_bpe_pair_counts(sf_dir: str):
+    """BPE MERGE-CANDIDATE statistics — the pair-frequency table the
+    first iteration of byte-pair-encoding tokenizer training computes
+    over a corpus (Sennrich et al., ACL 2016): counts of ADJACENT
+    CHARACTER pairs within words (words never merge across the shared
+    ASCII whitespace split). The highest-count pair is the first BPE
+    merge; a tokenizer-training pipeline re-runs this table per merge
+    round. Per-batch Counter partials over the bounded pair domain
+    (≤ charset², a few thousand keys) → driver combine; zero
+    shuffles — at 100 TB the identical shape holds because the partial
+    is a true semilattice over a bounded key set. Word bigrams are
+    the separate `bigram_coverage`; this is the sub-word/character
+    level."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            for w in _dedup.split_ws(t or ""):
+                c.update(zip(w, w[1:]))
+        return pa.table({
+            "pair": pa.array([a + b for a, b in c], pa.string()),
+            "p_n": pa.array(list(c.values()), pa.int64())})
+
+    out = _driver_combine(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        ["pair"], {"n": ("p_n", "sum")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("pair").reset_index(drop=True)
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text,
+           '{_dedup.WS_PATTERN}'), x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT substr(w, i, 2) AS pair, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+      FROM w WHERE length(w) >= 2)
+GROUP BY pair ORDER BY pair
+"""
+
+
 QUERIES = {
     "knn_graph": q_knn_graph,
     "media_feature_stats": q_media_feature_stats,
+    "pii_redact_stats": q_pii_redact_stats,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "nfc_audit": q_nfc_audit,
     "near_dup_apply": q_near_dup_apply,
     "extract_pages": q_extract_pages,
@@ -9519,4 +9637,6 @@ ORACLE_SQL = {
     "knn_graph": SQL_KNN_GRAPH,
     "nfc_audit": SQL_NFC_AUDIT,
     "near_dup_apply": SQL_NEAR_DUP_APPLY,
+    "pii_redact_stats": SQL_PII_REDACT_STATS,
+    "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
 }

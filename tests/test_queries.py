@@ -89,6 +89,7 @@ PARITY_NAMES = [
     "extract_pages", "training_prep",
     "host_triangles", "lang_doc_digest",
     "knn_graph", "nfc_audit", "near_dup_apply",
+    "pii_redact_stats", "bpe_pair_counts",
 ]
 
 
