@@ -2167,3 +2167,39 @@ def test_roundtrip_stats_hostile_text(ray_session, tmp_path, monkeypatch):
     for name in ("jsonl_roundtrip_stats", "csv_roundtrip_stats"):
         got = Q.QUERIES[name](str(d)).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False), name
+
+
+def test_knn_graph_properties(ray_session):
+    """Structural pins beyond SQL equality: exactly k neighbors per
+    vector, no self edges, qip non-increasing down each rank list with
+    the neighbor-id tiebreak."""
+    from docling_pdf_ray import queries as Q
+
+    out = Q.q_knn_graph(SF)
+    assert set(out.columns) == {"vec_id", "neighbor_id", "nn_rank", "qip"}
+    assert (out["vec_id"] != out["neighbor_id"]).all()
+    per = out.groupby("vec_id")
+    assert (per.size() == Q._QIP_K).all()
+    for _, g in per:
+        g = g.sort_values("nn_rank")
+        q = g["qip"].to_numpy()
+        n = g["neighbor_id"].to_numpy()
+        for i in range(len(q) - 1):
+            assert q[i] > q[i + 1] or (q[i] == q[i + 1] and n[i] < n[i + 1])
+
+
+def test_near_dup_apply_keeps_reps_only(ray_session):
+    """Every planted near-dup group keeps exactly its min-doc_id rep:
+    the planted copy (doc_id + PLANT_OFFSET) is dropped, its source
+    kept, and untouched docs pass through."""
+    from docling_pdf_ray import queries as Q
+
+    kept = set(Q.q_near_dup_apply(SF)["doc_id"])
+    groups = Q.q_minhash_dedup_groups(SF)
+    for _, row in groups.iterrows():
+        if row["doc_id"] == row["rep_id"]:
+            assert row["doc_id"] in kept
+        else:
+            assert row["doc_id"] not in kept
+    assert any(d >= Q.PLANT_OFFSET for d in
+               set(groups["doc_id"]))          # plants actually grouped
