@@ -381,3 +381,44 @@ def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
     bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
     return an @ bn.T
+
+
+# ---------------------------------------------------------- fuzzy string join
+
+def deletion_variants(s: str) -> set[str]:
+    """SymSpell d=1 blocking keys: the string itself plus every
+    single-character deletion. ED(a, b) <= 1 implies
+    variants(a) ∩ variants(b) ≠ ∅ — equal strings share themselves, a
+    substitution shares the both-sides deletion of the differing
+    position, and for an insert/delete the shorter string IS a deletion
+    of the longer — so blocking on these keys has recall 1. The
+    converse is false ("ab"/"ba" share deletions at distance 2), so
+    candidates must be verified with :func:`edit_distance_le1`."""
+    return {s} | {s[:k] + s[k + 1:] for k in range(len(s))}
+
+
+def edit_distance_le1(a: str, b: str) -> int | None:
+    """Exact Levenshtein distance when it is <= 1, else None — the
+    O(n) banded check (equal length: at most one mismatch; length off
+    by one: a single skip alignment). Matches DuckDB ``levenshtein``
+    on the verified domain (codepoint-level, which coincides with
+    Python str indexing)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return None
+                seen = True
+        return 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None

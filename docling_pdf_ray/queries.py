@@ -2145,7 +2145,8 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
 
 def _verify_jaccard_pairs(docs, cand, threshold: float,
                           n_buckets: int = 32,
-                          xblocks: int | None = None):
+                          xblocks: int | None = None,
+                          measure: str = "jaccard"):
     """Shared distributed exact-Jaccard verify over candidate pairs,
     restructured r5 (the r4 verdict's #1 ask) so the pair set stays a
     DATASET end-to-end — the driver holds NO per-pair object, only a
@@ -2170,7 +2171,12 @@ def _verify_jaccard_pairs(docs, cand, threshold: float,
     the object store (pinned by ``test_verify_stage_driver_holds_no_texts``,
     which also asserts no int routing map is ever ``ray.put``). Bloom
     false positives cost one dropped row in the exchange-1 join, never
-    correctness."""
+    correctness.
+
+    ``measure`` selects the accept rule's denominator: ``"jaccard"``
+    (union, the default) or ``"containment"`` (the SMALLER shingle set
+    — the asymmetric overlap of :func:`q_containment_pairs`); the
+    numerator is the exact intersection either way."""
     from fractions import Fraction
 
     import pandas as pd
@@ -2302,7 +2308,8 @@ def _verify_jaccard_pairs(docs, cand, threshold: float,
             seen.add((pa_, pb))
             sa, sb = shingles(pa_), shingles(pb)
             num = len(sa & sb)
-            den = len(sa) + len(sb) - num
+            den = (min(len(sa), len(sb)) if measure == "containment"
+                   else len(sa) + len(sb) - num)
             if num * fr.denominator >= fr.numerator * den:
                 rows.append((pa_, pb, num, den))
         return pa.table({"doc_id_a": pa.array([r[0] for r in rows], pa.int64()),
@@ -2329,28 +2336,21 @@ def _verify_jaccard_pairs(docs, cand, threshold: float,
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
-def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
-                          n_buckets: int = 64):
-    """EXACT-COMPLETE n-gram Jaccard pair detection — the no-sketch
-    complement to MinHash LSH: any pair with J ≥ t > 0 shares at least
-    one 3-word shingle, so an inverted-index blocking on the narrow
-    (shingle_hash, doc_id) pairs finds EVERY candidate (recall 1 by
-    construction, no probability), then the shared distributed verify
-    computes exact integer Jaccard. Tradeoffs vs minhash, documented:
-    the shuffle carries one row per (doc, distinct shingle) instead of
-    16 band rows per doc, and a mass-duplicated shingle group
-    enumerates O(n²) candidate pairs (no star-link shortcut is
-    possible without giving up completeness) — prefer minhash on
-    mass-dup corpora, this operator when missing a pair is not
-    acceptable. SQL oracle: the same exact-Jaccard DuckDB query as
-    minhash (that oracle is already exact-complete; here the ENGINE
-    is too, so equality holds structurally, with no LSH recall
-    caveat)."""
-    from fractions import Fraction
+def _shingle_candidates(docs, fr, n_buckets: int, xb: int,
+                        containment: bool = False):
+    """Exact-complete inverted-index blocking shared by
+    :func:`q_jaccard_pairs_exact` and :func:`q_containment_pairs`: any
+    pair with overlap ≥ t > 0 shares at least one 3-word shingle, so
+    blocking on the narrow (shingle_hash, doc_id) pairs finds EVERY
+    candidate (recall 1 by construction, no probability). Returns the
+    candidate-pair Dataset (columns a, b) ready for the shared verify.
 
+    ``containment`` switches the exact-safe prefilters: the jaccard
+    rule bounds the UNION denominator, the containment rule bounds by
+    the SMALLER shingle-set size (its best case is always 1, so the
+    per-bucket size-ratio cut is skipped — only the shared-count cut
+    applies at the combine)."""
     from .functions import dedup as dd
-
-    fr = Fraction(str(threshold))       # exact integer threshold tests
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         # Vectorized explosion (r3, replaces the per-row append loop —
@@ -2415,15 +2415,18 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
         agg = m.groupby(["doc_id_a", "doc_id_b"], sort=False).agg(
             cnt=("sh_hash", "size"), n_a=("doc_n_a", "first"),
             n_b=("doc_n_b", "first")).reset_index()
-        # size-ratio prefilter (exact, zero recall loss): J ≥ t needs
-        # num ≥ t·(n_a+n_b-num) for some num ≤ min(n_a,n_b), and
-        # num/(S-num) is increasing in num — so a pair whose smaller
-        # shingle set is too small relative to the union can NEVER
-        # qualify. Drops size-incompatible pairs (docs sharing a few
-        # common phrases) inside the bucket, before the pair combine.
-        lo = np.minimum(agg["n_a"], agg["n_b"])
-        agg = agg[lo * fr.denominator
-                  >= fr.numerator * (agg["n_a"] + agg["n_b"] - lo)]
+        if not containment:
+            # size-ratio prefilter (exact, zero recall loss): J ≥ t
+            # needs num ≥ t·(n_a+n_b-num) for some num ≤ min(n_a,n_b),
+            # and num/(S-num) is increasing in num — so a pair whose
+            # smaller shingle set is too small relative to the union
+            # can NEVER qualify. Drops size-incompatible pairs (docs
+            # sharing a few common phrases) inside the bucket, before
+            # the pair combine. (Containment's best case num = min
+            # gives ratio 1 ≥ t for any pair — no size cut exists.)
+            lo = np.minimum(agg["n_a"], agg["n_b"])
+            agg = agg[lo * fr.denominator
+                      >= fr.numerator * (agg["n_a"] + agg["n_b"] - lo)]
         return pa.table({"a": pa.array(agg["doc_id_a"], pa.int64()),
                          "b": pa.array(agg["doc_id_b"], pa.int64()),
                          "cnt": pa.array(agg["cnt"], pa.int64()),
@@ -2445,8 +2448,16 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
         s = g.groupby(["a", "b"], sort=False).agg(
             cnt=("cnt", "sum"), n_a=("n_a", "first"),
             n_b=("n_b", "first")).reset_index()
-        keep = (s["cnt"] * fr.denominator
-                >= fr.numerator * (s["n_a"] + s["n_b"] - s["cnt"]))
+        if containment:
+            # num_hat = sum(cnt) ≥ true |sa∩sb| (collisions inflate),
+            # and n_a/n_b are exact distinct-shingle counts — so
+            # num_hat/min(n_a,n_b) ≥ true containment: the cut keeps
+            # every true pair, the exact verify removes the inflated.
+            keep = (s["cnt"] * fr.denominator
+                    >= fr.numerator * np.minimum(s["n_a"], s["n_b"]))
+        else:
+            keep = (s["cnt"] * fr.denominator
+                    >= fr.numerator * (s["n_a"] + s["n_b"] - s["cnt"]))
         k = s.loc[keep]
         return pa.table({"a": pa.array(k["a"].to_numpy(np.int64), pa.int64()),
                          "b": pa.array(k["b"].to_numpy(np.int64), pa.int64())})
@@ -2456,18 +2467,39 @@ def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
             batch.column("a").to_numpy(zero_copy_only=False),
             batch.column("b").to_numpy(zero_copy_only=False), 32), pa.int32()))
 
-    docs = _docs_with_planted_dups(sf_dir)
-    xb = _exchange_blocks(sf_dir)
     # the combine is DISTRIBUTED (r5, per the r4 verdict): one row per
     # (pair, bucket) co-shuffles by pair hash; the driver never holds a
     # candidate frame — the survivors flow straight into the shared
     # Dataset-native verify
-    cand = docs.map_batches(shingle_rows, batch_format="pyarrow") \
+    return docs.map_batches(shingle_rows, batch_format="pyarrow") \
         .groupby("_bucket").map_groups(pair_counts, batch_format="pandas") \
         .map_batches(add_pair_bucket, batch_format="pyarrow") \
         .repartition(xb) \
         .groupby("_pbucket") \
         .map_groups(combine_pair_group, batch_format="pandas")
+
+
+def q_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7,
+                          n_buckets: int = 64):
+    """EXACT-COMPLETE n-gram Jaccard pair detection — the no-sketch
+    complement to MinHash LSH: the shared inverted-index blocking
+    (:func:`_shingle_candidates`, recall 1 by construction) feeds the
+    shared distributed verify, which computes exact integer Jaccard.
+    Tradeoffs vs minhash, documented: the shuffle carries one row per
+    (doc, distinct shingle) instead of 16 band rows per doc, and a
+    mass-duplicated shingle group enumerates O(n²) candidate pairs (no
+    star-link shortcut is possible without giving up completeness) —
+    prefer minhash on mass-dup corpora, this operator when missing a
+    pair is not acceptable. SQL oracle: the same exact-Jaccard DuckDB
+    query as minhash (that oracle is already exact-complete; here the
+    ENGINE is too, so equality holds structurally, with no LSH recall
+    caveat)."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))       # exact integer threshold tests
+    docs = _docs_with_planted_dups(sf_dir)
+    xb = _exchange_blocks(sf_dir)
+    cand = _shingle_candidates(docs, fr, n_buckets, xb)
     return _verify_jaccard_pairs(docs, cand, threshold, xblocks=xb)
 
 
@@ -2507,6 +2539,212 @@ JOIN shingled sa ON sa.doc_id = ida
 JOIN shingled sb ON sb.doc_id = idb
 WHERE len(list_intersect(sa.sh, sb.sh)) * 10
       >= 7 * (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+ORDER BY 1, 2
+"""
+
+
+CONTAIN_OFFSET = 2_000_000    # planted truncated copies get doc_id + offset
+
+
+def _docs_with_planted_halves(sf_dir: str):
+    """documents ∪ planted TRUNCATED copies: every 25th doc gets a copy
+    (doc_id+2e6) keeping only the FIRST HALF of its words. Jaccard vs
+    the source ≈ 0.5 — invisible to every symmetric near-dup operator
+    at t=0.7 — while containment is exactly 1.0 (every 3-shingle of a
+    word prefix is a shingle of the full text). The asymmetric-dup
+    fixture for :func:`q_containment_pairs`; plants in-stream, the
+    :func:`_docs_with_planted_dups` discipline."""
+    from .functions import dedup as dd
+
+    def plant(batch: pa.Table) -> pa.Table:
+        idn = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(idn % PLANT_EVERY == 0))
+        out_i, out_t = [], []
+        for i, t in zip(sub.column("doc_id").to_pylist(),
+                        sub.column("text").to_pylist()):
+            words = dd.split_ws(t or "")
+            if words:
+                out_i.append(i + CONTAIN_OFFSET)
+                out_t.append(" ".join(words[:len(words) // 2]))
+        if not out_i:
+            return batch
+        extra = pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                          "text": pa.array(out_t, pa.string())})
+        return pa.concat_tables([batch.cast(extra.schema), extra])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+
+
+def q_containment_pairs(sf_dir: str, threshold: float = 0.9,
+                        n_buckets: int = 64):
+    """ASYMMETRIC near-dup detection — shingle containment
+    C = |sa∩sb| / min(|sa|,|sb|) ≥ 0.9: catches truncated copies,
+    quote farms and subset boilerplate that symmetric Jaccard dilutes
+    below threshold (a half-length copy has J ≈ 0.5 but C = 1.0 —
+    the documented blind spot of minhash/jaccard/simhash). Same
+    exact-complete shape as :func:`q_jaccard_pairs_exact`: shared
+    inverted-index blocking (:func:`_shingle_candidates` with the
+    containment prefilter rule) → shared Dataset-native verify
+    (:func:`_verify_jaccard_pairs`, containment mode). Runs over the
+    planted-halves corpus (the raw corpus has no natural containment
+    pairs at this size)."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    docs = _docs_with_planted_halves(sf_dir)
+    xb = _exchange_blocks(sf_dir)
+    cand = _shingle_candidates(docs, fr, n_buckets, xb, containment=True)
+    out = _verify_jaccard_pairs(docs, cand, threshold, xblocks=xb,
+                                measure="containment")
+    return out.rename(columns={"jacc_num": "cont_num",
+                               "jacc_den": "cont_den"})
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'), w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+), aug AS (
+  SELECT doc_id, words FROM base
+  UNION ALL
+  SELECT doc_id + {CONTAIN_OFFSET}, list_slice(words, 1, len(words) // 2)
+  FROM base WHERE doc_id % {PLANT_EVERY} = 0 AND len(words) > 0
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(words) = 0 THEN []
+              WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+         END AS sh
+  FROM aug
+), exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM shingled
+), cand AS (
+  -- exact-complete prefilter: C >= 0.9 > 0 requires >= 1 shared shingle
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM exploded a JOIN exploded b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       len(list_intersect(sa.sh, sb.sh)) AS cont_num,
+       least(len(sa.sh), len(sb.sh)) AS cont_den
+FROM cand
+JOIN shingled sa ON sa.doc_id = ida
+JOIN shingled sb ON sb.doc_id = idb
+WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+      >= 9 * least(len(sa.sh), len(sb.sh))
+ORDER BY 1, 2
+"""
+
+
+FUZZY_TITLE_LEN = 24          # "title" = first 24 chars of text
+FUZZY_DEL_MOD = 20            # probe-side mutation position cycle
+
+
+def q_fuzzy_title_pairs(sf_dir: str, n_buckets: int = 64):
+    """FUZZY STRING JOIN (edit distance ≤ 1) — record linkage between a
+    key table and a typo'd probe table WITHOUT an all-pairs distance
+    matrix: SymSpell deletion-neighborhood blocking (each ≤24-char
+    title emits itself plus its single-char deletions; ED≤1 pairs
+    ALWAYS share a variant — recall 1 by
+    :func:`functions.dedup.deletion_variants`'s pigeonhole argument) →
+    ONE narrow exchange bucketed by variant hash → per-bucket A×B merge
+    on the variant key with the exact O(n) banded Levenshtein verify
+    (titles ride the blocking rows; no second corpus pass). The probe
+    side is derived deterministically in-stream (doc_id+1e6, one char
+    deleted at position doc_id%20) — the planted-fixture discipline of
+    the near-dup corpora. Variant-hash collisions only ADD candidates
+    (the verify removes them); a pair found via several shared variants
+    dedups in the final O(matches) driver combine. SQL oracle: cross
+    join + DuckDB ``levenshtein(a,b) <= 1`` — quadratic, viable only at
+    oracle scale; the engine's sub-quadratic blocking is the point."""
+    import pandas as pd
+
+    from .functions import dedup as dd
+
+    _EMPTY = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                       "doc_id_b": pa.array([], pa.int64()),
+                       "dist": pa.array([], pa.int64())})
+
+    def variant_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        r_id, r_title, r_side, r_var = [], [], [], []
+
+        def emit(i, s, side):
+            for v in dd.deletion_variants(s):
+                r_id.append(i)
+                r_title.append(s)
+                r_side.append(side)
+                r_var.append(v)
+
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            title = t[:FUZZY_TITLE_LEN]
+            p = int(i) % FUZZY_DEL_MOD + 1
+            emit(int(i), title, 0)
+            emit(int(i) + PLANT_OFFSET, title[:p - 1] + title[p:], 1)
+        vh = (pd.util.hash_array(np.asarray(r_var, dtype=object),
+                                 categorize=False).view(np.int64)
+              if r_var else np.array([], dtype=np.int64))
+        t = pa.table({"id": pa.array(r_id, pa.int64()),
+                      "title": pa.array(r_title, pa.string()),
+                      "side": pa.array(r_side, pa.int8()),
+                      "vh": pa.array(vh, pa.int64())})
+        return t.append_column(
+            "_bucket", pc.cast(pc.bit_wise_and(t.column("vh"),
+                                               n_buckets - 1), pa.int32()))
+
+    def bucket_pairs(g) -> pa.Table:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if a.empty or b.empty:
+            return _EMPTY
+        m = a.merge(b, on="vh", suffixes=("_a", "_b")) \
+            .drop_duplicates(["id_a", "id_b"])
+        out_a, out_b, out_d = [], [], []
+        for ia, ib, ta, tb in zip(m["id_a"], m["id_b"],
+                                  m["title_a"], m["title_b"]):
+            d = dd.edit_distance_le1(ta, tb)
+            if d is not None:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_d.append(d)
+        return pa.table({"doc_id_a": pa.array(out_a, pa.int64()),
+                         "doc_id_b": pa.array(out_b, pa.int64()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    xb = _exchange_blocks(sf_dir)
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(variant_rows, batch_format="pyarrow") \
+        .repartition(xb) \
+        .groupby("_bucket").map_groups(bucket_pairs, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id_a", "doc_id_b", "dist")})
+    return out.drop_duplicates(["doc_id_a", "doc_id_b"]) \
+        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+SQL_FUZZY_TITLE_PAIRS = f"""
+WITH a AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_TITLE_LEN}) AS title
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id + {PLANT_OFFSET} AS bid,
+         substr(title, 1, doc_id % {FUZZY_DEL_MOD})
+           || substr(title, doc_id % {FUZZY_DEL_MOD} + 2) AS btitle
+  FROM a
+)
+SELECT a.doc_id AS doc_id_a, b.bid AS doc_id_b,
+       CAST(levenshtein(a.title, b.btitle) AS BIGINT) AS dist
+FROM a CROSS JOIN b
+WHERE levenshtein(a.title, b.btitle) <= 1
 ORDER BY 1, 2
 """
 
@@ -9397,6 +9635,8 @@ GROUP BY pair ORDER BY pair
 
 
 QUERIES = {
+    "containment_pairs": q_containment_pairs,
+    "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "knn_graph": q_knn_graph,
     "media_feature_stats": q_media_feature_stats,
     "pii_redact_stats": q_pii_redact_stats,
@@ -9634,6 +9874,8 @@ ORACLE_SQL = {
     "jsonl_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
     "csv_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
     "corpus_build": SQL_CORPUS_BUILD,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "fuzzy_title_pairs": SQL_FUZZY_TITLE_PAIRS,
     "knn_graph": SQL_KNN_GRAPH,
     "nfc_audit": SQL_NFC_AUDIT,
     "near_dup_apply": SQL_NEAR_DUP_APPLY,

@@ -160,3 +160,27 @@ def test_hot_bucket_pairs_covers_all_duplicated_keys(key_ids):
     for m in by_key.values():
         if len(m) > 1:
             assert m <= linked
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(alphabet="abcx", max_size=8),
+       st.text(alphabet="abcx", max_size=8))
+def test_edit_distance_le1_matches_dp_and_blocking_complete(a, b):
+    """The banded check equals full DP Levenshtein on the <=1 domain
+    (None above it), and the SymSpell blocking guarantee holds: any
+    pair at distance <=1 shares a deletion variant (recall 1)."""
+    def dp(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    d = dp(a, b)
+    assert dd.edit_distance_le1(a, b) == (d if d <= 1 else None)
+    if d <= 1:
+        assert dd.deletion_variants(a) & dd.deletion_variants(b)

@@ -90,6 +90,7 @@ PARITY_NAMES = [
     "host_triangles", "lang_doc_digest",
     "knn_graph", "nfc_audit", "near_dup_apply",
     "pii_redact_stats", "bpe_pair_counts",
+    "containment_pairs", "fuzzy_title_pairs",
 ]
 
 
@@ -2203,3 +2204,38 @@ def test_near_dup_apply_keeps_reps_only(ray_session):
             assert row["doc_id"] not in kept
     assert any(d >= Q.PLANT_OFFSET for d in
                set(groups["doc_id"]))          # plants actually grouped
+
+
+def test_containment_planted_halves_fully_contained(ray_session):
+    """Every planted half-doc pairs with its source at cont_num ==
+    cont_den (a word-prefix's 3-shingles are a subset of the full
+    text's), pinning the asymmetric semantics symmetric Jaccard at
+    t=0.7 cannot see."""
+    from docling_pdf_ray import queries as Q
+
+    out = Q.q_containment_pairs(SF)
+    probe = out[out["doc_id_b"] >= Q.CONTAIN_OFFSET]
+    own = probe[probe["doc_id_b"] - Q.CONTAIN_OFFSET == probe["doc_id_a"]]
+    assert len(own) > 0                       # plants actually detected
+    assert (own["cont_num"] == own["cont_den"]).all()
+
+
+def test_fuzzy_title_pairs_planted_and_oriented(ray_session):
+    """Every corpus doc matches its own planted probe (the deletion is
+    within distance 1 by construction), all dists are <= 1, and sides
+    stay oriented (a = corpus ids, b = probe ids)."""
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    out = Q.q_fuzzy_title_pairs(SF)
+    assert (out["dist"] <= 1).all()
+    assert (out["doc_id_a"] < Q.PLANT_OFFSET).all()
+    assert (out["doc_id_b"] >= Q.PLANT_OFFSET).all()
+    got = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"])
+    for i, t in zip(docs.column("doc_id").to_pylist(),
+                    docs.column("text").to_pylist()):
+        if t is not None:
+            assert (i, i + Q.PLANT_OFFSET) in got
