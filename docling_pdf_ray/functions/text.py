@@ -225,3 +225,25 @@ def ascii_tokens_flat(text_col):
     parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
     keep = flat != ""
     return flat[keep], parent[keep]
+
+
+def ws_tokens_flat(text_col):
+    """Arrow-vectorized ASCII-whitespace tokenization — the flat-array
+    twin of :func:`docling_pdf_ray.functions.dedup.split_ws` (same
+    ``WS_PATTERN`` contract, so it matches DuckDB
+    ``regexp_split_to_array(text, WS_PATTERN)`` with empties dropped).
+    ``text_col`` must have no nulls (callers filter first). Returns
+    ``(flat, parent)``: non-empty tokens (numpy object array) and each
+    token's row index (int64)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .dedup import WS_PATTERN
+
+    col = (text_col.combine_chunks()
+           if hasattr(text_col, "combine_chunks") else text_col)
+    words = pc.split_pattern_regex(col, pattern=WS_PATTERN)
+    flat = pc.list_flatten(words).to_pandas().to_numpy()
+    parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+    keep = flat != ""
+    return flat[keep], parent[keep]

@@ -4015,6 +4015,94 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_rare_word_score(sf_dir: str):
+    """LEXICAL-RARITY quality score — the integer-exact stand-in for
+    LM-perplexity document filtering (CCNet/Gopher rank documents by
+    how surprising their tokens are): every corpus word gets a global
+    frequency rank (count DESC, word ASC — a total order, so the rank
+    table is deterministic on both engines), and each document scores
+    the SUM of its tokens' ranks plus its token count; downstream
+    gates threshold on sum_rank/n_tokens without ever computing a
+    float. Two passes, ZERO shuffles:
+
+      1. RANK TABLE: per-batch word-count partials (bounded vocab) →
+         driver combine → rank by the total order → ``ray.put`` the
+         sorted-vocab and rank ndarrays (plain numpy, zero-copy from
+         plasma — the broadcast discipline). At 100 TB a 10⁷-word
+         vocab is ~100 MB — still a broadcast, with a documented
+         top-V cap (OOV → rank V+1) as the overflow path.
+      2. SCORE: zero-shuffle ``map_batches`` — flat WS tokens via the
+         shared ``ws_tokens_flat`` kernel, one vectorized
+         ``pd.Index.get_indexer`` lookup, per-doc int64 sums via
+         ``np.add.at``. Zero-token docs are EXCLUDED on both sides
+         (the SQL inner join drops them) — never emitted as NULL (the
+         dtype-fork trap)."""
+    import pandas as pd
+    import ray
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "p_c": pa.array([], pa.int64())})
+        flat, _ = ftext.ws_tokens_flat(t.column("text"))
+        w, c = np.unique(flat.astype("U"), return_counts=True)
+        return pa.table({"w": pa.array(w, pa.string()),
+                         "p_c": pa.array(c.astype(np.int64))})
+
+    counts = _driver_combine(
+        _docs(sf_dir, ["text"]).map_batches(count_partial,
+                                            batch_format="pyarrow"),
+        ["w"], {"c": ("p_c", "sum")})
+    counts = counts.sort_values(["c", "w"],
+                                ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+    vocab_ref = ray.put(counts["w"].to_numpy(dtype=object))
+    rank_ref = ray.put(np.arange(1, len(counts) + 1, dtype=np.int64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        ranks = ray.get(rank_ref)
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "sum_rank": pa.array([], pa.int64())})
+        flat, parent = ftext.ws_tokens_flat(t.column("text"))
+        idx = pd.Index(vocab).get_indexer(flat)   # every token is in-vocab
+        n_tok = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(n_tok, parent, 1)
+        s_rank = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(s_rank, parent, ranks[idx])
+        keep = n_tok > 0
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tok[keep]),
+                         "sum_rank": pa.array(s_rank[keep])})
+
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_RARE_WORD_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'),
+                            w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), ranks AS (
+  SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM counts
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(r.r) AS BIGINT) AS sum_rank
+FROM toks t JOIN ranks r ON r.w = t.w
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 ANN_FILTER_LABELS = (0, 2, 4, 6, 8)   # metadata predicate for filtered ANN
 
 
@@ -9635,6 +9723,7 @@ GROUP BY pair ORDER BY pair
 
 
 QUERIES = {
+    "rare_word_score": q_rare_word_score,
     "containment_pairs": q_containment_pairs,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "knn_graph": q_knn_graph,
@@ -9874,6 +9963,7 @@ ORACLE_SQL = {
     "jsonl_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
     "csv_roundtrip_stats": SQL_JSONL_ROUNDTRIP_STATS,
     "corpus_build": SQL_CORPUS_BUILD,
+    "rare_word_score": SQL_RARE_WORD_SCORE,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "fuzzy_title_pairs": SQL_FUZZY_TITLE_PAIRS,
     "knn_graph": SQL_KNN_GRAPH,

@@ -90,7 +90,7 @@ PARITY_NAMES = [
     "host_triangles", "lang_doc_digest",
     "knn_graph", "nfc_audit", "near_dup_apply",
     "pii_redact_stats", "bpe_pair_counts",
-    "containment_pairs", "fuzzy_title_pairs",
+    "containment_pairs", "fuzzy_title_pairs", "rare_word_score",
 ]
 
 
