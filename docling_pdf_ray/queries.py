@@ -9722,7 +9722,110 @@ GROUP BY pair ORDER BY pair
 """
 
 
+BPE_MERGES = 8                # merge rounds learned by bpe_learn_merges
+
+
+def bpe_apply_merge(tokens: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right NON-OVERLAPPING merge apply — the deterministic
+    core both the distributed learner and its test reference must
+    agree on (overlap rule matters: 'aaa' under (a,a) → ['aa','a'])."""
+    out = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if i + 1 < n and tokens[i] == a and tokens[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def q_bpe_learn_merges(sf_dir: str, n_merges: int = BPE_MERGES):
+    """BPE TOKENIZER TRAINING as an iterative distributed dataflow —
+    the LEARN loop whose round-0 statistics table is
+    :func:`q_bpe_pair_counts` (Sennrich et al., ACL 2016): start from
+    characters within WS words, and per round (a) count adjacent token
+    pairs weighted by word-type frequency, (b) take the argmax under
+    the total order (count DESC, left ASC, right ASC), (c) rewrite
+    every type with the left-to-right non-overlapping merge. Classic
+    BPE is WORD-TYPE-weighted, so the corpus first collapses to its
+    exact (word, count) type table (bounded domain → count partials +
+    driver combine, the `bpe_pair_counts` shape) and the iterative
+    state is a DATASET of (tokens, count) rows — one self-contained
+    materialized state per round, the cc.py/pagerank discipline
+    (Dataset.union never cuts lineage; see CLAUDE.md). At web scale
+    the type table is 10⁷–10⁸ rows: the per-round pair partials stay a
+    bounded-domain semilattice and the merge apply is embarrassingly
+    row-local, so the loop's only fixed cost is one materialize per
+    round. Pair counting includes overlaps (the reference
+    implementation's get_stats does too); the APPLY is non-overlapping
+    via :func:`bpe_apply_merge`. Iterative → no SQL oracle (rows-only,
+    the kmeans discipline); pinned by an INDEPENDENT pure-Python
+    reference in tests."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_dedup.split_ws(t or ""))
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "p_c": pa.array(list(c.values()), pa.int64())})
+
+    types = _driver_combine(
+        _docs(sf_dir, ["text"]).map_batches(type_partial,
+                                            batch_format="pyarrow"),
+        ["w"], {"c": ("p_c", "sum")})
+    state = _rd().from_arrow(pa.table({
+        "tokens": pa.array([list(w) for w in types["w"]],
+                           pa.list_(pa.string())),
+        "c": pa.array(types["c"].to_numpy(np.int64), pa.int64())}))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cs = batch.column("c").to_numpy(zero_copy_only=False)
+        ctr: Counter = Counter()
+        for ts, c in zip(batch.column("tokens").to_pylist(), cs):
+            for x, y in zip(ts, ts[1:]):
+                ctr[(x, y)] += int(c)
+        ks = list(ctr.keys())
+        return pa.table({"l": pa.array([k[0] for k in ks], pa.string()),
+                         "r": pa.array([k[1] for k in ks], pa.string()),
+                         "p_n": pa.array(list(ctr.values()), pa.int64())})
+
+    merges = []
+    for step in range(n_merges):
+        pairs = _driver_combine(
+            state.map_batches(pair_partial, batch_format="pyarrow"),
+            ["l", "r"], {"n": ("p_n", "sum")})
+        if pairs.empty:
+            break
+        best = pairs.sort_values(["n", "l", "r"],
+                                 ascending=[False, True, True]).iloc[0]
+        left, right, n = str(best["l"]), str(best["r"]), int(best["n"])
+        merges.append((step, left, right, n))
+
+        def apply(batch: pa.Table, a=left, b=right) -> pa.Table:
+            toks = [bpe_apply_merge(ts, a, b)
+                    for ts in batch.column("tokens").to_pylist()]
+            return pa.table({"tokens": pa.array(toks,
+                                                pa.list_(pa.string())),
+                             "c": batch.column("c")})
+
+        # one self-contained state Dataset per round (lineage cut)
+        state = state.map_batches(apply,
+                                  batch_format="pyarrow").materialize()
+
+    return pd.DataFrame({
+        "step": pd.Series([m[0] for m in merges], dtype="int64"),
+        "left": pd.Series([m[1] for m in merges], dtype="string"),
+        "right": pd.Series([m[2] for m in merges], dtype="string"),
+        "pair_count": pd.Series([m[3] for m in merges], dtype="int64")})
+
+
 QUERIES = {
+    "bpe_learn_merges": q_bpe_learn_merges,
     "rare_word_score": q_rare_word_score,
     "containment_pairs": q_containment_pairs,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,

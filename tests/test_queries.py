@@ -2239,3 +2239,59 @@ def test_fuzzy_title_pairs_planted_and_oriented(ray_session):
                     docs.column("text").to_pylist()):
         if t is not None:
             assert (i, i + Q.PLANT_OFFSET) in got
+
+
+def test_bpe_learn_matches_pure_python_reference(ray_session):
+    """The distributed BPE learner must equal an INDEPENDENT in-memory
+    reference (own counting loop, own non-overlapping apply) on the
+    real corpus — merge order, tie-breaks and pair counts exactly."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+    from docling_pdf_ray.functions import dedup as dd
+
+    texts = pq.read_table(SF + "/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    types: Counter = Counter()
+    for t in texts:
+        types.update(dd.split_ws(t or ""))
+    state = {w: tuple(w) for w in types}
+    expect = []
+    for step in range(Q.BPE_MERGES):
+        ctr: Counter = Counter()
+        for w, toks in state.items():
+            c = types[w]
+            for x, y in zip(toks, toks[1:]):
+                ctr[(x, y)] += c
+        if not ctr:
+            break
+        (left, right), n = min(ctr.items(),
+                               key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expect.append((step, left, right, n))
+        nxt = {}
+        for w, toks in state.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left \
+                        and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            nxt[w] = tuple(out)
+        state = nxt
+
+    got = Q.q_bpe_learn_merges(SF)
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
+
+
+def test_bpe_apply_merge_overlap_rule():
+    from docling_pdf_ray.queries import bpe_apply_merge
+
+    assert bpe_apply_merge(list("aaa"), "a", "a") == ["aa", "a"]
+    assert bpe_apply_merge(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert bpe_apply_merge(list("abab"), "a", "b") == ["ab", "ab"]
+    assert bpe_apply_merge([], "a", "b") == []
