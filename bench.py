@@ -275,7 +275,9 @@ def run_bench() -> dict:
                      "host_triangles", "lang_doc_digest",
                      "knn_graph", "nfc_audit", "near_dup_apply",
                      "media_feature_stats", "pii_redact_stats",
-                     "bpe_pair_counts"]}
+                     "bpe_pair_counts", "containment_pairs",
+                     "fuzzy_title_pairs", "rare_word_score",
+                     "bpe_learn_merges"]}
     # the full per-query sweep outgrew the driver's bounded stdout-tail
     # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
     # file and keep the final stdout line SHORT: headline + the 10

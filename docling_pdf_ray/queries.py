@@ -9750,15 +9750,17 @@ def q_bpe_learn_merges(sf_dir: str, n_merges: int = BPE_MERGES):
     the total order (count DESC, left ASC, right ASC), (c) rewrite
     every type with the left-to-right non-overlapping merge. Classic
     BPE is WORD-TYPE-weighted, so the corpus first collapses to its
-    exact (word, count) type table (bounded domain → count partials +
-    driver combine, the `bpe_pair_counts` shape) and the iterative
-    state is a DATASET of (tokens, count) rows — one self-contained
+    exact (word, count) type table (this corpus's vocab is bounded →
+    count partials + driver combine, the `bpe_pair_counts` shape; at
+    web scale the type table is 10⁷–10⁸ rows and would come from ONE
+    distributed full-cardinality groupby — the dedup_exact shape —
+    with the state never touching the driver) and the iterative state
+    is a DATASET of (tokens, count) rows — one self-contained
     materialized state per round, the cc.py/pagerank discipline
-    (Dataset.union never cuts lineage; see CLAUDE.md). At web scale
-    the type table is 10⁷–10⁸ rows: the per-round pair partials stay a
-    bounded-domain semilattice and the merge apply is embarrassingly
-    row-local, so the loop's only fixed cost is one materialize per
-    round. Pair counting includes overlaps (the reference
+    (Dataset.union never cuts lineage; see CLAUDE.md). Per round the
+    pair partials are a bounded-domain semilattice (≤ active-vocab²,
+    driver-combined) and the merge apply is embarrassingly row-local,
+    so the loop's only fixed cost is one materialize per round. Pair counting includes overlaps (the reference
     implementation's get_stats does too); the APPLY is non-overlapping
     via :func:`bpe_apply_merge`. Iterative → no SQL oracle (rows-only,
     the kmeans discipline); pinned by an INDEPENDENT pure-Python
