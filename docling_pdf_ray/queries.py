@@ -9826,7 +9826,414 @@ def q_bpe_learn_merges(sf_dir: str, n_merges: int = BPE_MERGES):
         "pair_count": pd.Series([m[3] for m in merges], dtype="int64")})
 
 
+SUBSTR_GRAM = 32     # chars per shingle (ExactSubstr uses ~50-token spans;
+#                      fixed-length char grams at content-defined anchors
+#                      approximate that signal)
+_WS_CHARS = " \t\n\r\x0b\x0c"   # the shared ASCII whitespace class
+_WS_SQL_SET = "(' ', chr(9), chr(10), chr(13), chr(11), chr(12))"
+
+
+def q_substring_dup_spans(sf_dir: str, n_buckets: int = 64):
+    """CHARACTER-LEVEL duplicated-substring detection — the ExactSubstr
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") approximated at gram granularity: every
+    document emits {GRAM}-char shingles ANCHORED AT WORD STARTS, and a
+    shingle is a DUP SPAN iff the identical character string occurs in
+    ≥2 DISTINCT documents (repeats inside one doc are self-similarity,
+    handled by the repetition gate — not cross-corpus duplication).
+    Anchoring is CONTENT-DEFINED (the winnowing/MOSS insight): a fixed
+    byte stride would miss a copied span whose offset shifts its
+    stride phase, while word-start anchors travel WITH the copied
+    content, so a shared span yields identical grams at any offset.
+    Grams run a fixed char length from each anchor, crossing word
+    boundaries — catching copies the word-chunk paragraph dedup misses
+    when the copy starts mid-chunk. Output per doc:
+    (n_grams, dup_grams).
+
+    Dataflow (the paragraph-dedup shape): texts never move — each
+    batch explodes locally into 28-byte narrow rows (md5-hi, md5-lo,
+    doc_id); exchange 1 buckets by hash (every occurrence of a gram
+    lands in one bucket, so the per-bucket distinct-doc count is the
+    global one); each bucket emits per-doc partials; exchange 2 sums
+    them per doc. 128-bit hashing keeps hash-equality ==
+    string-equality at 10^12-gram scale. Docs with no anchored gram
+    (shorter than one gram past their first word) emit nothing and are
+    absent on BOTH sides (the SQL inner join drops them) — never NULL
+    (the dtype-fork trap). Lazy, unsorted."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    word_start = re.compile(f"[^{re.escape(_WS_CHARS)}]+")
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        gs: list[str] = []
+        parent: list[int] = []
+        for i, t in enumerate(texts):
+            if not t or len(t) < SUBSTR_GRAM:
+                continue
+            lim = len(t) - SUBSTR_GRAM
+            row = [t[p:p + SUBSTR_GRAM]
+                   for m in word_start.finditer(t)
+                   if (p := m.start()) <= lim]
+            gs.extend(row)
+            parent.extend([i] * len(row))
+        if not gs:
+            return pa.table({"h_hi": pa.array([], pa.uint64()),
+                             "h_lo": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int32())})
+        uniq, inv = np.unique(np.asarray(gs, dtype=object),
+                              return_inverse=True)
+        dig = [hashlib.md5(s.encode()).digest() for s in uniq]
+        hi = np.fromiter((int.from_bytes(d[:8], "big") for d in dig),
+                         np.uint64, len(uniq))[inv]
+        lo = np.fromiter((int.from_bytes(d[8:], "big") for d in dig),
+                         np.uint64, len(uniq))[inv]
+        doc = ids.astype(np.int64)[np.asarray(parent, np.int64)]
+        return pa.table({
+            "h_hi": pa.array(hi), "h_lo": pa.array(lo),
+            "doc_id": pa.array(doc),
+            "_bucket": pa.array((hi % n_buckets).astype(np.int32))})
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        nd = g.groupby(["h_hi", "h_lo"], sort=False)["doc_id"] \
+            .transform("nunique").to_numpy(np.int64)
+        a = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                          "dup": (nd >= 2).astype(np.int64)}) \
+            .groupby("doc_id", sort=False) \
+            .agg(p_grams=("dup", "size"), p_dup=("dup", "sum")) \
+            .reset_index()
+        doc = a["doc_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "p_grams": pa.array(a["p_grams"].to_numpy(np.int64)),
+            "p_dup": pa.array(a["p_dup"].to_numpy(np.int64)),
+            "_dbucket": pa.array((doc % n_buckets).astype(np.int32))})
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        a = g.groupby("doc_id", sort=False) \
+            .agg(n_grams=("p_grams", "sum"), dup_grams=("p_dup", "sum")) \
+            .reset_index()
+        return pa.table({
+            "doc_id": pa.array(a["doc_id"].to_numpy(np.int64)),
+            "n_grams": pa.array(a["n_grams"].to_numpy(np.int64)),
+            "dup_grams": pa.array(a["dup_grams"].to_numpy(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"], narrow_exchange=True) \
+        .map_batches(grams, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(combine, batch_format="pandas") \
+        .groupby("_dbucket").map_groups(final, batch_format="pandas")
+
+
+SQL_SUBSTRING_DUP_SPANS = f"""
+WITH mx AS (
+  SELECT coalesce(max(len(text)), 0) AS m
+  FROM documents WHERE text IS NOT NULL
+), ser AS (
+  SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS p
+), g AS (
+  SELECT d.doc_id, md5(substring(d.text, ser.p, {SUBSTR_GRAM})) AS h
+  FROM documents d JOIN ser
+    ON d.text IS NOT NULL
+   AND ser.p <= len(d.text) - {SUBSTR_GRAM - 1}
+   AND substring(d.text, ser.p, 1) NOT IN {_WS_SQL_SET}
+   AND (ser.p = 1 OR substring(d.text, ser.p - 1, 1) IN {_WS_SQL_SET})
+), hd AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_grams
+FROM g JOIN hd USING (h)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+CLS_BUCKETS = 4096   # hashed feature space (fastText defaults to 2M bigram
+#                      buckets; the count is a parameter of the apply stage)
+
+
+def q_hash_classifier_score(sf_dir: str):
+    """HASHED-LINEAR-CLASSIFIER scoring — the fastText-style quality
+    classifier APPLY stage (CCNet / GPT-3 / LLaMA corpora gate pages on
+    a linear model over hashed bag-of-words features): tokens hash to
+    {CLS_BUCKETS} buckets via md5 (the cross-engine hash), each bucket
+    carries a fixed integer weight in [-1000, 1000] derived from the
+    bucket id by the Knuth multiplicative hash (a deterministic
+    stand-in for trained weights — the operator under test is the
+    apply path: feature hashing, weight lookup, per-doc reduction;
+    swapping in learned weights changes one broadcast ndarray), and a
+    document scores the exact integer sum over its token OCCURRENCES
+    with label = (score >= 0).
+
+    Scale shape: ZERO shuffles — scoring is one vectorized
+    unique→hash→lookup→np.add.at per batch; the weight vector is
+    O(buckets) and implicit here (a trained vector would be ray.put
+    once, the broadcast discipline). Token stream == the shared ASCII
+    vocabulary kernel (regexp_extract_all '[A-Za-z0-9]+' → lower).
+    Zero-token docs are EXCLUDED on both sides."""
+    import hashlib
+
+    EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
+        if len(flat) == 0:
+            return EMPTY
+        uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+        b = np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % CLS_BUCKETS
+             for w in uniq), np.int64, len(uniq))
+        w = ((b.astype(np.uint64) * np.uint64(_KNUTH))
+             % np.uint64(1 << 32)).astype(np.int64) % 2001 - 1000
+        tok_w = w[inv]
+        n_tok = np.zeros(t.num_rows, np.int64)
+        np.add.at(n_tok, parent, 1)
+        s = np.zeros(t.num_rows, np.int64)
+        np.add.at(s, parent, tok_w)
+        keep = n_tok > 0
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok[keep]),
+            "score": pa.array(s[keep]),
+            "label": pa.array((s[keep] >= 0).astype(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+SQL_HASH_CLASSIFIER_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                               t -> lower(t))) AS term
+  FROM documents WHERE text IS NOT NULL
+), w AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+            % {CLS_BUCKETS})
+           * {_KNUTH} % 4294967296 % 2001 - 1000 AS w
+  FROM toks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w) AS BIGINT) AS score,
+       CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+DSIR_BUCKETS = 1024          # hashed unigram feature space
+DSIR_TARGET_LANG = "en"      # the target domain (DSIR's "formal text")
+DSIR_SCALE = 1_000_000       # integer ratio in parts-per-million
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance-resampling weights (Xie et al., NeurIPS 2023:
+    "Data Selection for Language Models via Importance Resampling") —
+    score every document by how much its hashed-unigram distribution
+    resembles a TARGET domain (here lang = '{DSIR_TARGET_LANG}')
+    relative to the raw corpus. Integer-exact formulation: per feature
+    bucket b, λ[b] = (target_count[b] + 1) · 10^6 // (raw_count[b] + 1)
+    (add-one smoothing, ratio in ppm — a monotone stand-in for the
+    log-likelihood ratio that never touches a float), and a document's
+    dsir_score is the exact sum of λ over its token occurrences.
+
+    Scale shape: pass 1 is a bounded-domain semilattice (≤ {DSIR_BUCKETS}
+    buckets × blocks partial rows → driver combine); the λ table is
+    ray.put ONCE as a plain int64 ndarray (the broadcast discipline —
+    zero-copy from plasma); pass 2 is zero-shuffle vectorized scoring.
+    At 10^13 target tokens the ppm numerator would overflow int64 —
+    the counts would then carry a per-magnitude downscale (documented,
+    unreachable at any test sf). Zero-token docs are EXCLUDED on both
+    sides (the SQL inner join drops them)."""
+    import hashlib
+
+    import ray
+
+    def buckets_of(uniq: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+             for w in uniq), np.int64, len(uniq))
+
+    EMPTY_C = pa.table({"b": pa.array([], pa.int64()),
+                        "p_raw": pa.array([], pa.int64()),
+                        "p_tgt": pa.array([], pa.int64())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY_C
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
+        if len(flat) == 0:
+            return EMPTY_C
+        uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+        tb = buckets_of(uniq)[inv]
+        tgt_doc = np.fromiter(
+            (l == DSIR_TARGET_LANG for l in t.column("lang").to_pylist()),
+            bool, t.num_rows)
+        raw = np.bincount(tb, minlength=DSIR_BUCKETS)
+        tgt = np.bincount(tb[tgt_doc[parent]], minlength=DSIR_BUCKETS)
+        nz = np.flatnonzero(raw)
+        return pa.table({"b": pa.array(nz.astype(np.int64)),
+                         "p_raw": pa.array(raw[nz].astype(np.int64)),
+                         "p_tgt": pa.array(tgt[nz].astype(np.int64))})
+
+    counts = _driver_combine(
+        _docs(sf_dir, ["text", "lang"]).map_batches(
+            count_partial, batch_format="pyarrow"),
+        ["b"], {"raw": ("p_raw", "sum"), "tgt": ("p_tgt", "sum")})
+    lam = np.full(DSIR_BUCKETS, DSIR_SCALE, dtype=np.int64)
+    if not counts.empty:
+        bs = counts["b"].to_numpy(np.int64)
+        lam[bs] = ((counts["tgt"].to_numpy(np.int64) + 1) * DSIR_SCALE
+                   // (counts["raw"].to_numpy(np.int64) + 1))
+    lam_ref = ray.put(lam)
+
+    EMPTY_S = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "dsir_score": pa.array([], pa.int64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        lam_v = ray.get(lam_ref)
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY_S
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
+        if len(flat) == 0:
+            return EMPTY_S
+        uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+        tok_lam = lam_v[buckets_of(uniq)][inv]
+        n_tok = np.zeros(t.num_rows, np.int64)
+        np.add.at(n_tok, parent, 1)
+        s = np.zeros(t.num_rows, np.int64)
+        np.add.at(s, parent, tok_lam)
+        keep = n_tok > 0
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n_tok[keep]),
+                         "dsir_score": pa.array(s[keep])})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+            % {DSIR_BUCKETS}) AS b,
+         CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS tgt
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(
+                 regexp_extract_all(text, '[A-Za-z0-9]+'),
+                 t -> lower(t))) AS term
+        FROM documents WHERE text IS NOT NULL)
+), lam AS (
+  SELECT b, CAST((sum(tgt) + 1) * {DSIR_SCALE} // (count(*) + 1)
+                 AS BIGINT) AS w
+  FROM toks GROUP BY b
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(l.w) AS BIGINT) AS dsir_score
+FROM toks t JOIN lam l USING (b)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+N_SHARDS = 8
+
+
+def q_shard_manifest(sf_dir: str):
+    """TRAINING-SHARD SINK + manifest — the loader-facing output stage
+    every LLM data pipeline ends with (write N balanced shards a
+    dataloader streams): each document gets a deterministic
+    shard = knuth(doc_id) mod {N_SHARDS}, the corpus is WRITTEN as a
+    hive-partitioned parquet tree (one directory per shard — the
+    resumable-output discipline: a failed downstream consumer re-reads
+    single shards), and the returned manifest is computed FROM THE
+    WRITTEN FILES (read back column-pruned, partition column recovered
+    from the hive path), so the SQL parity check proves the sink
+    ROUNDTRIP end-to-end, not just the assignment arithmetic: per
+    shard (n_docs, sum_chars, id_sum) where id_sum is an
+    order-independent integrity checksum.
+
+    The write goes to a fresh mkdtemp under /tmp (scratch-output rule)
+    and is removed after the manifest is computed. Shard cardinality
+    is bounded ({N_SHARDS}) → manifest partials driver-combine."""
+    import shutil
+    import tempfile
+
+    m32 = np.uint64(1 << 32)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d = np.mod(ids, np.int64(1 << 32)).astype(np.uint64)
+        shard = ((d * np.uint64(_KNUTH)) % m32
+                 % np.uint64(N_SHARDS)).astype(np.int64)
+        return batch.append_column("shard", pa.array(shard))
+
+    out_dir = tempfile.mkdtemp(prefix="shard_manifest_", dir="/tmp")
+    try:
+        _docs(sf_dir, ["doc_id", "n_chars"]) \
+            .map_batches(assign, batch_format="pyarrow") \
+            .write_parquet(out_dir, partition_cols=["shard"])
+
+        def manifest_partial(batch: pa.Table) -> pa.Table:
+            # hive partition values read back as strings
+            sh = pc.cast(pc.cast(batch.column("shard"), pa.string()),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            nch = pc.fill_null(batch.column("n_chars"), 0) \
+                .to_numpy(zero_copy_only=False)
+            n = np.bincount(sh, minlength=N_SHARDS)
+            # exact int64 sums (bincount weights= would go through float64)
+            sc = np.zeros(N_SHARDS, np.int64)
+            np.add.at(sc, sh, nch.astype(np.int64))
+            si = np.zeros(N_SHARDS, np.int64)
+            np.add.at(si, sh, ids.astype(np.int64))
+            nz = np.flatnonzero(n)
+            return pa.table({"shard": pa.array(nz.astype(np.int64)),
+                             "p_n": pa.array(n[nz].astype(np.int64)),
+                             "p_chars": pa.array(sc[nz]),
+                             "p_ids": pa.array(si[nz])})
+
+        out = _driver_combine(
+            _rd().read_parquet(out_dir).map_batches(
+                manifest_partial, batch_format="pyarrow"),
+            ["shard"], {"n_docs": ("p_n", "sum"),
+                        "sum_chars": ("p_chars", "sum"),
+                        "id_sum": ("p_ids", "sum")})
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+SQL_SHARD_MANIFEST = f"""
+SELECT CAST(CAST((doc_id % 4294967296 + 4294967296) % 4294967296 AS HUGEINT)
+            * {_KNUTH} % 4294967296 % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
+    "substring_dup_spans": q_substring_dup_spans,
+    "hash_classifier_score": q_hash_classifier_score,
+    "dsir_weights": q_dsir_weights,
+    "shard_manifest": q_shard_manifest,
     "bpe_learn_merges": q_bpe_learn_merges,
     "rare_word_score": q_rare_word_score,
     "containment_pairs": q_containment_pairs,
@@ -9958,6 +10365,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
+    "hash_classifier_score": SQL_HASH_CLASSIFIER_SCORE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "shard_manifest": SQL_SHARD_MANIFEST,
     "extract_pages": SQL_EXTRACT_PAGES,
     "training_prep": SQL_TRAINING_PREP,
     "extract_method_counts": SQL_EXTRACT_METHOD_COUNTS,

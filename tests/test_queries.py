@@ -91,6 +91,8 @@ PARITY_NAMES = [
     "knn_graph", "nfc_audit", "near_dup_apply",
     "pii_redact_stats", "bpe_pair_counts",
     "containment_pairs", "fuzzy_title_pairs", "rare_word_score",
+    "substring_dup_spans", "hash_classifier_score", "dsir_weights",
+    "shard_manifest",
 ]
 
 
@@ -2295,3 +2297,96 @@ def test_bpe_apply_merge_overlap_rule():
     assert bpe_apply_merge(list("aaaa"), "a", "a") == ["aa", "aa"]
     assert bpe_apply_merge(list("abab"), "a", "b") == ["ab", "ab"]
     assert bpe_apply_merge([], "a", "b") == []
+
+
+def test_substring_dup_spans_planted_cross_doc_copy(ray_session, tmp_path):
+    """A mid-text span copied between two docs at an offset that breaks
+    word-chunk alignment must surface as dup grams in BOTH docs; an
+    unrelated doc must report zero; a doc shorter than one gram is
+    absent from the result on BOTH sides. Parity vs the oracle on the
+    planted table pins the distinct-doc (not same-doc-repeat) rule."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    span = "the quick brown fox jumps over the lazy dog again and again ok"
+    a = "aaa " * 30 + span + " tail of document a " * 5
+    b = "prefix that offsets the copy by some chars " + span + " b" * 40
+    c = "completely unrelated text " * 10
+    d = "short"                      # < SUBSTR_GRAM chars -> absent
+    e = ("zz " * 20)[:64]            # self-repeat only -> dup_grams 0
+    texts = [a, b, c, d, e]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(["s"] * 5, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = Q.q_substring_dup_spans(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    by = got.set_index("doc_id")
+    assert 3 not in by.index                      # too short: absent
+    assert by.loc[0, "dup_grams"] > 0 and by.loc[1, "dup_grams"] > 0
+    assert by.loc[2, "dup_grams"] == 0
+    assert by.loc[4, "dup_grams"] == 0            # same-doc repeats only
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path / 'documents.parquet'}')")
+    want = con.execute(Q.SQL_SUBSTRING_DUP_SPANS).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].sort_values("doc_id")
+        .reset_index(drop=True), check_dtype=False, check_exact=True)
+
+
+def test_dsir_weights_all_target_is_exactly_scale(ray_session, tmp_path):
+    """When EVERY doc is in the target lang, target_count == raw_count
+    per bucket, so every λ = (c+1)·SCALE // (c+1) = SCALE exactly and
+    dsir_score == n_tokens · SCALE — an integer-exact invariant that
+    pins the smoothing arithmetic end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(3)
+    texts = [" ".join(f"w{rng.randint(0, 50)}" for _ in range(12))
+             for _ in range(60)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(60), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([Q.DSIR_TARGET_LANG] * 60, pa.string()),
+        "source": pa.array(["s"] * 60, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = Q.q_dsir_weights(str(tmp_path)).to_pandas()
+    assert len(got) == 60
+    assert (got["dsir_score"] ==
+            got["n_tokens"] * Q.DSIR_SCALE).all()
+
+
+def test_shard_manifest_partition_totals(registry):
+    """The manifest (computed from the files the sink actually wrote)
+    must partition the corpus exactly: shard ids within range, totals
+    equal to the corpus totals, and deterministic across runs."""
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    got = _to_pandas(registry[0]["shard_manifest"](SF))
+    assert got["shard"].between(0, Q.N_SHARDS - 1).all()
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "n_chars"]).to_pandas()
+    assert got["n_docs"].sum() == len(src)
+    assert got["sum_chars"].sum() == src["n_chars"].sum()
+    assert got["id_sum"].sum() == src["doc_id"].sum()
+    again = _to_pandas(registry[0]["shard_manifest"](SF))
+    pd.testing.assert_frame_equal(got, again)
