@@ -1327,16 +1327,21 @@ def q_ship_window_counts(sf_dir: str):
                                          "o_orderpriority"])
     # predicate: o_orderdate ∈ [l_shipdate - 90d, l_shipdate]
     #          ⟺ l_shipdate ∈ [o_orderdate, o_orderdate + 90d]
-    # NO exchange coalesce here (unlike the equi/asof joins): the
-    # per-bucket range merge is compute-heavy (chunked per-key cross
-    # product), and the exchange's output partition count caps
-    # map_groups parallelism — coalescing to few fat blocks serialized
-    # the merge (measured sf0.1: 3.4 s -> 5.2 s). Exchange-bound joins
-    # coalesce; compute-bound joins keep read granularity.
+    # Exchange coalesce is CPU-SCALED, not size-scaled: the per-bucket
+    # merge needs parallelism (the size-based ~4-block coalesce
+    # serialized it — measured sf0.1: 3.4 s -> 5.2 s), but the default
+    # cpus×2 read granularity overpays the sort's fixed cost. cpus/2
+    # blocks into cpus buckets is the measured optimum (r5d sweep at
+    # 32 cpus: default 3.9 s / eb16+nb32 2.6-3.0 s / eb8 4.3 s /
+    # eb4 5.7 s / nb16 4.3 s).
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 32))
     joined = bucketed_range_join(li, orders, key="o_orderkey",
                                  ts_left="l_shipdate", ts_right="o_orderdate",
                                  lower=-pd.Timedelta(days=90),
-                                 upper=pd.Timedelta(0), n_buckets=32)
+                                 upper=pd.Timedelta(0),
+                                 n_buckets=max(4, ncpu),
+                                 exchange_blocks=max(8, ncpu // 2))
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"o_orderpriority": batch.column("o_orderpriority")})
@@ -9826,6 +9831,54 @@ def q_bpe_learn_merges(sf_dir: str, n_merges: int = BPE_MERGES):
         "pair_count": pd.Series([m[3] for m in merges], dtype="int64")})
 
 
+def q_bpe_encode_stats(sf_dir: str):
+    """TOKENIZE THE CORPUS — the ENCODE stage consuming the merge table
+    :func:`q_bpe_learn_merges` learns (every training pipeline ends by
+    encoding the cleaned corpus and budgeting tokens): each document
+    reports (n_words, n_bpe_tokens) under the learned merges, applied
+    per word left-to-right in learn order via the same
+    :func:`bpe_apply_merge` kernel both the learner and the test
+    reference use.
+
+    Scale shape: encode is ZERO-shuffle row-local; the merge list is
+    O(BPE_MERGES) and rides the task closure (a production 32k-merge
+    table would be ray.put once — the broadcast discipline). Encoding
+    memoizes per WORD TYPE within each batch, so cost tracks distinct
+    types, not token occurrences — the same reason the learner works
+    on the type table. Iterative merge semantics → no SQL oracle
+    (rows-only); pinned by a driver-side replay in tests."""
+    merges = [(str(l), str(r)) for l, r in
+              q_bpe_learn_merges(sf_dir)[["left", "right"]]
+              .itertuples(index=False)]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
+
+        def enc_len(w: str) -> int:
+            v = cache.get(w)
+            if v is None:
+                toks = list(w)
+                for a, b in merges:
+                    toks = bpe_apply_merge(toks, a, b)
+                v = len(toks)
+                cache[w] = v
+            return v
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_words = np.zeros(batch.num_rows, np.int64)
+        n_bpe = np.zeros(batch.num_rows, np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            words = _dedup.split_ws(t or "")
+            n_words[i] = len(words)
+            n_bpe[i] = sum(enc_len(w) for w in words)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_words": pa.array(n_words),
+                         "n_bpe_tokens": pa.array(n_bpe)})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(encode, batch_format="pyarrow")
+
+
 SUBSTR_GRAM = 32     # chars per shingle (ExactSubstr uses ~50-token spans;
 #                      fixed-length char grams at content-defined anchors
 #                      approximate that signal)
@@ -10151,6 +10204,103 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+CHUNK_WORDS = 40    # words per retrieval chunk
+CHUNK_STRIDE = 30   # chunk start stride (CHUNK_WORDS - CHUNK_STRIDE overlap)
+
+
+def q_chunk_windows(sf_dir: str):
+    """RAG-STYLE OVERLAPPING CHUNKING — the retrieval-corpus prep stage
+    (LangChain/LlamaIndex text splitters: fixed-size windows with
+    overlap so no answer span straddles a chunk boundary unseen):
+    every document becomes chunks of {CHUNK_WORDS} WS-words starting
+    every {CHUNK_STRIDE} words (a {CHUNK_WORDS - CHUNK_STRIDE}-word
+    overlap), emitted as one row per chunk with (doc_id, chunk_idx
+    1-based, n_words, chunk_hash = md5 of the space-joined words) —
+    the downstream embedding stage consumes exactly this table.
+
+    Scale shape: ZERO shuffles — chunking is row-local. The batch
+    kernel is the paragraph-dedup explosion (vectorized split →
+    in-doc word index without a Python loop) extended with the
+    overlap: a word at index w belongs to chunk w//STRIDE and, when
+    w % STRIDE < (WORDS - STRIDE), also to the previous chunk — each
+    word is materialized at most twice regardless of text length.
+    Zero-word docs emit nothing on BOTH sides (the SQL's
+    generate_series over ceil(0/…) is empty). Lazy, unsorted."""
+    import hashlib
+
+    import pandas as pd
+
+    EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_idx": pa.array([], pa.int64()),
+                      "n_words": pa.array([], pa.int64()),
+                      "chunk_hash": pa.array([], pa.string())})
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""),
+            pattern=_dedup.WS_PATTERN)
+        flat = pc.list_flatten(words).to_pandas().to_numpy()
+        parent = pc.list_parent_indices(words).to_numpy().astype(np.int64)
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        if len(flat) == 0:
+            return EMPTY
+        n = len(flat)
+        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        run_len = np.diff(np.r_[starts, n])
+        widx = np.arange(n, dtype=np.int64) - np.repeat(starts, run_len)
+        k1 = widx // CHUNK_STRIDE
+        over = (widx % CHUNK_STRIDE < CHUNK_WORDS - CHUNK_STRIDE) & (k1 >= 1)
+        P = np.r_[parent, parent[over]]
+        F = np.r_[flat, flat[over]]
+        K = np.r_[k1, k1[over] - 1]
+        W = np.r_[widx, widx[over]]
+        order = np.lexsort((W, K, P))
+        joined = pd.Series(F[order]).groupby([P[order], K[order]],
+                                             sort=True).agg(" ".join)
+        keys = joined.index
+        c_parent = keys.get_level_values(0).to_numpy(np.int64)
+        c_idx = keys.get_level_values(1).to_numpy(np.int64)
+        texts = joined.to_numpy()
+        n_words = pd.Series(F[order]).groupby(
+            [P[order], K[order]], sort=True).size().to_numpy(np.int64)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)[c_parent]
+        hashes = [hashlib.md5(s.encode()).hexdigest() for s in texts]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "chunk_idx": pa.array(c_idx + 1),
+            "n_words": pa.array(n_words),
+            "chunk_hash": pa.array(hashes, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(chunks, batch_format="pyarrow")
+
+
+SQL_CHUNK_WINDOWS = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_dedup.WS_PATTERN}'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1,
+                CAST(ceil(len(ws) / {CHUNK_STRIDE}.0) AS BIGINT))) AS i
+  FROM w WHERE len(ws) > 0
+)
+SELECT doc_id, i AS chunk_idx,
+       CAST(len(list_slice(ws, (i-1)*{CHUNK_STRIDE} + 1,
+                least((i-1)*{CHUNK_STRIDE} + {CHUNK_WORDS}, len(ws))))
+            AS BIGINT) AS n_words,
+       md5(array_to_string(
+           list_slice(ws, (i-1)*{CHUNK_STRIDE} + 1,
+                      least((i-1)*{CHUNK_STRIDE} + {CHUNK_WORDS}, len(ws))),
+           ' ')) AS chunk_hash
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 N_SHARDS = 8
 
 
@@ -10230,6 +10380,8 @@ FROM documents GROUP BY shard ORDER BY shard
 
 
 QUERIES = {
+    "chunk_windows": q_chunk_windows,
+    "bpe_encode_stats": q_bpe_encode_stats,
     "substring_dup_spans": q_substring_dup_spans,
     "hash_classifier_score": q_hash_classifier_score,
     "dsir_weights": q_dsir_weights,
@@ -10365,6 +10517,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "chunk_windows": SQL_CHUNK_WINDOWS,
     "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
     "hash_classifier_score": SQL_HASH_CLASSIFIER_SCORE,
     "dsir_weights": SQL_DSIR_WEIGHTS,

@@ -92,7 +92,7 @@ PARITY_NAMES = [
     "pii_redact_stats", "bpe_pair_counts",
     "containment_pairs", "fuzzy_title_pairs", "rare_word_score",
     "substring_dup_spans", "hash_classifier_score", "dsir_weights",
-    "shard_manifest",
+    "shard_manifest", "chunk_windows",
 ]
 
 
@@ -2390,3 +2390,66 @@ def test_shard_manifest_partition_totals(registry):
     assert got["id_sum"].sum() == src["doc_id"].sum()
     again = _to_pandas(registry[0]["shard_manifest"](SF))
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_chunk_windows_overlap_contract(registry):
+    """Adjacent chunks overlap by exactly CHUNK_WORDS - CHUNK_STRIDE
+    words; all but the last chunk of a doc are full; chunk word counts
+    reconstruct the doc's word count (sum - overlap double-counts)."""
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+    from docling_pdf_ray.functions import dedup as dd
+
+    got = _to_pandas(registry[0]["chunk_windows"](SF)) \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    wc = {r.doc_id: len(dd.split_ws(r.text or ""))
+          for r in src.itertuples()}
+    for doc_id, g in got.groupby("doc_id"):
+        n = wc[doc_id]
+        assert list(g["chunk_idx"]) == list(range(1, len(g) + 1))
+        assert len(g) == -(-n // Q.CHUNK_STRIDE)
+        # exact size contract: chunk i spans words
+        # [(i-1)·STRIDE, min((i-1)·STRIDE + WORDS, n))
+        want = [min(Q.CHUNK_WORDS, n - (i - 1) * Q.CHUNK_STRIDE)
+                for i in range(1, len(g) + 1)]
+        assert list(g["n_words"]) == want, doc_id
+    assert set(got["doc_id"]) == {d for d, c in wc.items() if c > 0}
+
+
+def test_bpe_encode_stats_matches_driver_replay(registry):
+    """The distributed encode must equal a driver-side replay: the
+    same learned merges applied per word with bpe_apply_merge (whose
+    overlap rule is independently pinned), summed per document."""
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+    from docling_pdf_ray.functions import dedup as dd
+
+    got = _to_pandas(registry[0]["bpe_encode_stats"](SF)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    merges = [(str(l), str(r)) for l, r in
+              Q.q_bpe_learn_merges(SF)[["left", "right"]]
+              .itertuples(index=False)]
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cache = {}
+
+    def enc_len(w):
+        if w not in cache:
+            toks = list(w)
+            for a, b in merges:
+                toks = Q.bpe_apply_merge(toks, a, b)
+            cache[w] = len(toks)
+        return cache[w]
+
+    for r, (_, s) in zip(got.itertuples(), src.iterrows()):
+        words = dd.split_ws(s["text"] or "")
+        assert r.doc_id == s["doc_id"]
+        assert r.n_words == len(words)
+        assert r.n_bpe_tokens == sum(enc_len(w) for w in words)
+    assert (got["n_bpe_tokens"] >= got["n_words"]).all()
+    assert (got["n_bpe_tokens"] > got["n_words"]).any()  # merges bite
