@@ -445,6 +445,110 @@ def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
     return f
 
 
+def afp64(x: np.ndarray) -> int:
+    """64-bit AUDIO energy-envelope fingerprint — the audio analog of
+    :func:`ahash64` (Chromaprint-style acoustic fingerprints reduce to
+    thresholded per-frame features; this is the self-contained
+    dependency-free version): the signal splits into 64 equal time
+    windows, each contributes one bit, set iff the window's mean
+    energy exceeds the whole signal's mean window energy. Uniform gain
+    scales every window energy equally, so the bits are
+    amplitude-invariant by construction; small per-sample noise moves
+    energies far less than the envelope contrast. Pure numpy,
+    deterministic everywhere."""
+    if len(x) == 0:
+        return 0
+    edges = np.linspace(0, len(x), 65, dtype=np.int64)
+    e = np.zeros(64, dtype=np.float64)
+    xx = x.astype(np.float64) ** 2
+    for i in range(64):
+        seg = xx[edges[i]:edges[i + 1]]
+        e[i] = seg.mean() if seg.size else 0.0
+    bits = (e > e.mean()).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class AudioHashStage:
+    """Actor-pool stage: decode WAV payloads (REAL stdlib PCM16 codec)
+    → 64-bit energy-envelope fingerprint. Mirrors :class:`ImageHashStage`
+    exactly: undecodable payloads (MP3/MP4 — no codec in this
+    container) raise in ``strict`` mode or fall to a digest-derived
+    pseudo-hash tagged ``decoded=False`` so downstream dedup can
+    exclude them (a byte-equality match is not acoustic evidence).
+    Output is the narrow (media_id, afp, decoded) table — payload
+    bytes never leave this stage."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            p = p or b""
+            ok = True
+            try:
+                if not p.startswith(b"RIFF"):
+                    raise NotImplementedError(
+                        "no codec for this payload in this environment")
+                x, _rate = decode_wav(p)
+                h = afp64(x)
+            except Exception:
+                if self.strict:
+                    raise
+                h = int.from_bytes(
+                    hashlib.blake2b(p, digest_size=8).digest(), "big")
+                ok = False
+            out.append((mid, h, ok))
+        return pa.table({
+            "media_id": pa.array([r[0] for r in out], pa.int64()),
+            "afp": pa.array([r[1] - (1 << 63) for r in out], pa.int64()),
+            "decoded": pa.array([r[2] for r in out], pa.bool_())})
+
+
+def _synth_audio_rows(n: int, seed: int) -> list[dict]:
+    """Deterministic WAV table with PLANTED near-duplicates: every 5th
+    row re-encodes the previous row's signal with a +2% uniform gain
+    and one window's amplitude nudged +0.01 — the re-master-shaped
+    perturbation :func:`afp64` is built to survive (window amplitudes
+    are drawn from two WELL-SEPARATED levels, 0.1 and 0.6, so window
+    energies are bimodal and the mean-energy threshold sits in the
+    gap — a 2% gain or one ±0.01 nudge can never flip a bit). Some
+    non-planted rows carry MP3-shaped undecodable payloads to exercise
+    the pseudo-hash exclusion path. Ground truth: (5k+3, 5k+4) are
+    near-dup pairs."""
+    rows = []
+    prev = None
+    win = 64       # samples per fingerprint window
+    for i in range(n):
+        rng = np.random.RandomState(seed * 1000 + i)
+        if i % 5 == 4 and prev is not None:
+            x = prev * 1.02
+            j = rng.randint(64)
+            x[j * win:(j + 1) * win] += np.sign(
+                x[j * win:(j + 1) * win]) * 0.01
+        else:
+            amps = np.where(rng.rand(64) < 0.5, 0.1, 0.6)
+            tone = np.tile([1.0, -1.0], win // 2)
+            x = (amps[:, None] * tone[None, :]).ravel()
+        prev = x
+        if i % 13 == 6 and i % 5 not in (3, 4):
+            payload = b"\xffID3" + bytes(rng.randint(0, 256, 32,
+                                                     dtype=np.uint8))
+        else:
+            payload = encode_wav(x, 8000)
+        rows.append({"media_id": i, "kind": "audio", "payload": payload})
+    return rows
+
+
+def audio_table_path(n: int = 128, seed: int = 11) -> str:
+    """Materialize the synthetic audio table ONCE under /tmp (same
+    atomic content-keyed fixture discipline as
+    :func:`image_table_path`)."""
+    return _materialize_fixture(f"audio-n{n}-s{seed}",
+                                lambda: _synth_audio_rows(n, seed))
+
+
 RVID_MAGIC = b"RVID"
 
 

@@ -8266,6 +8266,56 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3,
         .sort_values(["media_id_a", "media_id_b"]).reset_index(drop=True)
 
 
+def q_audio_fp_dups(sf_dir: str, max_hamming: int = 3,
+                    n_buckets: int = 64):
+    """AUDIO NEAR-DUP DETECTION — the second multimodal column joins
+    the dedup family (the image aHash path's exact audio mirror):
+    decode (REAL stdlib PCM16 WAV codec, actor pool, small batches per
+    the binary-payload memory rule) → 64-bit energy-envelope
+    fingerprint (`multimodal.afp64`, amplitude-invariant by
+    construction) → the SAME 4×16-bit band blocking + hamming verify
+    every 64-bit fingerprint family shares (`_fp_band_table` /
+    `_fp_verify_group`). Payload bytes never leave the decode stage;
+    only (media_id, afp) and band triples shuffle. Input is a real
+    parquet media source (planted re-mastered dups: +2% gain, one
+    envelope nudge), scaled off the sf's doc count; undecodable
+    payloads (MP3-shaped rows) carry digest pseudo-hashes and are
+    EXCLUDED from banding — byte equality is not acoustic evidence.
+    Rows-only driver check (PCM decode is not SQL-expressible);
+    recall/precision and exclusion pinned by tests/test_multimodal.py."""
+    import pandas as pd
+
+    from .functions import multimodal as mm
+
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    n = int(min(2048, max(64, n_docs // 8)))
+    media = _rd().read_parquet(mm.audio_table_path(n=n),
+                               columns=["media_id", "payload"])
+    hashes = media.map_batches(mm.AudioHashStage, batch_format="pyarrow",
+                               batch_size=32, concurrency=(1, 4),
+                               num_cpus=1)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("decoded"))
+        return _fp_band_table(t.column("media_id").to_pylist(),
+                              t.column("afp").to_pylist(),
+                              n_buckets)
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        return _fp_verify_group(g, max_hamming,
+                                a_col="media_id_a", b_col="media_id_b")
+
+    pairs = hashes.map_batches(bands, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(verify, batch_format="pandas") \
+        .to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"media_id_a": pd.Series([], dtype="int64"),
+                             "media_id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pairs.drop_duplicates(["media_id_a", "media_id_b"]) \
+        .sort_values(["media_id_a", "media_id_b"]).reset_index(drop=True)
+
+
 def q_bm25_topk(sf_dir: str, n_terms: int = 3, k: int = 10):
     """BM25 RETRIEVAL — the missing IR primitive: top-k documents for
     a query under Lucene-BM25 (k1=1.2, b=0.75, idf=ln(1+(N−df+½)/(df+½))
@@ -10204,6 +10254,77 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+BLOCKLIST_TERMS = ("dup", "slow", "spam")   # the list is a parameter;
+#   real pipelines broadcast a few thousand terms (LDNOOBW-style)
+
+
+def q_blocklist_gate(sf_dir: str):
+    """WORD-BLOCKLIST GATE — the RefinedWeb/FineWeb-style term filter
+    (pages with banned-term hits are dropped or down-weighted before
+    training): per lang, (n_docs, flagged_docs, total_hits) where a
+    doc is flagged iff it contains ≥1 blocklisted token. The list here
+    is a 3-term stand-in ({BLOCKLIST_TERMS}); production lists are a
+    few thousand terms — still a broadcast set, same shape.
+
+    Scale shape: ZERO shuffles — membership is one vectorized isin on
+    the batch's unique tokens, per-doc hits via np.add.at, per-lang
+    partials driver-combine (lang cardinality bounded). Docs with NULL
+    text are excluded on BOTH sides; zero-token docs count as
+    unflagged (hits = 0), matching the SQL's len(list_filter(...))."""
+    blockset = frozenset(BLOCKLIST_TERMS)
+
+    EMPTY = pa.table({"lang": pa.array([], pa.string()),
+                      "p_docs": pa.array([], pa.int64()),
+                      "p_flag": pa.array([], pa.int64()),
+                      "p_hits": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = batch.filter(pc.is_valid(batch.column("text")))
+        if t.num_rows == 0:
+            return EMPTY
+        flat, parent = ftext.ascii_tokens_flat(t.column("text"))
+        hits = np.zeros(t.num_rows, np.int64)
+        if len(flat):
+            hit_tok = pd.Series(flat).isin(blockset).to_numpy()
+            np.add.at(hits, parent[hit_tok], 1)
+        # arrow group_by keeps NULL-lang groups (SQL GROUP BY parity)
+        per_doc = pa.table({
+            "lang": t.column("lang"),
+            "d": pa.array(np.ones(t.num_rows, np.int64)),
+            "f": pa.array((hits > 0).astype(np.int64)),
+            "h": pa.array(hits)})
+        return per_doc.group_by("lang").aggregate(
+            [("d", "sum"), ("f", "sum"), ("h", "sum")]) \
+            .rename_columns(["lang", "p_docs", "p_flag", "p_hits"])
+
+    partials = _docs(sf_dir, ["text", "lang"]).map_batches(
+        partial, batch_format="pyarrow")
+    return _driver_combine(partials, ["lang"], {
+        "n_docs": ("p_docs", "sum"), "flagged_docs": ("p_flag", "sum"),
+        "total_hits": ("p_hits", "sum")})
+
+
+_BLOCKLIST_SQL_SET = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+
+SQL_BLOCKLIST_GATE = f"""
+WITH d AS (
+  SELECT lang,
+         len(list_filter(
+             list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                            t -> lower(t)),
+             t -> t IN ({_BLOCKLIST_SQL_SET}))) AS hits
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_docs,
+       CAST(sum(hits) AS BIGINT) AS total_hits
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 CHUNK_WORDS = 40    # words per retrieval chunk
 CHUNK_STRIDE = 30   # chunk start stride (CHUNK_WORDS - CHUNK_STRIDE overlap)
 
@@ -10380,6 +10501,8 @@ FROM documents GROUP BY shard ORDER BY shard
 
 
 QUERIES = {
+    "audio_fp_dups": q_audio_fp_dups,
+    "blocklist_gate": q_blocklist_gate,
     "chunk_windows": q_chunk_windows,
     "bpe_encode_stats": q_bpe_encode_stats,
     "substring_dup_spans": q_substring_dup_spans,
@@ -10517,6 +10640,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "blocklist_gate": SQL_BLOCKLIST_GATE,
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
     "hash_classifier_score": SQL_HASH_CLASSIFIER_SCORE,

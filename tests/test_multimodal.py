@@ -358,3 +358,75 @@ def test_media_feature_stats_query(ray_session):
     out2 = Q.q_media_feature_stats("/root/testdata/sf0.001")
     import pandas as pd
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_afp64_gain_invariance_and_contrast():
+    """Uniform gain never flips a bit; a structurally different
+    envelope is far away."""
+    import numpy as np
+
+    from docling_pdf_ray.functions.multimodal import afp64
+
+    rng = np.random.RandomState(5)
+    amps = np.where(rng.rand(64) < 0.5, 0.1, 0.6)
+    tone = np.tile([1.0, -1.0], 32)
+    x = (amps[:, None] * tone[None, :]).ravel()
+    h = afp64(x)
+    assert afp64(x * 1.02) == h
+    assert afp64(x * 0.5) == h
+    other_amps = np.where(rng.rand(64) < 0.5, 0.1, 0.6)
+    other = (other_amps[:, None] * tone[None, :]).ravel()
+    assert bin(h ^ afp64(other)).count("1") > 10
+    assert afp64(np.zeros(0)) == 0
+
+
+def test_audio_fp_dedup_recall_and_precision(ray_session):
+    """Planted re-mastered pairs (5k+3, 5k+4) are all recovered; every
+    reported pair is a true hamming<=3 fingerprint match; pseudo-hash
+    (undecodable) rows never pair."""
+    import pyarrow as pa
+
+    from docling_pdf_ray.functions.multimodal import (AudioHashStage,
+                                                      audio_table_path)
+    from docling_pdf_ray.queries import q_audio_fp_dups
+
+    pairs = q_audio_fp_dups("/root/testdata/sf0.001")
+    got = set(zip(pairs["media_id_a"], pairs["media_id_b"]))
+    n = 64
+    planted = {(5 * k + 3, 5 * k + 4) for k in range(n // 5)
+               if 5 * k + 4 < n}
+    assert planted <= got, planted - got
+    assert (pairs["hamming"] <= 3).all()
+
+    import ray.data as rd
+    t = pa.concat_tables(list(
+        rd.read_parquet(audio_table_path(n=n))
+        .map_batches(AudioHashStage, batch_format="pyarrow",
+                     concurrency=2)
+        .iter_batches(batch_format="pyarrow")))
+    fp = dict(zip(t.column("media_id").to_pylist(),
+                  t.column("afp").to_pylist()))
+    dec = dict(zip(t.column("media_id").to_pylist(),
+                   t.column("decoded").to_pylist()))
+    undecodable = {m for m, d in dec.items() if not d}
+    assert undecodable, "fixture must contain MP3-shaped rows"
+    for a, b in got:
+        assert a not in undecodable and b not in undecodable
+        assert bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 3
+
+
+def test_audio_hash_stage_strict_and_fallback():
+    import pyarrow as pa
+    import pytest
+
+    from docling_pdf_ray.functions.multimodal import AudioHashStage
+
+    batch = pa.table({"media_id": pa.array([0], pa.int64()),
+                      "kind": pa.array(["audio"]),
+                      "payload": pa.array([b"\xffID3mp3-ish"],
+                                          pa.binary())})
+    out = AudioHashStage(strict=False)(batch)
+    assert out.num_rows == 1
+    assert out.column("decoded").to_pylist() == [False]
+    with pytest.raises(NotImplementedError):
+        AudioHashStage(strict=True)(batch)

@@ -92,7 +92,7 @@ PARITY_NAMES = [
     "pii_redact_stats", "bpe_pair_counts",
     "containment_pairs", "fuzzy_title_pairs", "rare_word_score",
     "substring_dup_spans", "hash_classifier_score", "dsir_weights",
-    "shard_manifest", "chunk_windows",
+    "shard_manifest", "chunk_windows", "blocklist_gate",
 ]
 
 
