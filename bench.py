@@ -277,7 +277,11 @@ def run_bench() -> dict:
                      "media_feature_stats", "pii_redact_stats",
                      "bpe_pair_counts", "containment_pairs",
                      "fuzzy_title_pairs", "rare_word_score",
-                     "bpe_learn_merges"]}
+                     "bpe_learn_merges",
+                     "substring_dup_spans", "hash_classifier_score",
+                     "dsir_weights", "shard_manifest", "chunk_windows",
+                     "bpe_encode_stats", "blocklist_gate",
+                     "audio_fp_dups"]}
     # the full per-query sweep outgrew the driver's bounded stdout-tail
     # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
     # file and keep the final stdout line SHORT: headline + the 10

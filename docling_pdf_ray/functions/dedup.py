@@ -29,9 +29,16 @@ import numpy as np
 # (RE2). Python str.split() splits on *Unicode* whitespace while RE2's
 # \s is ASCII-only — a document containing U+00A0/U+3000 would tokenize
 # differently on the two engines, so both sides use this explicit class
-# (structural equivalence, not corpus-coincidental).
+# (structural equivalence, not corpus-coincidental). WS_CHARS is the
+# canonical character set; every derived form (the split pattern here,
+# the word-start anchor rule and SQL IN-list in queries.py) builds
+# from it so the class can never fork.
+WS_CHARS = " \t\n\r\x0b\x0c"
 WS_PATTERN = r"[ \t\n\r\x0b\x0c]+"
 _WS_RE = re.compile(WS_PATTERN)
+# structural pin: the pattern accepts exactly WS_CHARS, nothing else
+assert _WS_RE.fullmatch(WS_CHARS) and not any(
+    _WS_RE.fullmatch(chr(c)) for c in range(128) if chr(c) not in WS_CHARS)
 
 
 def split_ws(text: str) -> list[str]:

@@ -8214,6 +8214,51 @@ ORDER BY lang
 """
 
 
+def _media_fp_dups(table_path: str, stage_cls, fp_col: str,
+                   max_hamming: int, n_buckets: int):
+    """Shared 64-bit-fingerprint MEDIA dedup pipeline — decode actor
+    pool (small batches per the binary-payload memory rule) → band
+    blocking → per-bucket hamming verify → deduped pair frame. The
+    image and audio queries differ only in the decode stage, the
+    fingerprint column name and the fixture; routing both through this
+    helper keeps the exclusion rule (pseudo-hash rows never band), the
+    pool sizing and the dedup tail in lockstep, the way
+    `_fp_band_table`/`_fp_verify_group` already share the back half."""
+    import pandas as pd
+
+    hashes = _rd().read_parquet(table_path,
+                                columns=["media_id", "payload"]) \
+        .map_batches(stage_cls, batch_format="pyarrow",
+                     batch_size=32, concurrency=(1, 4), num_cpus=1)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("decoded"))
+        return _fp_band_table(t.column("media_id").to_pylist(),
+                              t.column(fp_col).to_pylist(), n_buckets)
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        return _fp_verify_group(g, max_hamming,
+                                a_col="media_id_a", b_col="media_id_b")
+
+    pairs = hashes.map_batches(bands, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(verify, batch_format="pandas") \
+        .to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"media_id_a": pd.Series([], dtype="int64"),
+                             "media_id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pairs.drop_duplicates(["media_id_a", "media_id_b"]) \
+        .sort_values(["media_id_a", "media_id_b"]).reset_index(drop=True)
+
+
+def _media_fixture_n(sf_dir: str) -> int:
+    """Synthetic media table size, scaled off the sf's doc count —
+    shared by every media consumer AND their tests (a hardcoded copy
+    in a test would silently desynchronize if the corpus grew)."""
+    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
+    return int(min(2048, max(64, n_docs // 8)))
+
+
 def q_image_phash_dups(sf_dir: str, max_hamming: int = 3,
                        n_buckets: int = 64):
     """IMAGE NEAR-DUP DETECTION — the multimodal column joins the
@@ -8233,37 +8278,11 @@ def q_image_phash_dups(sf_dir: str, max_hamming: int = 3,
     evidence (ADVICE r4). Rows-only driver check (pixel decode is not
     SQL-expressible); recall/precision and determinism are pinned by
     tests/test_multimodal.py."""
-    import pandas as pd
-
     from .functions import multimodal as mm
 
-    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
-    n = int(min(2048, max(64, n_docs // 8)))
-    media = _rd().read_parquet(mm.image_table_path(n=n),
-                               columns=["media_id", "payload"])
-    hashes = media.map_batches(mm.ImageHashStage, batch_format="pyarrow",
-                               batch_size=32, concurrency=(1, 4),
-                               num_cpus=1)
-
-    def bands(batch: pa.Table) -> pa.Table:
-        t = batch.filter(batch.column("decoded"))
-        return _fp_band_table(t.column("media_id").to_pylist(),
-                              t.column("ahash").to_pylist(),
-                              n_buckets)
-
-    def verify(g: pd.DataFrame) -> pa.Table:
-        return _fp_verify_group(g, max_hamming,
-                                a_col="media_id_a", b_col="media_id_b")
-
-    pairs = hashes.map_batches(bands, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(verify, batch_format="pandas") \
-        .to_pandas()
-    if pairs.empty:
-        return pd.DataFrame({"media_id_a": pd.Series([], dtype="int64"),
-                             "media_id_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    return pairs.drop_duplicates(["media_id_a", "media_id_b"]) \
-        .sort_values(["media_id_a", "media_id_b"]).reset_index(drop=True)
+    return _media_fp_dups(mm.image_table_path(n=_media_fixture_n(sf_dir)),
+                          mm.ImageHashStage, "ahash",
+                          max_hamming, n_buckets)
 
 
 def q_audio_fp_dups(sf_dir: str, max_hamming: int = 3,
@@ -8283,37 +8302,11 @@ def q_audio_fp_dups(sf_dir: str, max_hamming: int = 3,
     EXCLUDED from banding — byte equality is not acoustic evidence.
     Rows-only driver check (PCM decode is not SQL-expressible);
     recall/precision and exclusion pinned by tests/test_multimodal.py."""
-    import pandas as pd
-
     from .functions import multimodal as mm
 
-    n_docs = _parquet_num_rows(f"{sf_dir}/documents.parquet")
-    n = int(min(2048, max(64, n_docs // 8)))
-    media = _rd().read_parquet(mm.audio_table_path(n=n),
-                               columns=["media_id", "payload"])
-    hashes = media.map_batches(mm.AudioHashStage, batch_format="pyarrow",
-                               batch_size=32, concurrency=(1, 4),
-                               num_cpus=1)
-
-    def bands(batch: pa.Table) -> pa.Table:
-        t = batch.filter(batch.column("decoded"))
-        return _fp_band_table(t.column("media_id").to_pylist(),
-                              t.column("afp").to_pylist(),
-                              n_buckets)
-
-    def verify(g: pd.DataFrame) -> pa.Table:
-        return _fp_verify_group(g, max_hamming,
-                                a_col="media_id_a", b_col="media_id_b")
-
-    pairs = hashes.map_batches(bands, batch_format="pyarrow") \
-        .groupby("_bucket").map_groups(verify, batch_format="pandas") \
-        .to_pandas()
-    if pairs.empty:
-        return pd.DataFrame({"media_id_a": pd.Series([], dtype="int64"),
-                             "media_id_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    return pairs.drop_duplicates(["media_id_a", "media_id_b"]) \
-        .sort_values(["media_id_a", "media_id_b"]).reset_index(drop=True)
+    return _media_fp_dups(mm.audio_table_path(n=_media_fixture_n(sf_dir)),
+                          mm.AudioHashStage, "afp",
+                          max_hamming, n_buckets)
 
 
 def q_bm25_topk(sf_dir: str, n_terms: int = 3, k: int = 10):
@@ -9932,8 +9925,8 @@ def q_bpe_encode_stats(sf_dir: str):
 SUBSTR_GRAM = 32     # chars per shingle (ExactSubstr uses ~50-token spans;
 #                      fixed-length char grams at content-defined anchors
 #                      approximate that signal)
-_WS_CHARS = " \t\n\r\x0b\x0c"   # the shared ASCII whitespace class
-_WS_SQL_SET = "(' ', chr(9), chr(10), chr(13), chr(11), chr(12))"
+_WS_CHARS = _dedup.WS_CHARS     # the canonical ASCII whitespace class
+_WS_SQL_SET = "(" + ", ".join(f"chr({ord(c)})" for c in _WS_CHARS) + ")"
 
 
 def q_substring_dup_spans(sf_dir: str, n_buckets: int = 64):
@@ -10056,6 +10049,20 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def _md5_bucket(uniq: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Token → hashed feature bucket via the md5 hex prefix — the
+    cross-engine contract the hashed classifier and DSIR share with
+    their oracles (SQL mirror, verbatim in both:
+    ``('0x' || substr(md5(term), 1, 8))::BIGINT % n``). One home so a
+    drifted copy can never desynchronize engine vs oracle silently —
+    the ``dedup.md5_u64`` rationale applied to the 32-bit prefix."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+         for w in uniq), np.int64, len(uniq))
+
+
 CLS_BUCKETS = 4096   # hashed feature space (fastText defaults to 2M bigram
 #                      buckets; the count is a parameter of the apply stage)
 
@@ -10079,8 +10086,6 @@ def q_hash_classifier_score(sf_dir: str):
     once, the broadcast discipline). Token stream == the shared ASCII
     vocabulary kernel (regexp_extract_all '[A-Za-z0-9]+' → lower).
     Zero-token docs are EXCLUDED on both sides."""
-    import hashlib
-
     EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
                       "n_tokens": pa.array([], pa.int64()),
                       "score": pa.array([], pa.int64()),
@@ -10094,9 +10099,7 @@ def q_hash_classifier_score(sf_dir: str):
         if len(flat) == 0:
             return EMPTY
         uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
-        b = np.fromiter(
-            (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % CLS_BUCKETS
-             for w in uniq), np.int64, len(uniq))
+        b = _md5_bucket(uniq, CLS_BUCKETS)
         w = ((b.astype(np.uint64) * np.uint64(_KNUTH))
              % np.uint64(1 << 32)).astype(np.int64) % 2001 - 1000
         tok_w = w[inv]
@@ -10160,14 +10163,10 @@ def q_dsir_weights(sf_dir: str):
     the counts would then carry a per-magnitude downscale (documented,
     unreachable at any test sf). Zero-token docs are EXCLUDED on both
     sides (the SQL inner join drops them)."""
-    import hashlib
-
     import ray
 
     def buckets_of(uniq: np.ndarray) -> np.ndarray:
-        return np.fromiter(
-            (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
-             for w in uniq), np.int64, len(uniq))
+        return _md5_bucket(uniq, DSIR_BUCKETS)
 
     EMPTY_C = pa.table({"b": pa.array([], pa.int64()),
                         "p_raw": pa.array([], pa.int64()),
@@ -10377,14 +10376,14 @@ def q_chunk_windows(sf_dir: str):
         K = np.r_[k1, k1[over] - 1]
         W = np.r_[widx, widx[over]]
         order = np.lexsort((W, K, P))
-        joined = pd.Series(F[order]).groupby([P[order], K[order]],
-                                             sort=True).agg(" ".join)
+        # ONE groupby object: .agg and .size share the sort+factorize
+        gb = pd.Series(F[order]).groupby([P[order], K[order]], sort=True)
+        joined = gb.agg(" ".join)
         keys = joined.index
         c_parent = keys.get_level_values(0).to_numpy(np.int64)
         c_idx = keys.get_level_values(1).to_numpy(np.int64)
         texts = joined.to_numpy()
-        n_words = pd.Series(F[order]).groupby(
-            [P[order], K[order]], sort=True).size().to_numpy(np.int64)
+        n_words = gb.size().to_numpy(np.int64)
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)[c_parent]
         hashes = [hashlib.md5(s.encode()).hexdigest() for s in texts]

@@ -280,7 +280,8 @@ def test_image_phash_dedup_recall_and_precision(ray_session):
 
     pairs = q_image_phash_dups("/root/testdata/sf0.001")
     got = set(zip(pairs["media_id_a"], pairs["media_id_b"]))
-    n = 64  # sf0.001: 500 docs // 8 floors to the 64 minimum
+    from docling_pdf_ray.queries import _media_fixture_n
+    n = _media_fixture_n("/root/testdata/sf0.001")  # query's own formula
     planted = {(5 * k + 3, 5 * k + 4) for k in range(n // 5)
                if 5 * k + 4 < n}
     assert planted <= got, planted - got
@@ -392,7 +393,9 @@ def test_audio_fp_dedup_recall_and_precision(ray_session):
 
     pairs = q_audio_fp_dups("/root/testdata/sf0.001")
     got = set(zip(pairs["media_id_a"], pairs["media_id_b"]))
-    n = 64
+    from docling_pdf_ray.queries import _media_fixture_n
+    n = _media_fixture_n("/root/testdata/sf0.001")  # same formula as
+    #   the query builds its fixture with — never hardcode the 64
     planted = {(5 * k + 3, 5 * k + 4) for k in range(n // 5)
                if 5 * k + 4 < n}
     assert planted <= got, planted - got
