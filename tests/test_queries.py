@@ -2453,3 +2453,85 @@ def test_bpe_encode_stats_matches_driver_replay(registry):
         assert r.n_bpe_tokens == sum(enc_len(w) for w in words)
     assert (got["n_bpe_tokens"] >= got["n_words"]).all()
     assert (got["n_bpe_tokens"] > got["n_words"]).any()  # merges bite
+
+
+def test_session4_ops_hostile_corpus_and_block_invariance(ray_session,
+                                                          tmp_path):
+    """All six SQL-checked session-4 operators on a hostile corpus —
+    NULL texts, NULL langs, tab/VT/FF separators, multibyte tokens,
+    negative and >2^32 doc_ids, a planted offset cross-doc copy, docs
+    shorter than one gram — value-exact vs DuckDB AND invariant under
+    tiny blocks (the partial/exchange shapes must never depend on the
+    blocking)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    span = ("copied span of text that is well over thirty two chars "
+            "long for the gram rule")
+    rng = np.random.RandomState(13)
+    texts, langs = [], []
+    for i in range(240):
+        if i % 11 == 0:
+            texts.append(None)
+        elif i % 7 == 0:
+            texts.append("prefix offset " * (i % 3 + 1) + span
+                         + " tail\tmore\x0btokens\x0chere")
+        elif i % 5 == 0:
+            texts.append("café naïve " * 4 + f"u{i} dup slow")
+        elif i % 13 == 4:
+            texts.append("tiny")       # shorter than one gram
+        else:
+            texts.append(" ".join(
+                f"w{rng.randint(0, 80)}" for _ in range(rng.randint(1, 90))))
+        langs.append(None if i % 9 == 0
+                     else ("en", "de", "zh")[i % 3])
+    ids = np.arange(240, dtype=np.int64) * 7919
+    ids[::17] = -ids[::17]                       # negative ids
+    ids[3] = (1 << 33) + 5                       # past 2^32
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 240, pa.string()),
+        "n_chars": pa.array([len(x or "") for x in texts], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{d}/documents.parquet')")
+    norm = lambda f: f[sorted(f.columns)] \
+        .sort_values(sorted(f.columns), na_position="first") \
+        .reset_index(drop=True)
+    names = ["substring_dup_spans", "hash_classifier_score",
+             "dsir_weights", "blocklist_gate", "chunk_windows",
+             "shard_manifest"]
+
+    def run(name):
+        r = Q.QUERIES[name](str(d))
+        return norm(r if isinstance(r, pd.DataFrame) else r.to_pandas())
+
+    first = {}
+    for name in names:
+        got = run(name)
+        want = norm(con.execute(Q.ORACLE_SQL[name]).fetchdf())
+        assert len(got) == len(want), (name, len(got), len(want))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+        first[name] = got
+    # the planted copy must actually fire the substring detector
+    assert first["substring_dup_spans"]["dup_grams"].sum() > 0
+
+    from ray.data.context import DataContext
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 2 * 1024
+        for name in names:
+            pd.testing.assert_frame_equal(run(name), first[name])
+    finally:
+        DataContext.get_current().target_max_block_size = old
