@@ -10019,8 +10019,14 @@ def q_substring_dup_spans(sf_dir: str, n_buckets: int = 64):
             "n_grams": pa.array(a["n_grams"].to_numpy(np.int64)),
             "dup_grams": pa.array(a["dup_grams"].to_numpy(np.int64))})
 
-    return _docs(sf_dir, ["doc_id", "text"], narrow_exchange=True) \
+    # compute-heavy explode (md5 per gram) keeps cpu-count read
+    # parallelism; the NARROW triple output coalesces before each
+    # exchange (the minhash sigs→repartition→groupby shape — a
+    # narrow_exchange read would fuse the map onto ~4 blocks and
+    # serialize the hashing, the ship_window lesson)
+    return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(grams, batch_format="pyarrow") \
+        .repartition(_exchange_blocks(sf_dir)) \
         .groupby("_bucket").map_groups(combine, batch_format="pandas") \
         .groupby("_dbucket").map_groups(final, batch_format="pandas")
 
