@@ -10145,6 +10145,94 @@ FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
 
+PERCEPTRON_ROUNDS = 4
+PERCEPTRON_DIM = 1024
+
+
+def q_perceptron_train(sf_dir: str):
+    """DISTRIBUTED CLASSIFIER TRAINING — the LEARN loop whose APPLY
+    path is :func:`q_hash_classifier_score` (every production quality
+    filter is trained somewhere): a batch-synchronous perceptron
+    (the iterative-parameter-mixing shape of McDonald, Hall & Mann,
+    NAACL 2010) over hashed binary bag-of-words features, predicting
+    lang == '{DSIR_TARGET_LANG}'. EXACT INTEGER arithmetic throughout:
+    weights are int64, a round's update is Δw = Σ_misclassified y·x —
+    a commutative integer sum — so the result is deterministic AND
+    partition-invariant by construction (no float averaging, no
+    learning-rate schedule). Per round: broadcast w (ray.put int64
+    ndarray — the discipline), one zero-shuffle pass emits per-batch
+    sparse (feature, Δ) partials plus sentinel rows (mistakes, Δbias)
+    — a bounded-domain semilattice (≤ DIM+2 rows per block) → driver
+    combine → synchronous update. Output: one row per round
+    (round, mistakes, w_l1, bias). Iterative → no SQL oracle
+    (rows-only, the kmeans/BPE discipline); pinned by a pure-driver
+    replay and a separable-corpus convergence test."""
+    import pandas as pd
+
+    import ray
+
+    EMPTY = pa.table({"f": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+
+    docs = _docs(sf_dir, ["text", "lang"]).materialize()
+    w = np.zeros(PERCEPTRON_DIM, np.int64)
+    bias = 0
+    out = []
+    for rnd in range(PERCEPTRON_ROUNDS):
+        w_ref = ray.put(w.copy())
+        b_now = int(bias)
+
+        def partial(batch: pa.Table, w_ref=w_ref,
+                    b_now=b_now) -> pa.Table:
+            wv = ray.get(w_ref)
+            t = batch.filter(pc.is_valid(batch.column("text")))
+            if t.num_rows == 0:
+                return EMPTY
+            flat, parent = ftext.ascii_tokens_flat(t.column("text"))
+            y = np.fromiter(
+                (l == DSIR_TARGET_LANG
+                 for l in t.column("lang").to_pylist()),
+                bool, t.num_rows)
+            y = np.where(y, 1, -1).astype(np.int64)
+            s = np.full(t.num_rows, b_now, np.int64)
+            if len(flat):
+                uniq, inv = np.unique(flat.astype("U"),
+                                      return_inverse=True)
+                bk = _md5_bucket(uniq, PERCEPTRON_DIM)
+                # binary presence features: dedupe (doc, bucket)
+                pb = np.unique(
+                    np.stack([parent, bk[inv]], axis=1), axis=0)
+                dp, df_ = pb[:, 0], pb[:, 1]
+                np.add.at(s, dp, wv[df_])
+            miss = (y * s) <= 0
+            dw = np.zeros(PERCEPTRON_DIM, np.int64)
+            if len(flat):
+                md = miss[dp]
+                np.add.at(dw, df_[md], y[dp[md]])
+            nz = np.flatnonzero(dw)
+            return pa.table({
+                "f": pa.array(np.r_[[-2, -1], nz].astype(np.int64)),
+                "v": pa.array(np.r_[[int(miss.sum()),
+                                     int(y[miss].sum())],
+                                    dw[nz]].astype(np.int64))})
+
+        agg = _driver_combine(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            ["f"], {"v": ("v", "sum")})
+        vals = dict(zip(agg["f"].astype("int64"),
+                        agg["v"].astype("int64")))
+        mistakes = int(vals.pop(-2, 0))
+        bias += int(vals.pop(-1, 0))
+        for f, dv in vals.items():
+            w[int(f)] += int(dv)
+        out.append((rnd, mistakes, int(np.abs(w).sum()), int(bias)))
+    return pd.DataFrame({
+        "round": pd.Series([o[0] for o in out], dtype="int64"),
+        "mistakes": pd.Series([o[1] for o in out], dtype="int64"),
+        "w_l1": pd.Series([o[2] for o in out], dtype="int64"),
+        "bias": pd.Series([o[3] for o in out], dtype="int64")})
+
+
 DSIR_BUCKETS = 1024          # hashed unigram feature space
 DSIR_TARGET_LANG = "en"      # the target domain (DSIR's "formal text")
 DSIR_SCALE = 1_000_000       # integer ratio in parts-per-million
@@ -10506,6 +10594,7 @@ FROM documents GROUP BY shard ORDER BY shard
 
 
 QUERIES = {
+    "perceptron_train": q_perceptron_train,
     "audio_fp_dups": q_audio_fp_dups,
     "blocklist_gate": q_blocklist_gate,
     "chunk_windows": q_chunk_windows,

@@ -2535,3 +2535,97 @@ def test_session4_ops_hostile_corpus_and_block_invariance(ray_session,
             pd.testing.assert_frame_equal(run(name), first[name])
     finally:
         DataContext.get_current().target_max_block_size = old
+
+
+def _perceptron_replay(docs_df):
+    """Pure-driver reference replay of the batch-synchronous integer
+    perceptron (whole corpus as one batch — valid because the round
+    update is a commutative integer sum, the property under test)."""
+    import hashlib
+
+    from docling_pdf_ray import queries as Q
+    from docling_pdf_ray.functions import text as ftext_mod
+
+    feats, ys = [], []
+    for _, r in docs_df.iterrows():
+        if r["text"] is None:
+            continue
+        toks = [t.lower() for t in
+                __import__("re").findall(r"[A-Za-z0-9]+", r["text"])]
+        fs = {int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+              % Q.PERCEPTRON_DIM for t in toks}
+        feats.append(fs)
+        ys.append(1 if r["lang"] == Q.DSIR_TARGET_LANG else -1)
+    import numpy as np
+    w = np.zeros(Q.PERCEPTRON_DIM, np.int64)
+    b = 0
+    rows = []
+    for rnd in range(Q.PERCEPTRON_ROUNDS):
+        dw = np.zeros(Q.PERCEPTRON_DIM, np.int64)
+        db = mistakes = 0
+        for fs, y in zip(feats, ys):
+            s = b + sum(int(w[f]) for f in fs)
+            if y * s <= 0:
+                mistakes += 1
+                db += y
+                for f in fs:
+                    dw[f] += y
+        w += dw
+        b += db
+        rows.append((rnd, mistakes, int(np.abs(w).sum()), b))
+    return rows
+
+
+def test_perceptron_train_matches_pure_replay(registry):
+    import pyarrow.parquet as pq
+
+    got = _to_pandas(registry[0]["perceptron_train"](SF))
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["text", "lang"]).to_pandas()
+    want = _perceptron_replay(src)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_perceptron_converges_on_separable_corpus(ray_session, tmp_path):
+    """Disjoint vocab per class ⇒ linearly separable ⇒ the perceptron
+    must reach zero mistakes within the fixed rounds; the result is
+    also invariant under tiny blocks (commutative-integer-sum claim)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    rng = np.random.RandomState(2)
+    texts, langs = [], []
+    for i in range(120):
+        if i % 2 == 0:
+            texts.append(" ".join(
+                f"en{rng.randint(0, 20)}" for _ in range(10)))
+            langs.append(Q.DSIR_TARGET_LANG)
+        else:
+            texts.append(" ".join(
+                f"xx{rng.randint(0, 20)}" for _ in range(10)))
+            langs.append("de")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(120), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 120, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = Q.q_perceptron_train(str(d))
+    assert int(got["mistakes"].iloc[-1]) == 0, got
+    assert int(got["mistakes"].iloc[0]) > 0   # it actually learned
+
+    from ray.data.context import DataContext
+    old = DataContext.get_current().target_max_block_size
+    try:
+        DataContext.get_current().target_max_block_size = 2 * 1024
+        again = Q.q_perceptron_train(str(d))
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    pd.testing.assert_frame_equal(got, again)
