@@ -5853,6 +5853,94 @@ FROM assigned GROUP BY part ORDER BY part
 """
 
 
+def q_curriculum_order(sf_dir: str):
+    """DISTRIBUTED GLOBAL ENUMERATION (zipWithIndex / row_number under
+    a total order) — the per-row primitive :func:`q_range_sort_audit`'s
+    partition audit stops short of: every document learns its exact
+    global position under (n_chars, doc_id), the artifact a
+    curriculum-ordered training run consumes (write shards in
+    difficulty order; each row must know WHERE it lands, not just
+    which partition). A naive engine does a global all-to-all sort and
+    then a sequential index sweep; the scalable recipe (Spark's
+    zipWithIndex, TeraSort's ranking pass) is:
+
+    Pass 1 (ZERO shuffle): exact (n_chars → count) histogram partials
+    → driver CDF (value-domain-bounded — the chars_quantiles
+    argument). From the CDF: P−1 value cutpoints AND the exact prefix
+    offset of every partition (#rows in all lower partitions) — the
+    histogram gives both for free.
+    Pass 2 (ONE narrow exchange): each (doc_id, n_chars) row knows its
+    partition row-locally (searchsorted vs broadcast bounds); within a
+    partition a vectorized lexsort yields the local rank, and
+    global_pos = offset[part] + local_rank. Partition bounds are VALUE
+    cutpoints, so every cross-partition comparison is pre-decided —
+    no merge step, no sequential dependency between partitions.
+
+    P scales with corpus bytes (`_exchange_blocks`); value ties share
+    a partition (inherent to value partitioning — the tiebreak happens
+    inside). SQL oracle: `row_number() OVER (ORDER BY n_chars,
+    doc_id)` — the quadratic-window spelling of the same total order."""
+    import pandas as pd
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"n_chars": batch.column("n_chars")}) \
+            .group_by("n_chars").aggregate([([], "count_all")])
+        return g.rename_columns(["n_chars", "p_n"])
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"], narrow_exchange=True)
+    hist = _driver_combine(docs.map_batches(cnt_partial,
+                                            batch_format="pyarrow"),
+                           ["n_chars"], {"n": ("p_n", "sum")}) \
+        .sort_values("n_chars")
+    if hist.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "curriculum_pos": pd.Series([], dtype="int64")})
+    xs = hist["n_chars"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n_total = int(cum[-1])
+    p = max(SORT_PARTS, _exchange_blocks(sf_dir))
+    # bound_i = smallest value v with cum(v)·p ≥ i·N  (range_sort_audit
+    # discipline); partition of a row = #{bounds ≤ v} via searchsorted
+    bounds = xs[np.minimum(
+        np.searchsorted(cum * p, np.arange(1, p, dtype=np.int64) * n_total,
+                        side="left"), len(xs) - 1)]
+    # exact prefix offsets from the SAME histogram: searchsorted
+    # side='right' assignment puts a row with v == bounds[i-1] INTO
+    # partition i (partitions are [b_{i-1}, b_i) half-open), so the
+    # offset of partition i counts rows STRICTLY below its lower bound
+    bpos = np.searchsorted(xs, bounds, side="left") - 1
+    offsets = np.concatenate([[0], np.where(bpos >= 0, cum[np.maximum(bpos, 0)], 0)])
+
+    def assign_part(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def rank_part(g: pd.DataFrame) -> pa.Table:
+        base = int(offsets[int(g["part"].iloc[0])])
+        order = np.lexsort((g["doc_id"].to_numpy(np.int64),
+                            g["n_chars"].to_numpy(np.int64)))
+        pos = np.empty(len(g), dtype=np.int64)
+        pos[order] = base + np.arange(len(g), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                         "curriculum_pos": pa.array(pos)})
+
+    out = docs.map_batches(assign_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(rank_part, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "curriculum_pos": "int64"})
+
+
+SQL_CURRICULUM_ORDER = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+         AS curriculum_pos
+FROM documents
+ORDER BY doc_id
+"""
+
+
 WM_JITTER_S = 7200     # synthesized ingestion delay: 0..2h per event
 WM_LATE_S = 1800       # allowed lateness under the watermark: 30 min
 WM_SENTINEL = -(1 << 62)   # "no preceding row" (SQL NULL watermark)
@@ -10680,6 +10768,7 @@ QUERIES = {
     "top_terms_approx": q_top_terms_approx,
     "link_pagerank": q_link_pagerank,
     "range_sort_audit": q_range_sort_audit,
+    "curriculum_order": q_curriculum_order,
     "late_event_counts": q_late_event_counts,
     "funnel_counts": q_funnel_counts,
     "label_centroids": q_label_centroids,
@@ -10801,6 +10890,7 @@ ORACLE_SQL = {
     "domain_cap": SQL_DOMAIN_CAP,
     "link_pagerank": SQL_LINK_PAGERANK,
     "range_sort_audit": SQL_RANGE_SORT_AUDIT,
+    "curriculum_order": SQL_CURRICULUM_ORDER,
     "late_event_counts": SQL_LATE_EVENT_COUNTS,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "label_centroids": SQL_LABEL_CENTROIDS,

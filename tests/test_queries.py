@@ -93,6 +93,7 @@ PARITY_NAMES = [
     "containment_pairs", "fuzzy_title_pairs", "rare_word_score",
     "substring_dup_spans", "hash_classifier_score", "dsir_weights",
     "shard_manifest", "chunk_windows", "blocklist_gate",
+    "curriculum_order",
 ]
 
 
@@ -139,6 +140,32 @@ def test_extract_pages_deterministic(registry):
     a = _to_pandas(queries["extract_pages"](SF))
     b = _to_pandas(queries["extract_pages"](SF))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_curriculum_order_permutation_and_partition_invariance(
+        ray_session, monkeypatch):
+    """The global enumeration is a bijection onto 0..N-1, monotone
+    under (n_chars, doc_id), and IDENTICAL at a degenerate partition
+    count (p=3 exercises the [b_{i-1}, b_i) boundary-offset arithmetic
+    — a row equal to its partition's lower bound must not be counted
+    into the preceding partition's prefix)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    out = Q.q_curriculum_order(SF)
+    n = len(out)
+    assert sorted(out["curriculum_pos"]) == list(range(n))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    m = docs.merge(out, on="doc_id").sort_values(["n_chars", "doc_id"])
+    assert (m["curriculum_pos"].to_numpy() == np.arange(n)).all()
+
+    monkeypatch.setattr(Q, "_exchange_blocks", lambda *a, **k: 3)
+    monkeypatch.setattr(Q, "SORT_PARTS", 3)
+    again = Q.q_curriculum_order(SF)
+    pd.testing.assert_frame_equal(out, again)
 
 
 def test_bucketed_hash_join_string_key_and_outer(ray_session):
