@@ -3697,6 +3697,90 @@ def q_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 8):
     return cl.label_stats(ds, cents)
 
 
+SEMDEDUP_NUM, SEMDEDUP_DEN = 9, 10   # cosine threshold 0.9, exact rational
+
+
+def q_semdedup_prune(sf_dir: str, k: int = 8, iters: int = 4):
+    """SEMANTIC DEDUPLICATION — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    prune near-duplicate pairs WITHIN each cluster, so the O(N²)
+    pairwise-similarity problem becomes k independent O((N/k)²)
+    problems with no recall loss for pairs the clustering co-locates
+    (the paper's accepted approximation — a dup pair split across
+    clusters is missed by design; the exact complements are
+    :func:`q_embedding_dup_pairs` / the LSH variant).
+
+    Dataflow: k-means runs as broadcast+partial passes
+    (functions/cluster.py — zero shuffles); assignment + element
+    quantization (q = floor(x·1000), the :func:`q_knn_graph`
+    discipline) are row-local; then ONE exchange co-locates each
+    cluster and a vectorized integer-matmul greedy scan marks dups.
+    Similarity is decided in EXACT integer arithmetic —
+    cos(a,b) ≥ 9/10  ⟺  qip > 0 ∧ qip²·100 ≥ 81·⟨qa,qa⟩⟨qb,qb⟩ —
+    so the keep decision is bit-reproducible and replayable (|q| ≤ 580,
+    dim 64 ⇒ qip² ≤ 4.7e14, ·100 fits int64 with 200× headroom).
+    Retention diverges from the paper deliberately: the paper keeps
+    the member farthest from the centroid (a float comparison);
+    here the greedy keeps the LOWEST vec_id not similar to an
+    already-kept member — the registry's first-occurrence retention
+    discipline, deterministic at any parallelism.
+
+    Per-cluster cost is O(c²) integer ops and O(c²) bool memory —
+    bounded because k scales with N (SemDeDup uses 50k clusters for
+    LAION; c̄ = N/k stays ~10³-10⁴). Rows-only by the driver contract
+    (the k-means fixpoint has no SQL mirror); the greedy stage is
+    pinned exactly by a pure-numpy replay over the query's OWN cluster
+    assignments (tests/test_cluster.py)."""
+    import ray
+    import pandas as pd
+
+    from .functions import cluster as cl
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]) \
+        .map_batches(_plant_embeddings, batch_format="pyarrow")
+    # planted exact copies (the embedding_dup_pairs ground truth) are
+    # the dups to find: an identical vector lands in the same cluster
+    # (deterministic argmin) with cosine exactly 1
+    cents, _ = cl.kmeans_fit(ds, k=k, iters=iters)
+    ref = ray.put(cents)
+
+    def route(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = cl.batch_matrix(batch)
+        a = cl.assign(m, c).astype(np.int64)
+        q = np.floor(m * _QIP_SCALE).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(a, pa.int64()),
+            "q": pa.array(q.tolist(), pa.list_(pa.int64()))})
+
+    def prune(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        qm = np.asarray(list(g["q"]), dtype=np.int64)
+        n2 = (qm * qm).sum(axis=1)
+        s = qm @ qm.T
+        dup = (s > 0) & (s * s * (SEMDEDUP_DEN * SEMDEDUP_DEN)
+                         >= (SEMDEDUP_NUM * SEMDEDUP_NUM) * np.outer(n2, n2))
+        keep = np.zeros(len(ids), dtype=bool)
+        for i in range(len(ids)):       # greedy first-occurrence scan —
+            keep[i] = not dup[i, :i][keep[:i]].any()   # inherently
+            #           sequential within a cluster; everything feeding
+            #           it (matmul, threshold) is vectorized above
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(np.full(len(ids),
+                                                     int(g["cluster"].iloc[0]),
+                                                     dtype=np.int64)),
+                         "keep": pa.array(keep)})
+
+    out = ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(prune, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True) \
+        .astype({"vec_id": "int64", "cluster": "int64", "keep": "bool"})
+
+
 SQL_ANN_TOPK = """
 SELECT query_id, rank, vec_id, cos_r FROM (
   SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
@@ -10739,6 +10823,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_prune": q_semdedup_prune,
     "top_terms": q_top_terms,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chars_quantiles": q_chars_quantiles,

@@ -70,3 +70,47 @@ def test_query_entry_runs(ray_session):
     out = Q.QUERIES["kmeans_clusters"](SF)
     assert len(out) >= 1
     assert out["n_vectors"].sum() == 500
+
+
+def test_semdedup_prune_greedy_replay_and_contract(ray_session):
+    """semdedup_prune's greedy stage replayed EXACTLY in pure numpy
+    over the query's OWN cluster assignments (integer-quantized
+    similarity makes the keep decision bit-reproducible — no float
+    kmeans replay needed), plus the structural contract: one row per
+    vector, first member of every cluster kept, and pruned rows are
+    similar to some earlier KEPT member of the same cluster."""
+    import pyarrow.parquet as pq
+
+    from docling_pdf_ray import queries as Q
+
+    out = Q.q_semdedup_prune(SF)
+    base = Q._plant_embeddings(
+        pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])).to_pandas()
+    assert len(out) == len(base)
+    assert sorted(out["vec_id"]) == sorted(base["vec_id"])
+
+    emb = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+           for r in base.itertuples()}
+    num2, den2 = Q.SEMDEDUP_NUM ** 2, Q.SEMDEDUP_DEN ** 2
+    n_pruned = 0
+    for _, g in out.groupby("cluster"):
+        g = g.sort_values("vec_id")
+        qm = np.floor(np.stack([emb[i] for i in g["vec_id"]])
+                      * Q._QIP_SCALE).astype(np.int64)
+        n2 = (qm * qm).sum(axis=1)
+        s = qm @ qm.T
+        dup = (s > 0) & (s * s * den2 >= num2 * np.outer(n2, n2))
+        keep = np.zeros(len(g), dtype=bool)
+        for i in range(len(g)):
+            keep[i] = not dup[i, :i][keep[:i]].any()
+        assert (g["keep"].to_numpy() == keep).all()
+        assert keep[0]                       # first occurrence always kept
+        n_pruned += int((~keep).sum())
+    # every planted exact copy must be pruned: an identical vector
+    # shares its source's cluster (deterministic argmin), and if the
+    # source was itself pruned by kept member u, the copy has the SAME
+    # similarity to u — pruning is unavoidable either way
+    planted = out[out["vec_id"] >= Q.EMB_PLANT_OFFSET]
+    assert len(planted) > 0 and not planted["keep"].any()
+    assert n_pruned >= len(planted)
