@@ -233,6 +233,31 @@ def collect_links(root: _Node) -> list[str]:
     return out
 
 
+def collect_anchors(root: _Node) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs under :func:`collect_links`' exact
+    harvesting rules (absolute http(s) hrefs, non-stripped subtrees,
+    document order, duplicates preserved) — the anchor-TEXT signal a
+    web-corpus link graph weighs (the text a page uses to describe its
+    target). Anchor text is the subtree's visible text, ASCII-ws
+    normalized so consumers hash/split it with the shared dedup
+    kernels. Additive beside ``collect_links`` — the extraction
+    pipeline's output schema is untouched."""
+    out: list[tuple[str, str]] = []
+
+    def walk(n: _Node) -> None:
+        for c in n.children:
+            if isinstance(c, str) or c.tag in STRIP_TAGS:
+                continue
+            if c.tag == "a":
+                href = c.attrs.get("href", "")
+                if href.startswith(("http://", "https://")):
+                    out.append((href, " ".join(_collect_text(c).split())))
+            walk(c)
+
+    walk(root)
+    return out
+
+
 def _keep(cfg: PipelineConfig, text_len: int, link_len: int, tags: int) -> bool:
     if text_len < cfg.html_min_block_chars:
         return False

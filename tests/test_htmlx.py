@@ -208,3 +208,27 @@ def test_collect_links_contract():
         "https://outer.example/o", "https://inner.example/i"]
     # the link-only <p> was pruned from full_text yet contributed links
     assert "x again" not in ex.full_text
+
+
+def test_collect_anchors_rules_and_text():
+    """collect_anchors: collect_links' harvesting rules (absolute
+    http(s) only, boilerplate subtrees excluded, duplicates kept,
+    document order) plus ws-normalized visible anchor text."""
+    from docling_pdf_ray.htmlx import collect_anchors, parse_dom
+
+    root = parse_dom(
+        '<html><body>'
+        '<nav><a href="https://spam.example/x">chrome link</a></nav>'
+        '<article>'
+        '<a href="https://a.example/1">read   <b>the\n docs</b></a>'
+        '<a href="/relative">rel</a>'
+        '<a href="https://a.example/1">read   <b>the\n docs</b></a>'
+        '<a href="http://b.example/2"></a>'
+        '</article>'
+        '<footer><a href="http://spam.example/y">more chrome</a></footer>'
+        '</body></html>')
+    assert collect_anchors(root) == [
+        ("https://a.example/1", "read the docs"),
+        ("https://a.example/1", "read the docs"),
+        ("http://b.example/2", ""),
+    ]
