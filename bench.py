@@ -281,7 +281,9 @@ def run_bench() -> dict:
                      "substring_dup_spans", "hash_classifier_score",
                      "dsir_weights", "shard_manifest", "chunk_windows",
                      "bpe_encode_stats", "blocklist_gate",
-                     "audio_fp_dups", "perceptron_train"]}
+                     "audio_fp_dups", "perceptron_train",
+                     "curriculum_order", "semdedup_prune",
+                     "anchor_text_stats"]}
     # the full per-query sweep outgrew the driver's bounded stdout-tail
     # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
     # file and keep the final stdout line SHORT: headline + the 10
