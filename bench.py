@@ -283,7 +283,7 @@ def run_bench() -> dict:
                      "bpe_encode_stats", "blocklist_gate",
                      "audio_fp_dups", "perceptron_train",
                      "curriculum_order", "semdedup_prune",
-                     "anchor_text_stats"]}
+                     "anchor_text_stats", "substring_dup_apply"]}
     # the full per-query sweep outgrew the driver's bounded stdout-tail
     # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
     # file and keep the final stdout line SHORT: headline + the 10

@@ -10175,6 +10175,57 @@ _WS_CHARS = _dedup.WS_CHARS     # the canonical ASCII whitespace class
 _WS_SQL_SET = "(" + ", ".join(f"chr({ord(c)})" for c in _WS_CHARS) + ")"
 
 
+def _substr_gram_rows(batch: pa.Table, n_buckets: int,
+                      with_pos: bool = False) -> pa.Table:
+    """The ONE gram-explode kernel :func:`q_substring_dup_spans`
+    (detection) and :func:`q_substring_dup_apply` (span removal)
+    share: {SUBSTR_GRAM}-char shingles at word-start anchors, 128-bit
+    md5 split into (h_hi, h_lo), bucket = h_hi % n. ``with_pos`` rides
+    the anchor's char offset along (the apply stage needs WHERE each
+    dup gram sits; detection only counts). One home so the two stages
+    can never silently disagree on anchoring or hashing."""
+    import hashlib
+    import re
+
+    word_start = re.compile(f"[^{re.escape(_WS_CHARS)}]+")
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    gs: list[str] = []
+    parent: list[int] = []
+    pos: list[int] = []
+    for i, t in enumerate(texts):
+        if not t or len(t) < SUBSTR_GRAM:
+            continue
+        lim = len(t) - SUBSTR_GRAM
+        row_p = [p for m in word_start.finditer(t)
+                 if (p := m.start()) <= lim]
+        gs.extend(t[p:p + SUBSTR_GRAM] for p in row_p)
+        parent.extend([i] * len(row_p))
+        pos.extend(row_p)
+    if not gs:
+        cols = {"h_hi": pa.array([], pa.uint64()),
+                "h_lo": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.int64()),
+                "_bucket": pa.array([], pa.int32())}
+        if with_pos:
+            cols["pos"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    uniq, inv = np.unique(np.asarray(gs, dtype=object),
+                          return_inverse=True)
+    dig = [hashlib.md5(s.encode()).digest() for s in uniq]
+    hi = np.fromiter((int.from_bytes(d[:8], "big") for d in dig),
+                     np.uint64, len(uniq))[inv]
+    lo = np.fromiter((int.from_bytes(d[8:], "big") for d in dig),
+                     np.uint64, len(uniq))[inv]
+    doc = ids.astype(np.int64)[np.asarray(parent, np.int64)]
+    cols = {"h_hi": pa.array(hi), "h_lo": pa.array(lo),
+            "doc_id": pa.array(doc),
+            "_bucket": pa.array((hi % n_buckets).astype(np.int32))}
+    if with_pos:
+        cols["pos"] = pa.array(np.asarray(pos, np.int64))
+    return pa.table(cols)
+
+
 def q_substring_dup_spans(sf_dir: str, n_buckets: int = 64):
     """CHARACTER-LEVEL duplicated-substring detection — the ExactSubstr
     signal of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -10202,44 +10253,10 @@ def q_substring_dup_spans(sf_dir: str, n_buckets: int = 64):
     (shorter than one gram past their first word) emit nothing and are
     absent on BOTH sides (the SQL inner join drops them) — never NULL
     (the dtype-fork trap). Lazy, unsorted."""
-    import hashlib
-    import re
-
     import pandas as pd
 
-    word_start = re.compile(f"[^{re.escape(_WS_CHARS)}]+")
-
     def grams(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        gs: list[str] = []
-        parent: list[int] = []
-        for i, t in enumerate(texts):
-            if not t or len(t) < SUBSTR_GRAM:
-                continue
-            lim = len(t) - SUBSTR_GRAM
-            row = [t[p:p + SUBSTR_GRAM]
-                   for m in word_start.finditer(t)
-                   if (p := m.start()) <= lim]
-            gs.extend(row)
-            parent.extend([i] * len(row))
-        if not gs:
-            return pa.table({"h_hi": pa.array([], pa.uint64()),
-                             "h_lo": pa.array([], pa.uint64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "_bucket": pa.array([], pa.int32())})
-        uniq, inv = np.unique(np.asarray(gs, dtype=object),
-                              return_inverse=True)
-        dig = [hashlib.md5(s.encode()).digest() for s in uniq]
-        hi = np.fromiter((int.from_bytes(d[:8], "big") for d in dig),
-                         np.uint64, len(uniq))[inv]
-        lo = np.fromiter((int.from_bytes(d[8:], "big") for d in dig),
-                         np.uint64, len(uniq))[inv]
-        doc = ids.astype(np.int64)[np.asarray(parent, np.int64)]
-        return pa.table({
-            "h_hi": pa.array(hi), "h_lo": pa.array(lo),
-            "doc_id": pa.array(doc),
-            "_bucket": pa.array((hi % n_buckets).astype(np.int32))})
+        return _substr_gram_rows(batch, n_buckets)
 
     def combine(g: pd.DataFrame) -> pa.Table:
         nd = g.groupby(["h_hi", "h_lo"], sort=False)["doc_id"] \
@@ -10298,6 +10315,111 @@ SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          AS dup_grams
 FROM g JOIN hd USING (h)
 GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+def q_substring_dup_apply(sf_dir: str, n_buckets: int = 64):
+    """DUPLICATED-SPAN REMOVAL accounting — the APPLY stage completing
+    the ExactSubstr story (:func:`q_substring_dup_spans` detects; Lee
+    et al. 2022 then CUT the duplicated spans out of the corpus):
+    every dup-gram occurrence (same 32-char string in ≥2 distinct
+    docs) claims the char interval [pos, pos+{SUBSTR_GRAM}), per doc
+    the claimed intervals are UNION-merged (overlapping or touching
+    intervals coalesce — removal is contiguous), and the output is the
+    per-doc removal plan: merged span count and exact removed-char
+    total. Only docs losing ≥1 char appear (absent-on-both-sides —
+    the detection query's NULL-fork discipline).
+
+    Dataflow: the shared explode kernel rides the anchor offset along
+    (``_substr_gram_rows(with_pos=True)``); exchange 1 buckets by gram
+    hash and forwards ONLY dup occurrences as narrow (doc_id, pos)
+    pairs; exchange 2 buckets by doc and merges intervals VECTORIZED
+    across the whole bucket (sorted positions, island break iff
+    gap > gram length — one np.diff, no per-doc loop). Texts never
+    move; the interval math is exact integers. SQL oracle: the same
+    dup-gram table + gaps-and-islands window (lag/sum-over) — the
+    standard SQL spelling of interval union."""
+    import pandas as pd
+
+    def grams(batch: pa.Table) -> pa.Table:
+        return _substr_gram_rows(batch, n_buckets, with_pos=True)
+
+    def dup_occurrences(g: pd.DataFrame) -> pa.Table:
+        nd = g.groupby(["h_hi", "h_lo"], sort=False)["doc_id"] \
+            .transform("nunique").to_numpy(np.int64)
+        keep = nd >= 2
+        doc = g["doc_id"].to_numpy(np.int64)[keep]
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "pos": pa.array(g["pos"].to_numpy(np.int64)[keep]),
+            "_dbucket": pa.array((doc % n_buckets).astype(np.int32))})
+
+    def merge_spans(g: pd.DataFrame) -> pa.Table:
+        # vectorized gaps-and-islands over the WHOLE bucket: sort by
+        # (doc, pos); an island starts at a doc change or a gap larger
+        # than the gram length (touching spans coalesce — the removal
+        # is contiguous either way)
+        doc = g["doc_id"].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        o = np.lexsort((pos, doc))
+        doc, pos = doc[o], pos[o]
+        brk = np.ones(len(doc), dtype=bool)
+        brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > SUBSTR_GRAM)
+        starts = pos[brk]                       # first anchor per island
+        ends = np.maximum.reduceat(pos, np.flatnonzero(brk)) + SUBSTR_GRAM
+        a = pd.DataFrame({"doc_id": doc[brk], "len": ends - starts,
+                          "one": np.ones(len(starts), np.int64)}) \
+            .groupby("doc_id", sort=False) \
+            .agg(n_spans=("one", "sum"), removed_chars=("len", "sum")) \
+            .reset_index()
+        return pa.table({
+            "doc_id": pa.array(a["doc_id"].to_numpy(np.int64)),
+            "n_spans": pa.array(a["n_spans"].to_numpy(np.int64)),
+            "removed_chars": pa.array(a["removed_chars"].to_numpy(np.int64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(grams, batch_format="pyarrow") \
+        .repartition(_exchange_blocks(sf_dir)) \
+        .groupby("_bucket").map_groups(dup_occurrences,
+                                       batch_format="pandas") \
+        .groupby("_dbucket").map_groups(merge_spans, batch_format="pandas")
+
+
+SQL_SUBSTRING_DUP_APPLY = f"""
+WITH mx AS (
+  SELECT coalesce(max(len(text)), 0) AS m
+  FROM documents WHERE text IS NOT NULL
+), ser AS (
+  SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS p
+), g AS (
+  SELECT d.doc_id, ser.p, md5(substring(d.text, ser.p, {SUBSTR_GRAM})) AS h
+  FROM documents d JOIN ser
+    ON d.text IS NOT NULL
+   AND ser.p <= len(d.text) - {SUBSTR_GRAM - 1}
+   AND substring(d.text, ser.p, 1) NOT IN {_WS_SQL_SET}
+   AND (ser.p = 1 OR substring(d.text, ser.p - 1, 1) IN {_WS_SQL_SET})
+), hd AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h
+), dup AS (
+  SELECT g.doc_id, g.p FROM g JOIN hd USING (h) WHERE hd.nd >= 2
+), w AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   > {SUBSTR_GRAM}
+              OR lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+), isl AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM w
+), spans AS (
+  SELECT doc_id, min(p) AS s, max(p) + {SUBSTR_GRAM} AS e
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s) AS BIGINT) AS removed_chars
+FROM spans GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -10846,6 +10968,7 @@ QUERIES = {
     "chunk_windows": q_chunk_windows,
     "bpe_encode_stats": q_bpe_encode_stats,
     "substring_dup_spans": q_substring_dup_spans,
+    "substring_dup_apply": q_substring_dup_apply,
     "hash_classifier_score": q_hash_classifier_score,
     "dsir_weights": q_dsir_weights,
     "shard_manifest": q_shard_manifest,
@@ -10986,6 +11109,7 @@ ORACLE_SQL = {
     "blocklist_gate": SQL_BLOCKLIST_GATE,
     "chunk_windows": SQL_CHUNK_WINDOWS,
     "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
+    "substring_dup_apply": SQL_SUBSTRING_DUP_APPLY,
     "hash_classifier_score": SQL_HASH_CLASSIFIER_SCORE,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "shard_manifest": SQL_SHARD_MANIFEST,

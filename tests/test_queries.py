@@ -93,7 +93,7 @@ PARITY_NAMES = [
     "containment_pairs", "fuzzy_title_pairs", "rare_word_score",
     "substring_dup_spans", "hash_classifier_score", "dsir_weights",
     "shard_manifest", "chunk_windows", "blocklist_gate",
-    "curriculum_order", "anchor_text_stats",
+    "curriculum_order", "anchor_text_stats", "substring_dup_apply",
 ]
 
 
