@@ -283,7 +283,23 @@ def run_bench() -> dict:
                      "bpe_encode_stats", "blocklist_gate",
                      "audio_fp_dups", "perceptron_train",
                      "curriculum_order", "semdedup_prune",
-                     "anchor_text_stats", "substring_dup_apply"]}
+                     "anchor_text_stats", "substring_dup_apply",
+                     # r5 session 5: the sweep is the FULL registry —
+                     # the early-round entries below had never joined
+                     "extract_method_counts", "sniff_counts",
+                     "doc_stats_by_lang", "doc_quality_by_lang",
+                     "doc_fingerprints", "balanced_sample",
+                     "segment_revenue", "order_priority_revenue",
+                     "top_orders", "distinct_segments",
+                     "events_hourly_users", "events_sliding",
+                     "order_asof_event", "order_coverage",
+                     "region_order_counts", "quality_gate_counts",
+                     "lang_detect", "embedding_dup_pairs_lsh",
+                     "ann_topk_ivf", "ann_topk_filtered",
+                     "kmeans_clusters", "size_histogram",
+                     "top_docs_per_lang", "distinct_tokens",
+                     "distinct_tokens_hll", "events_hourly_users_hll",
+                     "pii_counts", "stratified_fixed_sample"]}
     # the full per-query sweep outgrew the driver's bounded stdout-tail
     # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
     # file and keep the final stdout line SHORT: headline + the 10
