@@ -229,77 +229,10 @@ def run_bench() -> dict:
         assert len(r) >= 0
         return round(time.monotonic() - t, 3)
 
-    sweep = {
-        name: timed(name)
-        for name in ["pricing_summary", "events_hourly", "dedup_exact",
-                     "doc_token_stats", "user_sessions", "minhash_near_dups",
-                     "ann_topk", "embedding_dup_pairs",
-                     "minhash_dedup_groups", "ship_window_counts",
-                     "top_terms", "chars_quantiles",
-                     "jaccard_pairs_exact", "bloom_semi_join",
-                     "simhash_near_dups", "customer_order_full",
-                     "repetition_stats", "tfidf_top_terms",
-                     "decontaminate", "title_dedup_best",
-                     "vocab_oov_stats", "running_totals",
-                     "chars_quantiles_approx", "heavy_hitter_ngrams",
-                     "winnow_fingerprints", "dedup_groups_cc",
-                     "passage_dup_pairs", "incremental_dedup",
-                     "source_lang_rollup", "corpus_split_counts",
-                     "doc_cume_dist", "sequence_packing", "domain_cap",
-                     "top_terms_approx", "link_pagerank",
-                     "range_sort_audit", "late_event_counts",
-                     "funnel_counts", "label_centroids",
-                     "term_cooccurrence", "schema_union_stats",
-                     "length_outliers", "order_asof_next",
-                     "view_purchase_conversion", "host_links",
-                     "extract_audit", "paragraph_dedup",
-                     "paragraph_dedup_apply", "bigram_coverage",
-                     "domain_split_counts", "event_gaps",
-                     "user_retention", "host_reciprocal", "zipf_slope",
-                     "local_supplier_volume", "event_transitions",
-                     "rolling_user_spend", "vocab_overlap",
-                     "lang_source_pivot", "length_gini",
-                     "table_profile", "unigram_entropy",
-                     "order_size_histogram", "rollup_counts",
-                     "source_dup_rate", "vocab_growth",
-                     "order_cohorts", "length_top_decile",
-                     "dup_degree_histogram", "source_mixture_weights",
-                     "canonical_url_dedup", "crawl_snapshot_diff",
-                     "ngram_diversity", "length_word_corr",
-                     "image_phash_dups", "bm25_topk",
-                     "mixture_resample", "part_association",
-                     "compression_ratio", "pii_spans", "event_dedup_window", "host_two_hop",
-                     "embedding_quantize_audit", "jsonl_roundtrip_stats",
-                     "csv_roundtrip_stats", "corpus_build",
-                     "extract_pages", "training_prep",
-                     "host_triangles", "lang_doc_digest",
-                     "knn_graph", "nfc_audit", "near_dup_apply",
-                     "media_feature_stats", "pii_redact_stats",
-                     "bpe_pair_counts", "containment_pairs",
-                     "fuzzy_title_pairs", "rare_word_score",
-                     "bpe_learn_merges",
-                     "substring_dup_spans", "hash_classifier_score",
-                     "dsir_weights", "shard_manifest", "chunk_windows",
-                     "bpe_encode_stats", "blocklist_gate",
-                     "audio_fp_dups", "perceptron_train",
-                     "curriculum_order", "semdedup_prune",
-                     "anchor_text_stats", "substring_dup_apply",
-                     # r5 session 5: the sweep is the FULL registry —
-                     # the early-round entries below had never joined
-                     "extract_method_counts", "sniff_counts",
-                     "doc_stats_by_lang", "doc_quality_by_lang",
-                     "doc_fingerprints", "balanced_sample",
-                     "segment_revenue", "order_priority_revenue",
-                     "top_orders", "distinct_segments",
-                     "events_hourly_users", "events_sliding",
-                     "order_asof_event", "order_coverage",
-                     "region_order_counts", "quality_gate_counts",
-                     "lang_detect", "embedding_dup_pairs_lsh",
-                     "ann_topk_ivf", "ann_topk_filtered",
-                     "kmeans_clusters", "size_histogram",
-                     "top_docs_per_lang", "distinct_tokens",
-                     "distinct_tokens_hll", "events_hourly_users_hll",
-                     "pii_counts", "stratified_fixed_sample"]}
+    # the sweep IS the registry — derived, not hand-maintained, so a
+    # newly registered query can never silently fall out (the drift
+    # mode that had left 28 early entries unswept until r5 session 5)
+    sweep = {name: timed(name) for name in sorted(Q.QUERIES)}
     # the full per-query sweep outgrew the driver's bounded stdout-tail
     # capture in r4 (BENCH_r04.json parsed: null) — stream it to a side
     # file and keep the final stdout line SHORT: headline + the 10

@@ -203,6 +203,26 @@ class HtmlExtract:
     links: list[str]     # absolute out-links from non-stripped subtrees
 
 
+def _walk_abs_anchors(root: _Node, emit) -> None:
+    """The ONE anchor-harvesting walk ``collect_links`` and
+    ``collect_anchors`` share — every ``<a>`` with an ABSOLUTE http(s)
+    href, in document order, from NON-STRIPPED subtrees only. One home
+    so the two consumers can never silently disagree on the rules
+    (scheme filter, STRIP_TAGS treatment, traversal order)."""
+
+    def walk(n: _Node) -> None:
+        for c in n.children:
+            if isinstance(c, str) or c.tag in STRIP_TAGS:
+                continue
+            if c.tag == "a":
+                href = c.attrs.get("href", "")
+                if href.startswith(("http://", "https://")):
+                    emit(c, href)
+            walk(c)
+
+    walk(root)
+
+
 def collect_links(root: _Node) -> list[str]:
     """Main-content out-link inventory (r4 — the anchor-span → edge
     operator's source): every ``<a href>`` with an ABSOLUTE http(s)
@@ -218,43 +238,25 @@ def collect_links(root: _Node) -> list[str]:
     still contributes its anchors — link evidence and text evidence
     are different signals."""
     out: list[str] = []
-
-    def walk(n: _Node) -> None:
-        for c in n.children:
-            if isinstance(c, str) or c.tag in STRIP_TAGS:
-                continue
-            if c.tag == "a":
-                href = c.attrs.get("href", "")
-                if href.startswith(("http://", "https://")):
-                    out.append(href)
-            walk(c)
-
-    walk(root)
+    _walk_abs_anchors(root, lambda _c, href: out.append(href))
     return out
 
 
 def collect_anchors(root: _Node) -> list[tuple[str, str]]:
     """(href, anchor_text) pairs under :func:`collect_links`' exact
-    harvesting rules (absolute http(s) hrefs, non-stripped subtrees,
-    document order, duplicates preserved) — the anchor-TEXT signal a
-    web-corpus link graph weighs (the text a page uses to describe its
-    target). Anchor text is the subtree's visible text, ASCII-ws
-    normalized so consumers hash/split it with the shared dedup
-    kernels. Additive beside ``collect_links`` — the extraction
-    pipeline's output schema is untouched."""
+    harvesting rules (the shared :func:`_walk_abs_anchors` walk) — the
+    anchor-TEXT signal a web-corpus link graph weighs (the text a page
+    uses to describe its target). Anchor text is the subtree's visible
+    text under the extractor's OWN normalization (:func:`_collect_text`
+    — Unicode-ws collapse, the same rule ``full_text`` receives), so
+    anchor text and document text can never disagree on what
+    whitespace means; consumers re-tokenizing with the ASCII dedup
+    kernels do so on top of this, as they do for full_text. Additive
+    beside ``collect_links`` — the extraction pipeline's output schema
+    is untouched."""
     out: list[tuple[str, str]] = []
-
-    def walk(n: _Node) -> None:
-        for c in n.children:
-            if isinstance(c, str) or c.tag in STRIP_TAGS:
-                continue
-            if c.tag == "a":
-                href = c.attrs.get("href", "")
-                if href.startswith(("http://", "https://")):
-                    out.append((href, " ".join(_collect_text(c).split())))
-            walk(c)
-
-    walk(root)
+    _walk_abs_anchors(root,
+                      lambda c, href: out.append((href, _collect_text(c))))
     return out
 
 

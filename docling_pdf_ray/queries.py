@@ -378,16 +378,19 @@ def q_anchor_text_stats(sf_dir: str):
     from .sources.pages_from_documents import pages_dataset
 
     def harvest(batch: pa.Table) -> pa.Table:
-        hosts, texts, words = [], [], []
+        hrefs, texts, words = [], [], []
         for payload in batch.column("html").to_pylist():
             if oracle.sniff_kind(payload) != oracle.KIND_HTML:
                 continue
             root = htmlx.parse_dom(payload.decode("utf-8", "replace"))
             for href, text in htmlx.collect_anchors(root):
-                hosts.append(href.split("://", 1)[1].split("/", 1)[0])
+                hrefs.append(href)
                 texts.append(text)
                 words.append(len(split_ws(text)))
-        t = pa.table({"dst_host": pa.array(hosts, pa.string()),
+        # dst host via _host_of — the SINGLE url→authority derivation
+        # host_links / link_pagerank use (a second parsing rule here
+        # could silently desynchronize the host-graph queries)
+        t = pa.table({"dst_host": _host_of(pa.array(hrefs, pa.string())),
                       "anchor_text": pa.array(texts, pa.string()),
                       "w": pa.array(words, pa.int64())})
         return t.group_by(["dst_host", "anchor_text"]).aggregate(
@@ -3772,9 +3775,10 @@ def q_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 8):
 
 
 SEMDEDUP_NUM, SEMDEDUP_DEN = 9, 10   # cosine threshold 0.9, exact rational
+SEMDEDUP_TARGET_C = 1024   # target mean cluster size — k scales with N
 
 
-def q_semdedup_prune(sf_dir: str, k: int = 8, iters: int = 4):
+def q_semdedup_prune(sf_dir: str, k: int | None = None, iters: int = 4):
     """SEMANTIC DEDUPLICATION — SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
     prune near-duplicate pairs WITHIN each cluster, so the O(N²)
@@ -3799,9 +3803,12 @@ def q_semdedup_prune(sf_dir: str, k: int = 8, iters: int = 4):
     already-kept member — the registry's first-occurrence retention
     discipline, deterministic at any parallelism.
 
-    Per-cluster cost is O(c²) integer ops and O(c²) bool memory —
-    bounded because k scales with N (SemDeDup uses 50k clusters for
-    LAION; c̄ = N/k stays ~10³-10⁴). Rows-only by the driver contract
+    Per-cluster cost is O(c·kept·dim) integer ops at O(c·dim) MEMORY
+    (each member is verified against the kept PREFIX only — never a
+    materialized c×c matrix), and k is derived from the corpus row
+    count so c̄ stays ≈ {SEMDEDUP_TARGET_C} at any N (SemDeDup uses 50k
+    clusters for LAION — the same k ∝ N discipline, here actually
+    implemented, not just assumed). Rows-only by the driver contract
     (the k-means fixpoint has no SQL mirror); the greedy stage is
     pinned exactly by a pure-numpy replay over the query's OWN cluster
     assignments (tests/test_cluster.py)."""
@@ -3810,6 +3817,9 @@ def q_semdedup_prune(sf_dir: str, k: int = 8, iters: int = 4):
 
     from .functions import cluster as cl
 
+    if k is None:
+        n = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+        k = max(8, -(-n // SEMDEDUP_TARGET_C))
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"]) \
         .map_batches(_plant_embeddings, batch_format="pyarrow")
@@ -3834,14 +3844,28 @@ def q_semdedup_prune(sf_dir: str, k: int = 8, iters: int = 4):
         ids = g["vec_id"].to_numpy(np.int64)
         qm = np.asarray(list(g["q"]), dtype=np.int64)
         n2 = (qm * qm).sum(axis=1)
-        s = qm @ qm.T
-        dup = (s > 0) & (s * s * (SEMDEDUP_DEN * SEMDEDUP_DEN)
-                         >= (SEMDEDUP_NUM * SEMDEDUP_NUM) * np.outer(n2, n2))
+        num2 = SEMDEDUP_NUM * SEMDEDUP_NUM
+        den2 = SEMDEDUP_DEN * SEMDEDUP_DEN
         keep = np.zeros(len(ids), dtype=bool)
-        for i in range(len(ids)):       # greedy first-occurrence scan —
-            keep[i] = not dup[i, :i][keep[:i]].any()   # inherently
-            #           sequential within a cluster; everything feeding
-            #           it (matmul, threshold) is vectorized above
+        kept = np.empty_like(qm)        # kept members' rows (prefix)
+        kept_n2 = np.empty_like(n2)
+        kc = 0
+        for i in range(len(ids)):   # greedy first-occurrence scan —
+            # inherently sequential within a cluster; each step is one
+            # vectorized (kept × dim) matvec against the KEPT prefix
+            # only, so memory stays O(c·dim) — never a c×c matrix
+            if kc:
+                s = kept[:kc] @ qm[i]
+                dup = bool(((s > 0) & (s * s * den2
+                                       >= num2 * (kept_n2[:kc] * n2[i])))
+                           .any())
+            else:
+                dup = False
+            if not dup:
+                kept[kc] = qm[i]
+                kept_n2[kc] = n2[i]
+                kc += 1
+            keep[i] = not dup
         return pa.table({"vec_id": pa.array(ids),
                          "cluster": pa.array(np.full(len(ids),
                                                      int(g["cluster"].iloc[0]),
