@@ -6035,6 +6035,45 @@ FROM assigned GROUP BY part ORDER BY part
 """
 
 
+def _range_enum_cuts(xs: np.ndarray, cum: np.ndarray,
+                     p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Partition cutpoints AND exact prefix offsets for the global
+    enumeration, from an exact (value → cumulative count) histogram:
+    bound_i = smallest value v with cum(v)·p ≥ i·N (the
+    range_sort_audit rule), and — because searchsorted side='right'
+    assignment makes partitions [b_{i-1}, b_i) half-open — offset_i
+    counts rows STRICTLY below the lower bound. Extracted from
+    :func:`q_curriculum_order` so the boundary arithmetic is
+    property-testable against brute force without a Ray session."""
+    n_total = int(cum[-1])
+    bounds = xs[np.minimum(
+        np.searchsorted(cum * p, np.arange(1, p, dtype=np.int64) * n_total,
+                        side="left"), len(xs) - 1)]
+    bpos = np.searchsorted(xs, bounds, side="left") - 1
+    offsets = np.concatenate(
+        [[0], np.where(bpos >= 0, cum[np.maximum(bpos, 0)], 0)])
+    return bounds, offsets
+
+
+def _merge_fixed_intervals(doc: np.ndarray, pos: np.ndarray,
+                           length: int) -> tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """Vectorized per-doc union of fixed-length intervals
+    [pos, pos+length): one lexsort over the whole bucket, island break
+    at a doc change or a gap > length (touching intervals coalesce —
+    removal is contiguous either way). Returns (island_doc,
+    island_start, island_end). Extracted from
+    :func:`q_substring_dup_apply` so the gaps-and-islands arithmetic
+    is property-testable against a brute-force set union."""
+    o = np.lexsort((pos, doc))
+    doc, pos = doc[o], pos[o]
+    brk = np.ones(len(doc), dtype=bool)
+    brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > length)
+    starts = pos[brk]
+    ends = np.maximum.reduceat(pos, np.flatnonzero(brk)) + length
+    return doc[brk], starts, ends
+
+
 def q_curriculum_order(sf_dir: str):
     """DISTRIBUTED GLOBAL ENUMERATION (zipWithIndex / row_number under
     a total order) — the per-row primitive :func:`q_range_sort_audit`'s
@@ -6079,19 +6118,8 @@ def q_curriculum_order(sf_dir: str):
                              "curriculum_pos": pd.Series([], dtype="int64")})
     xs = hist["n_chars"].to_numpy(np.int64)
     cum = hist["n"].to_numpy(np.int64).cumsum()
-    n_total = int(cum[-1])
     p = max(SORT_PARTS, _exchange_blocks(sf_dir))
-    # bound_i = smallest value v with cum(v)·p ≥ i·N  (range_sort_audit
-    # discipline); partition of a row = #{bounds ≤ v} via searchsorted
-    bounds = xs[np.minimum(
-        np.searchsorted(cum * p, np.arange(1, p, dtype=np.int64) * n_total,
-                        side="left"), len(xs) - 1)]
-    # exact prefix offsets from the SAME histogram: searchsorted
-    # side='right' assignment puts a row with v == bounds[i-1] INTO
-    # partition i (partitions are [b_{i-1}, b_i) half-open), so the
-    # offset of partition i counts rows STRICTLY below its lower bound
-    bpos = np.searchsorted(xs, bounds, side="left") - 1
-    offsets = np.concatenate([[0], np.where(bpos >= 0, cum[np.maximum(bpos, 0)], 0)])
+    bounds, offsets = _range_enum_cuts(xs, cum, p)
 
     def assign_part(batch: pa.Table) -> pa.Table:
         v = batch.column("n_chars").to_numpy(zero_copy_only=False)
@@ -10379,19 +10407,10 @@ def q_substring_dup_apply(sf_dir: str, n_buckets: int = 64):
             "_dbucket": pa.array((doc % n_buckets).astype(np.int32))})
 
     def merge_spans(g: pd.DataFrame) -> pa.Table:
-        # vectorized gaps-and-islands over the WHOLE bucket: sort by
-        # (doc, pos); an island starts at a doc change or a gap larger
-        # than the gram length (touching spans coalesce — the removal
-        # is contiguous either way)
-        doc = g["doc_id"].to_numpy(np.int64)
-        pos = g["pos"].to_numpy(np.int64)
-        o = np.lexsort((pos, doc))
-        doc, pos = doc[o], pos[o]
-        brk = np.ones(len(doc), dtype=bool)
-        brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] - pos[:-1] > SUBSTR_GRAM)
-        starts = pos[brk]                       # first anchor per island
-        ends = np.maximum.reduceat(pos, np.flatnonzero(brk)) + SUBSTR_GRAM
-        a = pd.DataFrame({"doc_id": doc[brk], "len": ends - starts,
+        idoc, starts, ends = _merge_fixed_intervals(
+            g["doc_id"].to_numpy(np.int64), g["pos"].to_numpy(np.int64),
+            SUBSTR_GRAM)
+        a = pd.DataFrame({"doc_id": idoc, "len": ends - starts,
                           "one": np.ones(len(starts), np.int64)}) \
             .groupby("doc_id", sort=False) \
             .agg(n_spans=("one", "sum"), removed_chars=("len", "sum")) \

@@ -184,3 +184,72 @@ def test_edit_distance_le1_matches_dp_and_blocking_complete(a, b):
     assert dd.edit_distance_le1(a, b) == (d if d <= 1 else None)
     if d <= 1:
         assert dd.deletion_variants(a) & dd.deletion_variants(b)
+
+
+@FAST
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(1, 30)),
+                min_size=1, max_size=40),
+       st.integers(2, 12))
+def test_range_enum_cuts_match_brute_force(hist, p):
+    """_range_enum_cuts (curriculum_order's partition/offset math) vs
+    brute force for ARBITRARY histograms incl. all-ties and heavy
+    skew: every partition's offset must equal the count of rows
+    strictly below its lower bound, and offsets+per-partition counts
+    must reconstruct 0..N-1 exactly."""
+    import numpy as np
+
+    from docling_pdf_ray.queries import _range_enum_cuts
+
+    agg: dict[int, int] = {}
+    for v, c in hist:
+        agg[v] = agg.get(v, 0) + c
+    xs = np.array(sorted(agg), dtype=np.int64)
+    cum = np.array([agg[v] for v in xs], dtype=np.int64).cumsum()
+    values = np.repeat(xs, np.diff(np.concatenate([[0], cum])))
+    bounds, offsets = _range_enum_cuts(xs, cum, p)
+    part = np.searchsorted(bounds, values, side="right")
+    # offsets exact: #rows strictly below each partition's range
+    for i in range(p):
+        in_p = part == i
+        assert offsets[i] == int((part < i).sum())
+        # rows inside a partition occupy a contiguous global range:
+        # offset + partition size = count of rows in partitions ≤ i,
+        # so offset[part] + rank-within-partition enumerates 0..N-1
+        if in_p.any():
+            assert offsets[i] + int(in_p.sum()) == int((part <= i).sum())
+
+
+@FAST
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 120)),
+                min_size=1, max_size=60),
+       st.integers(1, 40))
+def test_merge_fixed_intervals_matches_set_union(rows, length):
+    """_merge_fixed_intervals (substring_dup_apply's island merge) vs
+    a brute-force per-doc char-set union: per-doc island count and
+    removed-char totals must match exactly, for arbitrary (doc, pos)
+    multisets — duplicates, touching spans, single anchors."""
+    import numpy as np
+
+    from docling_pdf_ray.queries import _merge_fixed_intervals
+
+    doc = np.array([d for d, _ in rows], dtype=np.int64)
+    pos = np.array([p for _, p in rows], dtype=np.int64)
+    idoc, starts, ends = _merge_fixed_intervals(doc, pos, length)
+    assert (ends - starts > 0).all()
+    got = {}
+    for d, s, e in zip(idoc, starts, ends):
+        n, tot = got.get(int(d), (0, 0))
+        got[int(d)] = (n + 1, tot + int(e - s))
+    want = {}
+    for d in set(doc.tolist()):
+        cover = set()
+        for p in pos[doc == d]:
+            cover.update(range(int(p), int(p) + length))
+        # islands = maximal runs of consecutive covered chars, PLUS a
+        # break between touching-but-disjoint spans never happens (a
+        # gap of exactly `length` coalesces) — the covered-set union
+        # IS the contract
+        cs = sorted(cover)
+        n_isl = 1 + sum(1 for a, b in zip(cs, cs[1:]) if b - a > 1)
+        want[d] = (n_isl, len(cover))
+    assert got == want
