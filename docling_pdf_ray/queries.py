@@ -506,6 +506,118 @@ FROM d
 """
 
 
+def q_span_stats(sf_dir: str):
+    """SQL-CHECKED AUDIT OF THE SPAN OFFSETS — the north-star's other
+    output beside the text ("extracted text and span offsets are
+    emitted as zero-copy Arrow columns"): the pipeline runs for real
+    and the `spans` list<struct> column is aggregated per extraction
+    method — docs carrying spans, span count, total covered chars.
+    The SQL mirror re-derives all three from the page-synthesis
+    arithmetic on EVERY arm (heading+kept-chunks on the HTML path,
+    12-word SPDF lines, the one-line dimension-repair arm, zero-span
+    fallback), so any drift in block segmentation, the '\\n\\n' join
+    offsets, or the error ladder's span emission breaks the hash —
+    the extract_audit discipline extended to the span machinery.
+    Per-batch partials are (methods ≤ 3) rows; spans never leave the
+    map stage un-aggregated."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("spans")))
+        if b.num_rows == 0:
+            return pa.table({"extraction_method": pa.array([], pa.string()),
+                             "p_docs": pa.array([], pa.int64()),
+                             "p_spans": pa.array([], pa.int64()),
+                             "p_chars": pa.array([], pa.int64())})
+        spans = b.column("spans").combine_chunks()
+        meth = b.column("extraction_method").combine_chunks()
+        flat = pc.list_flatten(spans)
+        lens = pc.subtract(pc.struct_field(flat, "end"),
+                           pc.struct_field(flat, "start"))
+        span_meth = pc.take(meth, pc.list_parent_indices(spans))
+        docs = pa.table({"m": meth}).group_by("m") \
+            .aggregate([([], "count_all")]).to_pydict()
+        per = pa.table({"m": span_meth, "l": lens}).group_by("m") \
+            .aggregate([([], "count_all"), ("l", "sum")]).to_pydict()
+        agg = {m: [n, 0, 0] for m, n in zip(docs["m"], docs["count_all"])}
+        for m, n, s in zip(per["m"], per["count_all"], per["l_sum"]):
+            agg[m][1] = n
+            agg[m][2] = int(s)
+        ms = sorted(agg)
+        return pa.table({
+            "extraction_method": pa.array(ms, pa.string()),
+            "p_docs": pa.array([agg[m][0] for m in ms], pa.int64()),
+            "p_spans": pa.array([agg[m][1] for m in ms], pa.int64()),
+            "p_chars": pa.array([agg[m][2] for m in ms], pa.int64())})
+
+    out = _driver_combine(
+        _extracted_tasks_ds(sf_dir).map_batches(partial,
+                                                batch_format="pyarrow"),
+        ["extraction_method"],
+        {"n_docs": ("p_docs", "sum"), "n_spans": ("p_spans", "sum"),
+         "sum_span_chars": ("p_chars", "sum")})
+    if out.empty:
+        return pd.DataFrame({"extraction_method": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_spans": pd.Series([], dtype="int64"),
+                             "sum_span_chars": pd.Series([], dtype="int64")})
+    return out.astype({"n_docs": "int64", "n_spans": "int64",
+                       "sum_span_chars": "int64"})
+
+
+SQL_SPAN_STATS = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 10 AS m, doc_id % 100 AS hh,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '{_dedup.WS_PATTERN}'), x -> x <> '') AS ws,
+         coalesce(text, '') AS text
+  FROM documents
+), hc AS (
+  SELECT doc_id,
+         length(array_to_string(list_slice(ws, (i-1)*40 + 1, i*40), ' '))
+           AS clen
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1,
+                      CAST(ceil(len(ws) / 40.0) AS BIGINT))) AS i
+        FROM base WHERE m <= 5)
+), ha AS (
+  SELECT doc_id, sum(2 + clen) AS kc, count(*) AS nk
+  FROM hc WHERE clen >= 25 GROUP BY doc_id
+), per_doc AS (
+  -- html: heading span + one span per kept chunk; covered chars =
+  -- full_text len minus the 2-char joins
+  SELECT 'html_heuristic' AS extraction_method,
+         1 + coalesce(ha.nk, 0) AS n_spans,
+         length('# Document ' || CAST(b.doc_id AS VARCHAR))
+           + coalesce(ha.kc, 0) - 2 * coalesce(ha.nk, 0) AS chars
+  FROM base b LEFT JOIN ha USING (doc_id) WHERE b.m <= 5
+  UNION ALL
+  -- SPDF path: one span per 12-word line
+  SELECT 'pdf_parse',
+         CASE WHEN len(ws) = 0 THEN 0 ELSE (len(ws) + 11) // 12 END,
+         CASE WHEN len(ws) = 0 THEN 0
+              ELSE length(array_to_string(ws, '')) + len(ws)
+                   + (len(ws) + 11) // 12 - 2
+                   - 2 * ((len(ws) + 11) // 12 - 1) END
+  FROM base WHERE m IN (6, 7, 8)
+  UNION ALL
+  -- dimension-repair arm: one line = text[:80] (blank -> no element)
+  SELECT 'pdf_parse',
+         CASE WHEN trim(substr(text, 1, 80)) = '' THEN 0 ELSE 1 END,
+         CASE WHEN trim(substr(text, 1, 80)) = '' THEN 0
+              ELSE length(substr(text, 1, 80)) END
+  FROM base WHERE m = 9 AND hh NOT IN (19, 99)
+  UNION ALL
+  -- corrupt payload -> zero-page fallback: spans list present, empty
+  SELECT 'fallback', 0, 0 FROM base WHERE hh = 99
+)
+SELECT extraction_method, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(chars) AS BIGINT) AS sum_span_chars
+FROM per_doc GROUP BY extraction_method ORDER BY extraction_method
+"""
+
+
 # ================================================================ relational
 
 def q_doc_stats_by_lang(sf_dir: str):
@@ -11105,6 +11217,7 @@ QUERIES = {
     "host_links": q_host_links,
     "anchor_text_stats": q_anchor_text_stats,
     "extract_audit": q_extract_audit,
+    "span_stats": q_span_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_dedup_apply": q_paragraph_dedup_apply,
     "bigram_coverage": q_bigram_coverage,
@@ -11229,6 +11342,7 @@ ORACLE_SQL = {
     "host_links": SQL_HOST_LINKS,
     "anchor_text_stats": SQL_ANCHOR_TEXT_STATS,
     "extract_audit": SQL_EXTRACT_AUDIT,
+    "span_stats": SQL_SPAN_STATS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
     "bigram_coverage": SQL_BIGRAM_COVERAGE,
