@@ -618,6 +618,131 @@ FROM per_doc GROUP BY extraction_method ORDER BY extraction_method
 """
 
 
+def q_page_stats(sf_dir: str):
+    """SQL-CHECKED AUDIT OF THE M12 RE-PAGINATION STRUCTS — the third
+    nested output (:func:`q_span_stats` covers spans; ``extract_pages``
+    covers the scalar total_pages): the real ``pages``
+    list<struct{page_number, content, line_count}> column is
+    aggregated per method — page count, line-count total, and the
+    page-CONTENT char total (which pins the '\\n' accounting: content
+    joins a page's lines, so Σlen(content) = char_count + 1 − n_pages
+    for every paginated doc — the 50-line splitter's separators must
+    vanish exactly once per page boundary). The SQL mirror re-derives
+    all arms, including M12's empty-string quirk (paginate('') is ONE
+    page of one empty line — preserved from the reference) and the
+    zero-page corrupt-fallback arm."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch.column("pages")))
+        if b.num_rows == 0:
+            return pa.table({"extraction_method": pa.array([], pa.string()),
+                             "p_docs": pa.array([], pa.int64()),
+                             "p_pages": pa.array([], pa.int64()),
+                             "p_lines": pa.array([], pa.int64()),
+                             "p_chars": pa.array([], pa.int64())})
+        pages = b.column("pages").combine_chunks()
+        meth = b.column("extraction_method").combine_chunks()
+        flat = pc.list_flatten(pages)
+        lines = pc.struct_field(flat, "line_count")
+        clen = pc.utf8_length(pc.struct_field(flat, "content"))
+        page_meth = pc.take(meth, pc.list_parent_indices(pages))
+        docs = pa.table({"m": meth}).group_by("m") \
+            .aggregate([([], "count_all")]).to_pydict()
+        per = pa.table({"m": page_meth, "l": lines, "c": clen}) \
+            .group_by("m") \
+            .aggregate([([], "count_all"), ("l", "sum"), ("c", "sum")]) \
+            .to_pydict()
+        agg = {m: [n, 0, 0, 0] for m, n in zip(docs["m"], docs["count_all"])}
+        for m, n, ls, cs in zip(per["m"], per["count_all"],
+                                per["l_sum"], per["c_sum"]):
+            agg[m][1:] = [n, int(ls), int(cs)]
+        ms = sorted(agg)
+        return pa.table({
+            "extraction_method": pa.array(ms, pa.string()),
+            "p_docs": pa.array([agg[m][0] for m in ms], pa.int64()),
+            "p_pages": pa.array([agg[m][1] for m in ms], pa.int64()),
+            "p_lines": pa.array([agg[m][2] for m in ms], pa.int64()),
+            "p_chars": pa.array([agg[m][3] for m in ms], pa.int64())})
+
+    out = _driver_combine(
+        _extracted_tasks_ds(sf_dir).map_batches(partial,
+                                                batch_format="pyarrow"),
+        ["extraction_method"],
+        {"n_docs": ("p_docs", "sum"), "n_pages": ("p_pages", "sum"),
+         "sum_line_counts": ("p_lines", "sum"),
+         "sum_content_chars": ("p_chars", "sum")})
+    if out.empty:
+        return pd.DataFrame(
+            {"extraction_method": pd.Series([], dtype="object"),
+             "n_docs": pd.Series([], dtype="int64"),
+             "n_pages": pd.Series([], dtype="int64"),
+             "sum_line_counts": pd.Series([], dtype="int64"),
+             "sum_content_chars": pd.Series([], dtype="int64")})
+    return out.astype({"n_docs": "int64", "n_pages": "int64",
+                       "sum_line_counts": "int64",
+                       "sum_content_chars": "int64"})
+
+
+SQL_PAGE_STATS = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 10 AS m, doc_id % 100 AS hh,
+         list_filter(regexp_split_to_array(coalesce(text, ''),
+                     '{_dedup.WS_PATTERN}'), x -> x <> '') AS ws,
+         coalesce(text, '') AS text
+  FROM documents
+), hc AS (
+  SELECT doc_id,
+         length(array_to_string(list_slice(ws, (i-1)*40 + 1, i*40), ' '))
+           AS clen
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1,
+                      CAST(ceil(len(ws) / 40.0) AS BIGINT))) AS i
+        FROM base WHERE m <= 5)
+), ha AS (
+  SELECT doc_id, sum(2 + clen) AS kc, count(*) AS nk
+  FROM hc WHERE clen >= 25 GROUP BY doc_id
+), per_doc AS (
+  -- html: L = 1 + 2·nk newline-lines ('\\n\\n' between blocks),
+  -- n_pages = ceil(L/50); Σcontent = cc + 1 − n_pages
+  SELECT 'html_heuristic' AS extraction_method,
+         (1 + 2 * coalesce(ha.nk, 0) + 49) // 50 AS n_pages,
+         1 + 2 * coalesce(ha.nk, 0) AS n_lines,
+         length('# Document ' || CAST(b.doc_id AS VARCHAR))
+           + coalesce(ha.kc, 0) + 1
+           - (1 + 2 * coalesce(ha.nk, 0) + 49) // 50 AS chars
+  FROM base b LEFT JOIN ha USING (doc_id) WHERE b.m <= 5
+  UNION ALL
+  -- SPDF path (incl. M12's empty-string quirk: '' -> 1 page, 1 line)
+  SELECT 'pdf_parse',
+         CASE WHEN len(ws) = 0 THEN 1
+              ELSE (2 * ((len(ws) + 11) // 12) - 1 + 49) // 50 END,
+         CASE WHEN len(ws) = 0 THEN 1
+              ELSE 2 * ((len(ws) + 11) // 12) - 1 END,
+         CASE WHEN len(ws) = 0 THEN 0
+              ELSE length(array_to_string(ws, '')) + len(ws)
+                   + (len(ws) + 11) // 12 - 2 + 1
+                   - (2 * ((len(ws) + 11) // 12) - 1 + 49) // 50 END
+  FROM base WHERE m IN (6, 7, 8)
+  UNION ALL
+  -- dimension-repair arm: full_text = text[:80] (or '' when blank) —
+  -- one page either way (paginate('') is one page of one empty line)
+  SELECT 'pdf_parse', 1, 1,
+         CASE WHEN trim(substr(text, 1, 80)) = '' THEN 0
+              ELSE length(substr(text, 1, 80)) END
+  FROM base WHERE m = 9 AND hh NOT IN (19, 99)
+  UNION ALL
+  -- corrupt payload -> zero-page fallback
+  SELECT 'fallback', 0, 0, 0 FROM base WHERE hh = 99
+)
+SELECT extraction_method, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_pages) AS BIGINT) AS n_pages,
+       CAST(sum(n_lines) AS BIGINT) AS sum_line_counts,
+       CAST(sum(chars) AS BIGINT) AS sum_content_chars
+FROM per_doc GROUP BY extraction_method ORDER BY extraction_method
+"""
+
+
 # ================================================================ relational
 
 def q_doc_stats_by_lang(sf_dir: str):
@@ -11218,6 +11343,7 @@ QUERIES = {
     "anchor_text_stats": q_anchor_text_stats,
     "extract_audit": q_extract_audit,
     "span_stats": q_span_stats,
+    "page_stats": q_page_stats,
     "paragraph_dedup": q_paragraph_dedup,
     "paragraph_dedup_apply": q_paragraph_dedup_apply,
     "bigram_coverage": q_bigram_coverage,
@@ -11343,6 +11469,7 @@ ORACLE_SQL = {
     "anchor_text_stats": SQL_ANCHOR_TEXT_STATS,
     "extract_audit": SQL_EXTRACT_AUDIT,
     "span_stats": SQL_SPAN_STATS,
+    "page_stats": SQL_PAGE_STATS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "paragraph_dedup_apply": SQL_PARAGRAPH_DEDUP_APPLY,
     "bigram_coverage": SQL_BIGRAM_COVERAGE,

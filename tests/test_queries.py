@@ -94,7 +94,7 @@ PARITY_NAMES = [
     "substring_dup_spans", "hash_classifier_score", "dsir_weights",
     "shard_manifest", "chunk_windows", "blocklist_gate",
     "curriculum_order", "anchor_text_stats", "substring_dup_apply",
-    "span_stats",
+    "span_stats", "page_stats",
 ]
 
 
