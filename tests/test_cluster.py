@@ -114,3 +114,19 @@ def test_semdedup_prune_greedy_replay_and_contract(ray_session):
     planted = out[out["vec_id"] >= Q.EMB_PLANT_OFFSET]
     assert len(planted) > 0 and not planted["keep"].any()
     assert n_pruned >= len(planted)
+
+
+def test_semdedup_prune_scaled_k_branch(ray_session, monkeypatch):
+    """The k ∝ N sizing path (k > the 8 floor) — never hit at fixture
+    scale otherwise: with a tiny target cluster size, k derives from
+    the footer row count, the output is still one row per vector, and
+    every planted exact copy is still pruned (identical vectors share
+    a cluster at ANY k)."""
+    from docling_pdf_ray import queries as Q
+
+    monkeypatch.setattr(Q, "SEMDEDUP_TARGET_C", 64)   # 520 rows -> k=9
+    out = Q.q_semdedup_prune(SF)
+    assert len(out) == 520
+    assert out["cluster"].nunique() >= 8
+    planted = out[out["vec_id"] >= Q.EMB_PLANT_OFFSET]
+    assert len(planted) == 20 and not planted["keep"].any()
