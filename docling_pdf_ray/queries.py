@@ -2322,16 +2322,15 @@ def _hot_bucket_pairs(g, key_cols: list[str], star_limit: int = STAR_LINK_BUCKET
     pairs = []
     hot = g[g.duplicated(key_cols, keep=False)]
     for _, grp in hot.groupby(key_cols, sort=False):
-        ids = sorted(grp["doc_id"].unique())
+        ids = np.sort(grp["doc_id"].unique())
         if len(ids) < 2:
             continue
         if len(ids) > star_limit:
-            anchor = ids[0]
-            pairs.extend((anchor, b) for b in ids[1:])
+            anchor = int(ids[0])
+            pairs.extend((anchor, int(b)) for b in ids[1:])
             continue
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                pairs.append((a, b))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        pairs.extend(zip(ids[ia].tolist(), ids[ib].tolist()))
     return pairs
 
 
@@ -2357,23 +2356,42 @@ def _fp_band_table(ids, fps_shifted, n_buckets: int) -> pa.Table:
                                            n_buckets - 1), pa.int32()))
 
 
+FP_STAR_LIMIT = 1024   # the fingerprint families' full-pairing bound:
+#   their verify is an inline vectorized XOR-popcount (no second
+#   exchange, no text), so full enumeration stays cheap far past the
+#   generic STAR_LINK_BUCKET — a 1024-doc band bucket is ~524k uint64
+#   ops. Beyond it, star-link (connectivity preserved, pair list
+#   truncated — the documented mass-dup caveat). Raised from 100 in r5
+#   s5: sf0.1's real band buckets reach 298 and the pair LIST was
+#   losing 13 oracle pairs to the star guard.
+
+
 def _fp_verify_group(g, max_hamming: int,
                      a_col: str = "doc_id_a",
                      b_col: str = "doc_id_b") -> pa.Table:
     """Per-bucket hamming verify over `_hot_bucket_pairs` candidates —
     the shared back of the fingerprint families (the fp rides the
-    triple, so no second payload pass is ever needed)."""
-    from .functions import dedup as dd
-
-    fp_of = dict(zip(g["doc_id"], g["fp"]))
-    out = []
-    for a, b in _hot_bucket_pairs(g, ["band_key"]):
-        h = dd.hamming64(fp_of[a] + (1 << 63), fp_of[b] + (1 << 63))
-        if h <= max_hamming:
-            out.append((a, b, h))
-    return pa.table({a_col: pa.array([r[0] for r in out], pa.int64()),
-                     b_col: pa.array([r[1] for r in out], pa.int64()),
-                     "hamming": pa.array([r[2] for r in out], pa.int64())})
+    triple, so no second payload pass is ever needed). Vectorized:
+    one XOR + unpackbits popcount over all candidate pairs (the
+    shifted-int64 storage is popcount-transparent — the +2^63 shift
+    flips the top bit of BOTH operands, which XOR cancels)."""
+    pairs = _hot_bucket_pairs(g, ["band_key"], star_limit=FP_STAR_LIMIT)
+    if not pairs:
+        return pa.table({a_col: pa.array([], pa.int64()),
+                         b_col: pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    ap = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+    bp = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
+    fp_s = g.drop_duplicates("doc_id").set_index("doc_id")["fp"]
+    fa = fp_s.reindex(ap).to_numpy(np.int64).view(np.uint64)
+    fb = fp_s.reindex(bp).to_numpy(np.int64).view(np.uint64)
+    xor = np.ascontiguousarray(fa ^ fb)
+    ham = np.unpackbits(xor.view(np.uint8)).reshape(len(pairs), 64) \
+        .sum(axis=1).astype(np.int64)
+    keep = ham <= max_hamming
+    return pa.table({a_col: pa.array(ap[keep]),
+                     b_col: pa.array(bp[keep]),
+                     "hamming": pa.array(ham[keep])})
 
 
 def q_minhash_near_dups(sf_dir: str, threshold: float = 0.7,
@@ -3179,10 +3197,13 @@ def q_simhash_near_dups(sf_dir: str, max_hamming: int = 3,
     with this engine is STRUCTURAL — pigeonhole (hamming<4 ⇒ a shared
     16-bit band) makes the band blocking complete, and the inline
     verify is the same bit_count(xor) — with ONE stated caveat shared
-    with minhash: a band bucket beyond STAR_LINK_BUCKET star-links
+    with minhash: a band bucket beyond FP_STAR_LIMIT star-links
     instead of full-pairing (the mass-dup guard, pinned by its own
-    test), so equality additionally requires no bucket that large on
-    the gate corpus (holds: planted groups have 2 members)."""
+    test), so equality additionally requires no bucket that large —
+    verified through sf0.1 (largest real band bucket: 298 docs; the
+    r5-s5 sf0.1 conformance run caught the old 100-doc guard
+    truncating 13 oracle pairs, so the fp family's bound was raised
+    to match its now-vectorized inline verify)."""
     import pandas as pd
 
     from .functions import dedup as dd

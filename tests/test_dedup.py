@@ -194,6 +194,20 @@ def test_hot_bucket_pairs_star_links_oversized_buckets():
     small = pd.DataFrame({"band_key": [7, 7, 7, 9], "doc_id": [3, 1, 2, 5]})
     assert _hot_bucket_pairs(small, ["band_key"]) == [(1, 2), (1, 3), (2, 3)]
 
+    # the fingerprint family's raised bound (FP_STAR_LIMIT): full
+    # pairing up to the bound, star-link strictly above it
+    from docling_pdf_ray.queries import FP_STAR_LIMIT
+
+    n = FP_STAR_LIMIT + 1
+    big = pd.DataFrame({"band_key": [3] * n, "doc_id": list(range(n))})
+    starred = _hot_bucket_pairs(big, ["band_key"], star_limit=FP_STAR_LIMIT)
+    assert starred == [(0, b) for b in range(1, n)]
+    at_bound = pd.DataFrame({"band_key": [3] * FP_STAR_LIMIT,
+                             "doc_id": list(range(FP_STAR_LIMIT))})
+    assert len(_hot_bucket_pairs(at_bound, ["band_key"],
+                                 star_limit=FP_STAR_LIMIT)) \
+        == FP_STAR_LIMIT * (FP_STAR_LIMIT - 1) // 2
+
 
 def test_near_dup_queries_mass_duplicate_corpus(ray_session, tmp_path):
     """End-to-end: a corpus that is one page duplicated 150× must come
@@ -217,9 +231,12 @@ def test_near_dup_queries_mass_duplicate_corpus(ray_session, tmp_path):
     assert set(mh["doc_id_a"]) == {ids[0]}
     assert (mh["jacc_num"] == mh["jacc_den"]).all()   # exact copies: J = 1
 
+    # simhash (r5 s5): 150 < FP_STAR_LIMIT, so the fp family
+    # full-pairs — the COMPLETE C(150,2) pair list its exact SQL
+    # oracle enumerates (the old 100-doc guard truncated real pairs
+    # at sf0.1); the star guard itself is pinned separately below
     sh = q_simhash_near_dups(str(tmp_path))
-    assert len(sh) == 149
-    assert set(sh["doc_id_a"]) == {ids[0]}
+    assert len(sh) == 150 * 149 // 2
     assert (sh["hamming"] == 0).all()
 
     # the dedup decision: one component, every member → min doc_id
